@@ -1,0 +1,34 @@
+"""String/tokenization helpers shared by text-analysis operators.
+
+Pure Column expressions (JVM-side). The token model is deliberately
+simple and engine-portable: split on whitespace runs, drop empties —
+identical results in Spark and ANSI oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens with empties removed (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def ngrams(col: Column | str, n: int) -> Column:
+    """Token n-grams as space-joined strings (array<string>).
+
+    Built from ``slice`` over the token array inside ``transform`` —
+    no UDF, no explode/re-group round trip.
+    """
+    t = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )

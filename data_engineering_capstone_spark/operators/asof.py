@@ -1,0 +1,108 @@
+"""As-of join (SURVEY.md §2 C-join: range/as-of).
+
+Spark has no native as-of join. Two implementations:
+
+* :func:`asof_join` — the scale path: union both sides tagged, one
+  window over (key, time) carrying the last right-side row forward
+  (``last(..., ignorenulls=True)``). Exactly ONE shuffle on the key, no
+  cross product, no per-group memory blowup — survives 100 TB where the
+  naive join-then-rank (left⋈right on key + range, then row_number)
+  explodes on hot keys.
+* :func:`asof_join_merge` — ``applyInPandas`` + ``pd.merge_asof`` per
+  key group; simpler semantics, used as a cross-check in tests.
+
+Semantics match DuckDB's ``ASOF JOIN``: for each left row, the single
+right row with the greatest ``right_ts <= left_ts`` for the same key;
+left rows with no prior right row get nulls (left outer).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join via tagged union + forward-fill window."""
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+
+    out_map = {c: (c + suffix if c in left.columns or c == right_ts else c) for c in right_cols}
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__is_left"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias("__r_" + c) for c in right_cols],
+    )
+    rhs = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
+        F.lit(0).alias("__is_left"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias("__r_" + c) for c in right_cols],
+    ).select(*lhs.columns)  # align column order
+
+    # Right rows sort before left rows at equal __ts (__is_left asc) so a
+    # right row with right_ts == left_ts IS visible to that left row.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lhs.unionByName(rhs)
+    for c in right_cols:
+        filled = filled.withColumn(
+            out_map[c], F.last(F.col("__r_" + c), ignorenulls=True).over(w)
+        )
+    return filled.filter(F.col("__is_left") == 1).drop(
+        "__is_left", "__ts", *["__r_" + c for c in right_cols]
+    )
+
+
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Reference implementation via pd.merge_asof inside applyInPandas."""
+    import pandas as pd
+
+    out_map = {c: (c + suffix if c in left.columns else c) for c in right_cols}
+    out_schema_df = left
+    for c in right_cols:
+        out_schema_df = out_schema_df.withColumn(
+            out_map[c], F.lit(None).cast(right.schema[c].dataType)
+        )
+    out_schema = out_schema_df.schema
+
+    lcols, rsel = list(left.columns), [on, right_ts, *right_cols]
+
+    def merge(key, pdfs):
+        lpdf, rpdf = pdfs
+        lpdf = lpdf[lcols].sort_values(left_ts)
+        rpdf = rpdf[rsel].sort_values(right_ts).rename(
+            columns={**out_map, right_ts: "__rts"}
+        )
+        merged = pd.merge_asof(
+            lpdf, rpdf.drop(columns=[on]), left_on=left_ts, right_on="__rts",
+            direction="backward",
+        )
+        return merged[[f.name for f in out_schema.fields]]
+
+    return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(merge, out_schema)

@@ -1,0 +1,225 @@
+"""Scalar-function catalog queries (SURVEY.md §2 C-scalar, C-join as-of).
+
+String / date / math / JSON / array expression coverage — all built-in
+``pyspark.sql.functions`` (JVM-side, whole-stage codegen); zero Python
+UDFs in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import query
+from .operators.asof import asof_join
+from .session import prep
+from .sources.testdata import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prep(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                       AS name_upper,
+           SUBSTR(p_type, 1, 5)                AS type_prefix,
+           STR_SPLIT(p_type, ' ')[1]           AS type_first,
+           CAST(LENGTH(p_name) AS INT)         AS name_len,
+           CONCAT(p_brand, '::', p_type)       AS brand_type,
+           REPLACE(p_name, ' ', '_')           AS name_snake,
+           TRIM(p_name)                        AS name_trim,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           REGEXP_EXTRACT(p_type, '([A-Z]+)$', 1) AS type_last_word,
+           CAST(STRPOS(p_type, ' ') AS INT)    AS first_space
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: case, substring, split, concat, replace,
+    pad, regexp extract, position."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("::"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("name_snake"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_extract(F.col("p_type"), r"([A-Z]+)$", 1).alias("type_last_word"),
+        F.instr(F.col("p_type"), " ").cast("int").alias("first_space"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT)      AS y,
+           CAST(MONTH(o_orderdate) AS INT)     AS m,
+           CAST(QUARTER(o_orderdate) AS INT)   AS q,
+           CAST(DAY(o_orderdate) AS INT)       AS d,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+           DATE_TRUNC('month', o_orderdate)    AS month_start,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date function family: extract parts, datediff, trunc, add_months,
+    last_day."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.add_months(F.col("o_orderdate"), 3).alias("plus3m"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount)           AS net,
+           ABS(l_extendedprice - 1000)                  AS abs_delta,
+           ROUND(LN(l_extendedprice), 6)                AS ln_price,
+           ROUND(LOG10(l_extendedprice), 6)             AS log10_price,
+           l_quantity * l_quantity                      AS qty_sq,
+           ROUND(SQRT(l_extendedprice), 6)              AS sqrt_price,
+           CAST(CEIL(l_extendedprice) AS BIGINT)        AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)       AS price_floor,
+           CAST(l_linenumber % 3 AS INT)                AS ln_mod3,
+           GREATEST(l_discount, l_tax)                  AS max_rate,
+           LEAST(l_discount, l_tax)                     AS min_rate
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family: round/abs/ln/log10/pow/sqrt/ceil/floor/mod/
+    greatest/least."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+        F.abs(F.col("l_extendedprice") - 1000).alias("abs_delta"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.log10(F.col("l_extendedprice")), 6).alias("log10_price"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.round(F.sqrt(F.col("l_extendedprice")), 6).alias("sqrt_price"),
+        F.ceil(F.col("l_extendedprice")).cast("bigint").alias("price_ceil"),
+        F.floor(F.col("l_extendedprice")).cast("bigint").alias("price_floor"),
+        (F.col("l_linenumber") % 3).cast("int").alias("ln_mod3"),
+        F.greatest(F.col("l_discount"), F.col("l_tax")).alias("max_rate"),
+        F.least(F.col("l_discount"), F.col("l_tax")).alias("min_rate"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "json_props_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(JSON_EXTRACT_STRING(props, '$.k')) AS BIGINT)            AS n_with_k,
+           ROUND(AVG(value), 4) AS avg_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (``get_json_object`` over the events.props JSON
+    string) feeding a grouped aggregate."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "array_embedding_stats",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(LEN(embedding) AS INT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
+           ROUND(LIST_MAX(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 6) AS max_val,
+           CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_positive
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: size, element_at, aggregate (fold),
+    array_max, filter — the JVM-side path for vector math."""
+    e = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at(F.col("embedding"), 1).cast("double"), 6).alias("first_val"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 6).alias("sq_norm"),
+        F.round(F.array_max(dbl), 6).alias("max_val"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("int").alias("n_positive"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "asof_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           c.event_id AS click_event_id,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior
+    click (backward, left outer) — the operator Spark lacks natively,
+    built as ONE shuffle via tagged-union + forward-fill window
+    (operators/asof.py). Semantics pinned against DuckDB's ASOF JOIN.
+    """
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_event_id"), "value"
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="c_ts",
+        right_cols=["click_event_id", "value"],
+    )
+    return joined.select(
+        "event_id", "user_id", "click_event_id", F.col("value").alias("click_value")
+    ).orderBy("event_id")

@@ -1,0 +1,552 @@
+"""Relational-core catalog queries (SURVEY.md §2 C-proj/filter/join/agg/
+window/sort/set + B4/B10 patterns).
+
+Every query is declarative DataFrame API — Catalyst gets pushdown,
+pruning, join selection; explicit ``broadcast()`` pins the dim-join
+strategy the way a 100 TB plan needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import query
+from .operators.relational import anti_join, broadcast_dim_join
+from .operators.topk import top_k, top_k_per_group
+from .session import prep
+from .sources.testdata import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prep(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _revenue_dec():
+    """l_extendedprice * (1 - l_discount) in exact DECIMAL.
+
+    Money math in decimal keeps aggregate results independent of
+    partitioning/summation order — a double sum differs in final ulps
+    between runs and engines, which breaks value-hash reproducibility.
+    """
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    return price * (F.lit(1).cast("decimal(12,2)") - disc)
+
+
+# DuckDB-side twin of _revenue_dec()
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
+
+# --------------------------------------------------------------------------
+# Aggregation core
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity)                                             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)   AS sum_charge,
+           AVG(l_quantity)                                             AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → 8-agg hash aggregate → sort.
+
+    Partial aggregation happens map-side (6 group keys), so the shuffle
+    moves ~6 rows per input partition regardless of input size. Money
+    aggregates run in DECIMAL: exact, summation-order-independent — the
+    result is reproducible across partitionings (a double sum is not).
+    Quantities are integral, so their double sum is already exact.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    disc_price = price * (F.lit(1).cast("decimal(12,2)") - disc)
+    n = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (F.lit(1).cast("decimal(12,2)") + tax)).cast("double").alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q5_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 5-table star join → revenue by nation (TPC-H Q5 shape).
+
+    Shuffle analysis at 100 TB: lineitem⋈orders is the only large-large
+    join (shuffle on orderkey — or zero-shuffle if both are bucketed on
+    it); orders⋈customer shuffles the pre-aggregated order side;
+    nation/region are broadcast, so the big side never reshuffles for
+    them. Mirrors the reference's code→name dim joins
+    (I94_SAS_Labels_Descriptions.SAS:9-1036) at TPC-H shape.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+@query(
+    "q3_top_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filter a dim, join fact, aggregate, global top-k.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — only k
+    rows per partition cross to the driver, never the full sort.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    agg = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("o_orderkey")], 10)
+
+
+@query(
+    "agg_distinct_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*)                  AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_distinct_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate + min/max/stddev in one grouped pass.
+
+    Spark plans count(distinct) as a two-stage expand+agg — still fully
+    parallel, no driver collect.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) + approx percentiles — the sketches
+    you reach for at 100 TB where exact distinct would shuffle every key.
+    No oracle: sketch results are algorithm-specific (rows-only check);
+    accuracy is asserted against exact counts in tests/test_relational.py.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "rollup_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           SUM(l_quantity) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with grouping_id to disambiguate NULLs."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+        .orderBy(F.col("gid"), F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping sets in one pass (Expand under the hood)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+        .orderBy(F.col("gid"), F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters / projection
+# --------------------------------------------------------------------------
+
+@query(
+    "filter_predicates_part",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size, p_retailprice AS price,
+           p_retailprice * 0.9 AS discounted
+    FROM part
+    WHERE p_size IN (5, 10, 15, 20)
+      AND p_type LIKE '%A%'
+      AND p_retailprice BETWEEN 910 AND 980
+      AND p_brand IS NOT NULL
+    ORDER BY p_partkey
+    """,
+)
+def filter_predicates_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate family: IN / LIKE / BETWEEN / null test / boolean AND —
+    all pushed into the parquet scan (PushedFilters in .explain)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_size").isin(5, 10, 15, 20)
+            & F.col("p_type").like("%A%")
+            & F.col("p_retailprice").between(910, 980)
+            & F.col("p_brand").isNotNull()
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_size",
+            F.col("p_retailprice").alias("price"),
+            (F.col("p_retailprice") * 0.9).alias("discounted"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows
+# --------------------------------------------------------------------------
+
+@query(
+    "window_rank_customers",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal AS acctbal,
+             CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+             CAST(RANK() OVER w       AS INT) AS rnk,
+             CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+             CAST(NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE rn <= 5
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window family: row_number / rank / dense_rank / ntile,
+    top-5 per segment. One shuffle on the partition key only."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    ranked = (
+        c.select("c_mktsegment", "c_custkey", F.col("c_acctbal").alias("acctbal"), "c_acctbal")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .withColumn("rnk", F.rank().over(w).cast("int"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("int"))
+        .withColumn("quartile", F.ntile(4).over(w).cast("int"))
+    )
+    return (
+        ranked.filter(F.col("rn") <= 5)
+        .select("c_mktsegment", "c_custkey", "acctbal", "rn", "rnk", "drnk", "quartile")
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@query(
+    "window_running_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER cum AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER mov AS DOUBLE)
+             / COUNT(*) OVER mov                                             AS moving_avg3,
+           LAG(o_totalprice)  OVER ord AS prev_price,
+           LEAD(o_totalprice) OVER ord AS next_price,
+           FIRST_VALUE(o_totalprice) OVER cum AS first_price
+    FROM orders
+    WINDOW ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def window_running_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window family: running sum, moving average (rows frame),
+    lag/lead/first_value per customer order history."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    mov = w.rowsBetween(-2, 0)
+    price_dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(price_dec).over(cum).cast("double").alias("running_total"),
+            (F.sum(price_dec).over(mov).cast("double") / F.count(F.lit(1)).over(mov)).alias("moving_avg3"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.first("o_totalprice").over(cum).alias("first_price"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations / semi / anti / outer joins
+# --------------------------------------------------------------------------
+
+@query(
+    "set_ops_nations",
+    oracle="""
+    SELECT nationkey, 'both' AS op FROM
+      (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS op FROM
+      (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    ORDER BY op, nationkey
+    """,
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over distinct key sets."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("op", F.lit("both"))
+    cust_only = c.subtract(s).withColumn("op", F.lit("customer_only"))
+    return both.unionByName(cust_only).orderBy("op", "nationkey")
+
+
+@query(
+    "anti_semi_customers",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders,
+           CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey = o.o_custkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def anti_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join: customers with vs without orders, per nation.
+
+    Built from actual left_semi / left_anti joins (EXISTS / NOT EXISTS
+    physical forms — the probe side streams, no row duplication).
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    n = _t(spark, sf_dir, "nation")
+    without = anti_join(c, o, "c_custkey").groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_without_orders"))
+    with_ = c.join(o, "c_custkey", "left_semi").groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_with_orders"))
+    per_nation = (
+        c.select("c_nationkey")
+        .distinct()
+        .join(without, "c_nationkey", "left")
+        .join(with_, "c_nationkey", "left")
+        .na.fill(0, ["n_without_orders", "n_with_orders"])
+    )
+    return (
+        broadcast_dim_join(per_nation, n, condition=per_nation.c_nationkey == n.n_nationkey, how="inner")
+        .select(F.col("n_name").alias("nation"), "n_without_orders", "n_with_orders")
+        .orderBy("nation")
+    )
+
+
+@query(
+    "outer_join_order_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+)
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + grouped agg with null-to-zero coalesce."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")), F.lit(0).cast("decimal(12,2)")
+            ).cast("double").alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "full_outer_nation_presence",
+    oracle="""
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer GROUP BY 1) c
+    FULL JOIN (SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two grouped sides with coalesced keys."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.nationkey == s.nationkey, "full_outer")
+        .select(
+            F.coalesce(c.nationkey, s.nationkey).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "pivot_year_status",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def pivot_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with pinned value list (single pass, stable schema)."""
+    from .operators.pivot import pivot_wide
+
+    o = _t(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate").cast("int"))
+    wide = pivot_wide(o, ["order_year"], "o_orderstatus", ["O", "F", "P"], "o_orderkey", agg="count")
+    return wide.select(
+        "order_year",
+        *[F.coalesce(F.col(f"`{s}`"), F.lit(0)).alias(s) for s in ("O", "F", "P")],
+    ).orderBy("order_year")

@@ -1,0 +1,112 @@
+"""Local oracle-parity harness — mimics the driver's correctness gate.
+
+Runs every catalog query through Spark AND its DuckDB oracle on the same
+parquet, then compares row count, column names, and values (sorted by all
+columns, float-tolerant). Usage:
+
+    python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_engineering_capstone_spark.catalog import load_all
+from data_engineering_capstone_spark.session import get_spark
+from data_engineering_capstone_spark.sources.testdata import TABLES
+
+FLOAT_ATOL = 1e-6
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None)
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(lambda v: str(v) if v is not None else None)
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    if list(a.columns) != list(b.columns):
+        return [f"columns differ: spark={list(a.columns)} duck={list(b.columns)}"]
+    if len(a) != len(b):
+        return [f"row count differs: spark={len(a)} duck={len(b)}"]
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av_f = pd.to_numeric(av, errors="coerce").astype(float)
+            bv_f = pd.to_numeric(bv, errors="coerce").astype(float)
+            if not np.allclose(av_f, bv_f, atol=FLOAT_ATOL, rtol=1e-9, equal_nan=True):
+                bad = (~np.isclose(av_f, bv_f, atol=FLOAT_ATOL, rtol=1e-9, equal_nan=True)).sum()
+                problems.append(f"col {c}: {bad} float mismatches (e.g. {av_f[~np.isclose(av_f, bv_f, atol=FLOAT_ATOL, rtol=1e-9, equal_nan=True)].head(3).tolist()} vs duck)")
+        else:
+            eq = (av.fillna("\0NULL") == bv.fillna("\0NULL")) if av.dtype == object else (av.isna() & bv.isna()) | (av == bv)
+            if not eq.all():
+                i = int((~eq).idxmax())
+                problems.append(f"col {c}: {int((~eq).sum())} mismatches (first at row {i}: spark={av[i]!r} duck={bv[i]!r})")
+    return problems
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    if args and os.path.isdir(args[0]):
+        args = args[1:]
+    catalog = load_all()
+    names = args or list(catalog)
+    spark = get_spark("parity")
+    con = duck_con(sf_dir)
+    failures = 0
+    for name in names:
+        spec = catalog[name]
+        t0 = time.time()
+        try:
+            spark_pdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if spec.oracle is None:
+            print(f"ok    {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            duck_pdf = con.execute(spec.oracle).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name} ({len(spark_pdf)} rows):")
+            for p in problems:
+                print(f"      - {p}")
+        else:
+            print(f"ok    {name}: {len(spark_pdf)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(names) - failures}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
