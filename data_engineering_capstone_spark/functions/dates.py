@@ -39,7 +39,7 @@ def parse_char_date(col: Column | str, fmt: str) -> Column:
     'D/S' sentinel behavior the I94 ``dtaddto`` field needs.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_to_date(c, F.lit(fmt))
+    return F.try_to_date(c, fmt)
 
 
 def date_parts(col: Column | str, prefix: str = "") -> dict[str, Column]:

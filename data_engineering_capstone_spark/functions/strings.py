@@ -28,7 +28,12 @@ def ngrams(col: Column | str, n: int) -> Column:
     no UDF, no explode/re-group round trip.
     """
     t = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
         lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return (
+        F.when(t.isNull(), F.lit(None).cast("array<string>"))
+        .when(F.size(t) >= n, grams)
+        .otherwise(F.array().cast("array<string>"))
     )

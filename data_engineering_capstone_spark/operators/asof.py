@@ -93,8 +93,7 @@ def asof_join_merge(
 
     lcols, rsel = list(left.columns), [on, right_ts, *right_cols]
 
-    def merge(key, pdfs):
-        lpdf, rpdf = pdfs
+    def merge(lpdf, rpdf):
         lpdf = lpdf[lcols].sort_values(left_ts)
         rpdf = rpdf[rsel].sort_values(right_ts).rename(
             columns={**out_map, right_ts: "__rts"}

@@ -55,7 +55,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
         F.regexp_extract(F.col("p_type"), r"([A-Z]+)$", 1).alias("type_last_word"),
         F.instr(F.col("p_type"), " ").cast("int").alias("first_space"),
-    ).orderBy("p_partkey")
+    )
 
 
 @query(
@@ -90,7 +90,7 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
         F.add_months(F.col("o_orderdate"), 3).alias("plus3m"),
         F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -130,7 +130,7 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_linenumber") % 3).cast("int").alias("ln_mod3"),
         F.greatest(F.col("l_discount"), F.col("l_tax")).alias("max_rate"),
         F.least(F.col("l_discount"), F.col("l_tax")).alias("min_rate"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @query(
@@ -190,7 +190,7 @@ def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 6).alias("sq_norm"),
         F.round(F.array_max(dbl), 6).alias("max_val"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("int").alias("n_positive"),
-    ).orderBy("vec_id")
+    )
 
 
 @query(
@@ -222,4 +222,4 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "event_id", "user_id", "click_event_id", F.col("value").alias("click_value")
-    ).orderBy("event_id")
+    )

@@ -400,7 +400,6 @@ def window_running_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("o_totalprice").over(w).alias("next_price"),
             F.first("o_totalprice").over(cum).alias("first_price"),
         )
-        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
 
 
