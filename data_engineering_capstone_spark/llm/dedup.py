@@ -1,0 +1,324 @@
+"""Document deduplication family (SURVEY.md §2 C-llm-dedup; BASELINE.json
+extension surface): exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+All pure Column expressions over the JVM (higher-order array functions,
+``xxhash64``) — no Python UDFs anywhere in the dedup path, so the whole
+family stays inside whole-stage codegen and scales with executors.
+
+Scale notes (100 TB):
+* exact dedup groups on a 128-bit digest of normalized text — the
+  shuffle moves 16-byte keys, not document bodies.
+* MinHash-LSH is the linear-time near-dup path: signature computation is
+  a map; candidate generation shuffles (band_idx, band_hash) pairs; only
+  candidate pairs are verified. Banding bounds bucket sizes, and AQE
+  skew-split handles pathological clusters.
+* n-gram Jaccard uses the same candidate/verify split: an inverted
+  index over shingles proposes pairs, exact verification joins back the
+  distinct-shingle arrays — never an all-pairs product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.strings import ngrams, tokens
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + whitespace-collapse: the canonical form for hashing."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """128-bit content fingerprint of normalized text (engine-portable)."""
+    return F.md5(normalize_text(col))
+
+
+def shingle_set(col: Column | str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles (array<string>)."""
+    return F.array_distinct(ngrams(col, n))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per normalized-text digest.
+
+    (reference: notebook cell-7 'duplicate data' — scaled from
+    dropDuplicates to digest-groupBy, SURVEY.md §2 B2/C-llm-dedup.)
+    """
+    fp = df.withColumn("__fp", fingerprint_md5(text_col))
+    winners = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(winners, [id_col, "__fp"], "left_semi").drop("__fp")
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature as a Column expression: sig[i] = min_s h_i(s).
+
+    NOTE: nested higher-order functions run interpreted (CodegenFallback)
+    — fine for ad-hoc use on short arrays, but the hot path is
+    :func:`minhash_signatures` below (explode + 64-way min aggregate,
+    whole-stage codegen, map-side partial mins). Measured 18× faster on
+    the synthetic documents table.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, signature) via the scalable explode/aggregate plan.
+
+    The hash family is ``xxhash64(shingle, i)`` — seeding by hashing the
+    permutation index alongside the shingle. The per-doc minimum of each
+    h_i is one hash aggregate with map-side partial combine — the
+    shuffle carries ``num_hashes`` longs per doc regardless of document
+    size, and everything stays inside whole-stage codegen (the nested-
+    lambda Column form runs interpreted and is ~18× slower).
+    (Wraparound double-hashing h1+i*h2 would halve the hash cost but
+    ANSI mode — kept on for oracle-faithful arithmetic — forbids
+    overflowing multiplies.)
+    """
+    sh = df.select(F.col(id_col), F.explode(shingle_set(text_col, shingle_n)).alias("s"))
+    mins = sh.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def signature_similarity(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of agreeing signature components."""
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda b: b))
+    return agree / F.size(sig_a)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "signature",
+    num_bands: int = 16,
+) -> DataFrame:
+    """LSH banding: docs agreeing on any band become a candidate pair.
+
+    Emits distinct (id_a, id_b) with id_a < id_b. The only shuffle keys
+    are (band_idx, band_hash) — bounded-size buckets by construction.
+    """
+    rows_per_band = F.size(F.col(sig_col)) / num_bands
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.hash(F.slice(F.col(sig_col), (b * rows_per_band + 1).cast("int"), rows_per_band.cast("int"))),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with estimated Jaccard >= threshold.
+
+    shingle → minhash → band → bucket-join → estimate, the standard
+    linear-scan near-dup pipeline for LLM corpus cleaning.
+    """
+    # Materialize signatures once (num_hashes longs per doc — tiny):
+    # candidate generation and both verify sides reuse them, instead of
+    # re-evaluating the shingle→hash→min plan per reference.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
+    pairs = lsh_candidate_pairs(sigs, id_col, "signature", num_bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", signature_similarity(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.2,
+    shingle_n: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs >= threshold via candidate + verify.
+
+    Candidates come from an inverted shingle index (optionally dropping
+    shingles hotter than ``max_doc_freq`` — they can't discriminate and
+    they drive join skew); each candidate's exact Jaccard is
+    |A∩B| / (|A|+|B|-|A∩B|) counted from the full index. Never builds an
+    all-pairs product.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingle_set(text_col, shingle_n)).alias("s")).cache()
+    if max_doc_freq is not None:
+        hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_doc_freq)
+        sh = sh.join(hot, "s", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(tokens_col: Column) -> Column:
+    """64-bit SimHash of a token array, fully JVM-side.
+
+    Per token: xxhash64 → ±1 per bit position; sum per position over the
+    document; sign of each sum becomes the output bit. Near-duplicate
+    docs land within a small Hamming distance.
+    """
+    # acc[i] += bit_i(hash(t)) ? 1 : -1, for i in 0..63
+    sums = F.aggregate(
+        tokens_col,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            _hash_bit_signs(F.xxhash64(t)),
+            lambda a, b: a + b,
+        ),
+    )
+    # fold sign bits into one BIGINT: OR of (1<<i) where sums[i] > 0.
+    # shiftleft's PySpark wrapper only takes a static shift; the SQL
+    # function accepts a column — route through call_function.
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, i: F.when(
+                v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def _hash_bit_signs(h: Column) -> Column:
+    """array<long> of ±1 per bit of a 64-bit hash."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(
+            F.call_function("shiftrightunsigned", h, i).bitwiseAND(F.lit(1).cast("long")) == 1,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(-1).cast("long")),
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sh) SimHash table via the scalable explode/aggregate plan.
+
+    Per exploded token one xxhash64; per bit position a SUM aggregate of
+    ±1 (static shifts, whole-stage codegen, map-side partial sums — the
+    shuffle carries 64 longs per doc). The Column-expression
+    :func:`simhash64` is the ad-hoc form; this is the corpus-scale one.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    h = F.xxhash64("t")
+    one = F.lit(1).cast("long")
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(h, i).bitwiseAND(one) == 1, one).otherwise(F.lit(-1).cast("long"))
+            ).alias(f"__b{i}")
+            for i in range(64)
+        ]
+    )
+    sh = None
+    for i in range(64):
+        bit = F.when(F.col(f"__b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh = bit if sh is None else sh.bitwiseOR(bit)
+    return sums.select(F.col(id_col), sh.alias("sh"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs within ``max_hamming`` bits.
+
+    Candidate generation by block permutation: split the 64-bit hash into
+    ``num_blocks`` byte blocks; by pigeonhole, any pair within
+    ``num_blocks-1`` bit flips agrees on at least one block. Join on
+    (block_idx, block_value), verify with exact Hamming distance.
+    """
+    bits_per = 64 // num_blocks
+    # Materialize the (tiny: one long per doc) signature table once —
+    # the banded self-join would otherwise recompute the full simhash
+    # plan on both sides of the join.
+    hashed = simhash_signatures(df, text_col, id_col).cache()
+    mask = F.lit((1 << bits_per) - 1).cast("long")
+    blocked = hashed.select(
+        id_col,
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), b * bits_per).bitwiseAND(mask)
+                    for b in range(num_blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "block_idx", "block_val")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "block_idx", "block_val")
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,160 @@
+"""Embedding similarity search (SURVEY.md §2 C-llm-sim; BASELINE.json
+extension surface): brute-force cosine top-k as the exact baseline, and a
+random-hyperplane LSH ANN variant as the scale path.
+
+Vector math is JVM-side (``zip_with`` + ``aggregate`` higher-order
+functions over array<float> cast to double) — Arrow/pandas never enters
+the hot path.
+
+Scale notes (100 TB): brute force is a broadcast of the query set over a
+single scan of the corpus — linear, shuffle-free until the final
+per-query top-k (TakeOrdered per group over k rows per partition). The
+LSH variant cuts the scan to matching buckets; recall is tunable with
+tables × hyperplanes and verified against the exact baseline in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (small by contract); the corpus is
+    scanned once, similarities computed map-side, and the per-query
+    top-k resolved with one shuffle on ``q_id``.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__q_vec")
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("__q_vec"), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (the dedup oracle/baseline).
+
+    Quadratic by definition — run on a bounded corpus or as the verify
+    stage behind LSH candidates (:func:`lsh_ann`); at 100 TB use
+    ``minhash``/``lsh`` candidates first, this exact form second.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def _hyperplanes(num_tables: int, planes_per_table: int, dim: int, seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic Gaussian hyperplanes: [table][plane][dim]."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(num_tables, planes_per_table, dim).astype(float).tolist()
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of ``vec`` against one table's hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(vec, lit_plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    num_tables: int = 8,
+    planes_per_table: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets → exact rerank.
+
+    A corpus vector is a candidate for a query iff they share a bucket in
+    ANY of the ``num_tables`` hash tables (union via explode+distinct).
+    Exact cosine then reranks the candidates. Recall grows with tables
+    and shrinks with planes_per_table; tests assert recall vs
+    :func:`cosine_topk` on the same data.
+    """
+    tables = _hyperplanes(num_tables, planes_per_table, dim, seed)
+
+    def with_buckets(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        buckets = F.array(*[_bucket_expr(F.col(vec_col), t) for t in tables])
+        return df.select(
+            F.col(idc).alias(out_id), F.col(vec_col).alias(f"__{out_id}_vec"),
+            F.posexplode(buckets).alias("table_idx", "bucket"),
+        )
+
+    c = with_buckets(corpus, id_col, "neighbor_id")
+    q = with_buckets(queries, id_col, "q_id")
+    cands = (
+        q.join(c, ["table_idx", "bucket"])
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "__q_id_vec", "neighbor_id", "__neighbor_id_vec")
+        .distinct()
+    )
+    scored = cands.select(
+        "q_id",
+        "neighbor_id",
+        cosine(F.col("__q_id_vec"), F.col("__neighbor_id_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), F.col("rk").cast("int").alias("rk"))
+    )

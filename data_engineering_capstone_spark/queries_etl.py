@@ -1,1 +1,294 @@
-"""Placeholder — filled in as operators land."""
+"""ETL-tier catalog queries (SURVEY.md §2 Tier B) over the synthetic tables.
+
+Each query exercises one reference-specified ETL operator — SAS-epoch
+dates, sentinel char-dates, code→name dims with defaults, deterministic
+dedup, long→wide pivot, quality checks, partitioned parquet round-trip —
+with a DuckDB oracle twin. The I94-shaped composition of these stages
+lives in ``etl/pipeline.py`` (unit-tested on an I94 fixture).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import query
+from .functions.dates import date_parts, date_to_sas_day, parse_char_date, sas_date_to_date
+from .operators.dedup import dedup_exact
+from .operators.pivot import pivot_wide
+from .operators.relational import code_to_name
+from .session import prep
+from .sources.testdata import load_table
+from .sources.writers import write_parquet
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prep(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "etl_sas_date_dim",
+    oracle="""
+    SELECT DISTINCT
+           CAST(DATE_DIFF('day', DATE '1960-01-01', CAST(o_orderdate AS DATE)) AS INT) AS sas_day,
+           CAST(o_orderdate AS DATE)        AS date,
+           CAST(YEAR(o_orderdate) AS INT)   AS year,
+           CAST(MONTH(o_orderdate) AS INT)  AS month,
+           CAST(DAY(o_orderdate) AS INT)    AS day,
+           CAST(WEEKOFYEAR(o_orderdate) AS INT) AS week,
+           CAST(ISODOW(o_orderdate) AS INT) AS dow
+    FROM orders
+    ORDER BY sas_day
+    """,
+)
+def etl_sas_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: SAS-epoch round trip + date-dimension derivation.
+
+    Treats o_orderdate as ground truth, derives its SAS day number
+    (days since 1960-01-01, reference: I94_SAS_Labels_Descriptions.SAS:
+    966-968), converts back, and expands the date-dim parts with
+    ISO day-of-week (Monday=1) to match ANSI engines.
+    """
+    o = _t(spark, sf_dir, "orders")
+    sas = o.select(date_to_sas_day(F.col("o_orderdate")).cast("int").alias("sas_day")).distinct()
+    d = F.col("date")
+    parts = date_parts(d)
+    return (
+        sas.select("sas_day", sas_date_to_date(F.col("sas_day")).alias("date"))
+        .select(
+            "sas_day",
+            "date",
+            parts["year"].cast("int").alias("year"),
+            parts["month"].cast("int").alias("month"),
+            parts["day"].cast("int").alias("day"),
+            parts["week"].cast("int").alias("week"),
+            parts["dow"].cast("int").alias("dow"),
+        )
+        .orderBy("sas_day")
+    )
+
+
+@query(
+    "etl_char_date_sentinels",
+    oracle="""
+    WITH coded AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN 'D/S'
+                  ELSE STRFTIME(ts, '%m%d%Y') END AS dtaddto,
+             STRFTIME(ts, '%Y%m%d') AS dtadfile
+      FROM events
+    )
+    SELECT event_id,
+           TRY_STRPTIME(dtadfile, '%Y%m%d')::DATE AS file_date,
+           TRY_STRPTIME(dtaddto, '%m%d%Y')::DATE  AS admitted_until,
+           (TRY_STRPTIME(dtaddto, '%m%d%Y') IS NULL) AS is_sentinel
+    FROM coded
+    """,
+)
+def etl_char_date_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: character-date parsing with null-on-sentinel semantics.
+
+    Builds yyyyMMdd / MMddyyyy char dates from event timestamps, injects
+    the reference's 'D/S' sentinel (reference: I94_SAS_Labels_
+    Descriptions.SAS:1080; notebook cell-4 row 1) for error events, and
+    try-parses — sentinels become NULL, never exceptions, while ANSI
+    mode stays on for everything else.
+    """
+    e = _t(spark, sf_dir, "events")
+    coded = e.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D/S"))
+        .otherwise(F.date_format("ts", "MMddyyyy"))
+        .alias("dtaddto"),
+        F.date_format("ts", "yyyyMMdd").alias("dtadfile"),
+    )
+    admitted = parse_char_date("dtaddto", "MMddyyyy")
+    return coded.select(
+        "event_id",
+        parse_char_date("dtadfile", "yyyyMMdd").alias("file_date"),
+        admitted.alias("admitted_until"),
+        admitted.isNull().alias("is_sentinel"),
+    )
+
+
+@query(
+    "etl_code_to_name",
+    oracle="""
+    WITH dim(code, urgency) AS (
+      VALUES ('1-URGENT', 'critical'), ('2-HIGH', 'critical'), ('3-MEDIUM', 'routine')
+    )
+    SELECT COALESCE(d.urgency, 'other') AS urgency,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders o LEFT JOIN dim d ON o.o_orderpriority = d.code
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def etl_code_to_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 + B4: code→name lookup against an in-code dimension with the
+    reference's "not in the list → 'other'" default (reference:
+    I94_SAS_Labels_Descriptions.SAS:979-980) — broadcast left join +
+    coalesce, zero shuffle of the fact side.
+    """
+    o = _t(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        [("1-URGENT", "critical"), ("2-HIGH", "critical"), ("3-MEDIUM", "routine")],
+        "code string, urgency string",
+    )
+    named = code_to_name(o, dim, "o_orderpriority", "code", "urgency", "urgency", default="other")
+    return (
+        named.groupBy("urgency")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .orderBy("urgency")
+    )
+
+
+@query(
+    "etl_dedup_first_event",
+    oracle="""
+    SELECT user_id, event_type, event_id, value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def etl_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: deterministic dedup — keep each user's earliest event per type
+    (reference: notebook cell-7 'duplicate data'). Reproducible winner via
+    ordered window, not dropDuplicates' arbitrary pick.
+    """
+    e = _t(spark, sf_dir, "events")
+    kept = dedup_exact(
+        e, ["user_id", "event_type"], keep_order_by=[F.col("ts"), F.col("event_id")]
+    )
+    return kept.select("user_id", "event_type", "event_id", "value")
+
+
+@query(
+    "etl_pivot_doc_stats",
+    oracle="""
+    SELECT source,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+           CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+           CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+           CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+           CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def etl_pivot_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: long→wide pivot with a pinned value list + per-group scalar —
+    the demographics reshape pattern (reference: us-cities-demographics
+    .csv long format, one row per (city, race)).
+    """
+    d = _t(spark, sf_dir, "documents")
+    langs = ["en", "de", "fr", "es", "zh"]
+    wide = pivot_wide(d, ["source"], "lang", langs, "doc_id", agg="count")
+    scalars = d.groupBy("source").agg(F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    return (
+        wide.join(scalars, "source")
+        .select(
+            "source",
+            *[F.coalesce(F.col(lg), F.lit(0)).alias(lg) for lg in langs],
+            "avg_chars",
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "etl_quality_report",
+    oracle="""
+    SELECT 'nonempty' AS check, COUNT(*) > 0 AS passed FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)', COUNT(*) = COUNT(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'no_nulls(o_orderkey,o_custkey,o_orderdate)',
+           SUM(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL OR o_orderdate IS NULL
+               THEN 1 ELSE 0 END) = 0 FROM orders
+    UNION ALL
+    SELECT 'completeness(orders=lineitem.orderkeys)',
+           (SELECT COUNT(DISTINCT o_orderkey) FROM orders) >=
+           (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+    ORDER BY "check"
+    """,
+)
+def etl_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11-B13: the quality-check suite the reference stubs out
+    (reference: plugins/operators/data_quality.py:12-13 ``evaluate: pass``;
+    spec in notebook cell-12). Distributed aggregations only — each check
+    collects one scalar, so the suite runs unchanged at 100 TB.
+    """
+    from .etl.quality import (
+        check_no_nulls,
+        check_nonempty,
+        check_unique_key,
+        CheckResult,
+        results_df,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    order_keys = o.select(F.count_distinct("o_orderkey")).collect()[0][0]
+    li_keys = l.select(F.count_distinct("l_orderkey")).collect()[0][0]
+    results = [
+        check_nonempty(o),
+        check_unique_key(o, ["o_orderkey"]),
+        check_no_nulls(o, ["o_orderkey", "o_custkey", "o_orderdate"]),
+        CheckResult(
+            "completeness(orders=lineitem.orderkeys)",
+            order_keys >= li_keys, str(li_keys), f"<= {order_keys}",
+        ),
+    ]
+    return (
+        results_df(spark, results)
+        .select("check", "passed")
+        .orderBy("check")
+    )
+
+
+@query(
+    "etl_partitioned_sink_roundtrip",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def etl_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 + B14 + A3: write orders as year-partitioned parquet, read it
+    back, aggregate per partition (reference: dags/transform/airport.py:
+    6-7 unpartitioned overwrite; cell-15's 100x-scale scenario is why the
+    layout adds partitionBy). Partition pruning makes per-year queries
+    skip everything else at the scan.
+    """
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    out = os.path.join(tempfile.gettempdir(), "dec_spark_sink", os.path.basename(sf_dir.rstrip("/")), "orders_by_year")
+    write_parquet(o, out, partition_by=["order_year"])
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        # partition columns read back as the partition-discovery type; pin int
+        .withColumn("order_year", F.col("order_year").cast("int"))
+        .orderBy("order_year")
+    )

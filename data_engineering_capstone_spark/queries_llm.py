@@ -1,1 +1,296 @@
-"""Placeholder — filled in as operators land."""
+"""LLM-pipeline catalog queries (SURVEY.md §2 C-llm-*; BASELINE.json
+extension surface) over ``documents`` and ``embeddings``.
+
+Exact operators carry DuckDB oracles; hash-family operators (MinHash,
+SimHash, LSH ANN) are deterministic but not SQL-portable (xxhash64), so
+they register rows-only and their correctness is pinned by unit tests
+against exact baselines (tests/test_llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import query
+from .llm.dedup import (
+    exact_dedup,
+    fingerprint_md5,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from .llm.similarity import cosine_topk, embedding_near_dup_pairs, lsh_ann_topk
+from .llm.text import (
+    BPE_ISH_PATTERN,
+    bpe_ish_token_count,
+    language_id,
+    mean_token_len,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+)
+from .functions.strings import token_count
+from .session import prep
+from .sources.testdata import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prep(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "llm_exact_dedup",
+    oracle="""
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+    ), fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM doubled
+    )
+    SELECT doc_id FROM fp
+    WHERE doc_id = (SELECT MIN(doc_id) FROM fp f2 WHERE f2.f = fp.f)
+    ORDER BY doc_id
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: the corpus is doubled (planted
+    duplicates with shifted ids), dedup must keep exactly the original
+    ids. GroupBy on a 16-byte md5 of normalized text — the 100 TB-safe
+    form of dropDuplicates (SURVEY.md §2 B2/C-llm-dedup).
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return exact_dedup(doubled, "text", "doc_id").select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "llm_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS s
+      FROM toks WHERE len(t) >= 2
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT bigram-shingle Jaccard pairs >= 0.2 via inverted-index
+    candidates + exact verification — never an all-pairs product
+    (SURVEY.md §2 C-llm-dedup; the oracle computes the same definition
+    directly).
+    """
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, shingle_n=2)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@query("llm_minhash_near_dup", oracle=None)
+def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (shingle → minhash → band → bucket-join
+    → estimate >= 0.35). Deterministic (seeded xxhash64 family) but not
+    SQL-portable → rows-only here; recall/precision vs the exact Jaccard
+    baseline is asserted in tests/test_llm.py.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dups(
+        d, "text", "doc_id", threshold=0.35, num_hashes=64, num_bands=16
+    ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")).orderBy("id_a", "id_b")
+
+
+@query("llm_simhash_near_dup", oracle=None)
+def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 4 of the 64-bit
+    signature, candidates by block pigeonhole (8 blocks → complete up to
+    7 flips). Rows-only (hash family); pinned by tests against planted
+    near-duplicates.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, "text", "doc_id", max_hamming=4, num_blocks=8)
+
+
+@query(
+    "llm_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT q_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT q_id, neighbor_id, ROUND(sim, 6) AS cos_sim, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY q_id, rk
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast query
+    set over one corpus scan, JVM-side vector math (zip_with/aggregate),
+    per-query top-k via ranking window (SURVEY.md §2 C-llm-sim).
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return cosine_topk(e, q, k=5).orderBy("q_id", "rk")
+
+
+@query(
+    "llm_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (>= 0.42) — the verifiable
+    baseline behind LSH candidate generation. Quadratic on purpose: this
+    is the verify stage / oracle twin; the scale path is llm_ann_lsh.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, 0.42).orderBy("id_a", "id_b")
+
+
+@query("llm_ann_lsh", oracle=None)
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via random-hyperplane LSH (8 tables ×
+    6 planes, seed 42) + exact rerank of candidates. Rows-only; recall
+    vs llm_cosine_topk asserted in tests/test_llm.py. On real clustered
+    embeddings recall is far higher than on this uniform-random testdata
+    (neighbors at cos≈0.4 are near the LSH noise floor).
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return lsh_ann_topk(e, q, k=5, dim=64).orderBy("q_id", "rk")
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INT) AS n_chars,
+           CAST(LEN(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+           ROUND(CASE WHEN LENGTH(text) > 0
+                 THEN LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / LENGTH(text)
+                 ELSE 0 END, 6) AS punct_ratio,
+           ROUND(COALESCE(list_sum(list_transform(
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                     x -> LENGTH(x))), 0) * 1.0
+                 / NULLIF(LEN(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')), 0),
+                 6) AS mean_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: char/token/BPE-ish counts, punct
+    ratio, mean token length — the cheap columns every corpus filter
+    starts from (SURVEY.md §2 C-llm-text). All JVM-side expressions.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        token_count("text").cast("int").alias("n_tokens"),
+        bpe_ish_token_count("text").cast("int").alias("n_bpe_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(mean_token_len("text"), 6).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_quality_language",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             LEN(list_intersect(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')),
+                 ['der','die','das','und','ist','nicht','ein','zu'])) AS s_de,
+             LEN(list_intersect(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')),
+                 ['the','a','of','and','is','to','in','that'])) AS s_en,
+             LEN(list_intersect(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')),
+                 ['el','la','de','que','y','los','es','una'])) AS s_es,
+             LEN(list_intersect(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')),
+                 ['le','la','les','des','est','une','que','et'])) AS s_fr,
+             LEN(list_intersect(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')),
+                 ['的','是','不','了','在','人','有','我'])) AS s_zh
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s_de >= GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en >= GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es >= GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr >= GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def llm_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-profile argmax, deterministic
+    tie-break) confusion counts vs the labeled lang column. The profile
+    scorer is the plumbing; swap in fastText scores at the same shape.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", language_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                              x -> CAST(LENGTH(x) * 7 + ascii(x) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: order-insensitive md5 content digest +
+    order-sensitive polynomial rolling hash (both ANSI-reproducible —
+    the oracle computes identical values).
+    """
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_md5("text").alias("content_fp"),
+        rolling_fingerprint("text").alias("rolling_fp"),
+    ).orderBy("doc_id")

@@ -1,0 +1,121 @@
+"""Tests for the LLM-pipeline operators: hash families verified against
+exact baselines, planted duplicates recovered (SURVEY.md §7 P5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_spark.llm.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from data_engineering_capstone_spark.llm.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+from data_engineering_capstone_spark.llm.text import language_id, quality_score
+from data_engineering_capstone_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+    near = base.replace("warm mat", "cold mat")          # 1-word change
+    far = "completely different text about spark query engines and distributed joins at massive scale"
+    exact = "  The QUICK brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door "
+    rows = [(1, base), (2, near), (3, far), (4, exact), (5, base)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_planted(spark, planted_docs):
+    kept = exact_dedup(planted_docs, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 4 normalizes to 1 (case/whitespace), 5 is byte-identical to 1
+    assert ids == [1, 2, 3]
+
+
+def test_minhash_finds_planted_near_dup(spark, planted_docs):
+    pairs = minhash_near_dups(planted_docs, "text", "doc_id", threshold=0.35)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got or (1, 5) in got  # near-dup cluster detected
+    assert not any(3 in p for p in got)    # unrelated doc untouched
+
+
+def test_simhash_finds_planted_near_dup(spark, planted_docs):
+    pairs = simhash_near_dups(planted_docs, "text", "doc_id", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """Every exact-Jaccard>=0.5 pair must be recovered by MinHash-LSH at
+    a lower estimate threshold (estimator noise margin)."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert exact, "no high-similarity pairs planted in testdata?"
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(d, "text", "doc_id", threshold=0.3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(e, q, k=5, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # uniform-random gaussian embeddings put true neighbors at cos~0.4,
+    # near the LSH noise floor; 8x6 tables measured 0.38 recall here —
+    # the bar is "far above chance" (chance = 5/500 = 1%)
+    assert recall >= 0.25, f"ANN recall {recall:.2f}"
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    rows = [
+        (1, "a well formed sentence with plenty of reasonable words inside it for scoring purposes today"),
+        (2, "!!! ??? ### $$$ %%%"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["q"] for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got[1] > got[2] > got[3] or got[1] > got[2] >= got[3]
+
+
+def test_language_id_deterministic(spark):
+    rows = [
+        (1, "the cat is on the mat and that is fine"),
+        (2, "der hund ist nicht zu haus und das ist gut"),
+        (3, "el perro es de la casa y que bien"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["p"] for r in df.select("doc_id", language_id("text").alias("p")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es"}
+
+
+def test_embedding_near_dup_symmetric_with_topk(spark, sf_dir):
+    """Pairs >= tau must appear in each other's full neighbor ranking."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, 0.42).collect()
+    assert pairs, "threshold produced no pairs"
+    for r in pairs[:3]:
+        q = e.filter(F.col("vec_id") == r["id_a"])
+        top = cosine_topk(e, q, k=10).collect()
+        assert any(t["neighbor_id"] == r["id_b"] for t in top) or r["cos_sim"] < top[-1]["cos_sim"]

@@ -34,12 +34,18 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    import datetime as _dt
+
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
         if pd.api.types.is_datetime64_any_dtype(pdf[c]):
             pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None)
         elif pdf[c].dtype == object:
-            pdf[c] = pdf[c].map(lambda v: str(v) if v is not None else None)
+            nonnull = pdf[c].dropna()
+            if len(nonnull) and nonnull.map(lambda v: isinstance(v, (_dt.date, _dt.datetime))).all():
+                pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None)
+            else:
+                pdf[c] = pdf[c].map(lambda v: str(v) if v is not None else None)
     if len(pdf):
         pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
     return pdf
