@@ -48,6 +48,8 @@ def load_all() -> dict[str, QuerySpec]:
         queries_etl,
         queries_llm,
         queries_streaming,
+        queries_udf,
+        queries_sources,
     )
 
     return QUERIES

@@ -1,0 +1,116 @@
+"""Source/sink-tier catalog queries (SURVEY.md §2 A1-A5, B8, B14, C-scan).
+
+Round-trip pattern: materialize a table through each format with an
+EXPLICIT schema (the engine's rule — the reference's ``inferSchema=True``
+double-scans and type-drifts, dags/transform/airport.py:5), read it back,
+aggregate. The oracle aggregates the original parquet directly, so any
+loss or corruption in the format hop breaks parity.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .catalog import query
+from .session import prep
+from .sources.readers import read_csv, read_json, read_orc, read_semicolon_csv
+from .sources.testdata import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prep(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _tmp(sf_dir: str, leaf: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), "dec_spark_fmt", os.path.basename(sf_dir.rstrip("/")), leaf
+    )
+
+
+_NATION_AGG = """
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+"""
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+def _roundtrip_agg(spark: SparkSession, sf_dir: str, customers: DataFrame) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return (
+        customers.join(F.broadcast(n), customers.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query("scan_csv_roundtrip", oracle=_NATION_AGG)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-shaped CSV scan with explicit schema: customer → CSV → read →
+    broadcast-join + agg. One scan, no inference pass, types pinned
+    (reference: dags/transform/airport.py:5 does the opposite).
+    """
+    c = _t(spark, sf_dir, "customer")
+    path = _tmp(sf_dir, "customer_csv")
+    shutil.rmtree(path, ignore_errors=True)
+    c.write.mode("overwrite").option("header", True).csv(path)
+    back = read_csv(spark, path, schema=CUSTOMER_SCHEMA)
+    return _roundtrip_agg(spark, sf_dir, back)
+
+
+@query("scan_semicolon_csv_roundtrip", oracle=_NATION_AGG)
+def scan_semicolon_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: semicolon-delimited CSV (the demographics file's dialect,
+    reference: us-cities-demographics.csv:1) through the same round trip.
+    """
+    c = _t(spark, sf_dir, "customer")
+    path = _tmp(sf_dir, "customer_scsv")
+    shutil.rmtree(path, ignore_errors=True)
+    c.write.mode("overwrite").option("header", True).option("sep", ";").csv(path)
+    back = read_semicolon_csv(spark, path, schema=CUSTOMER_SCHEMA)
+    return _roundtrip_agg(spark, sf_dir, back)
+
+
+@query("scan_json_roundtrip", oracle=_NATION_AGG)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-scan: JSON lines round trip with explicit schema (schema-on-read
+    JSON without inference: one scan, stable types)."""
+    c = _t(spark, sf_dir, "customer")
+    path = _tmp(sf_dir, "customer_json")
+    shutil.rmtree(path, ignore_errors=True)
+    c.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schema=CUSTOMER_SCHEMA)
+    return _roundtrip_agg(spark, sf_dir, back)
+
+
+@query("scan_orc_roundtrip", oracle=_NATION_AGG)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-scan: ORC round trip — the other columnar format (predicate
+    pushdown + pruning like parquet)."""
+    c = _t(spark, sf_dir, "customer")
+    path = _tmp(sf_dir, "customer_orc")
+    shutil.rmtree(path, ignore_errors=True)
+    c.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path)
+    return _roundtrip_agg(spark, sf_dir, back)

@@ -1,1 +1,161 @@
-"""Placeholder — filled in as operators land."""
+"""Streaming-tier catalog queries (SURVEY.md §2 C-stream, §7 P6).
+
+Each query drains the events stream with ``availableNow`` into a memory
+sink, making the streaming computation a deterministic function of the
+input — tumbling/sliding aggregates then carry real batch-SQL oracles
+(the strategy SURVEY.md §7 pins for streaming correctness). Stateful
+dedup and watermark-dependent append-mode output are engine-specific →
+rows-only, cross-checked against batch equivalents in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import query
+from .session import prep
+from .streaming.windows import (
+    dedup_within_watermark,
+    run_available_now,
+    run_foreach_batch_to_parquet,
+    session_windows,
+    sliding_avg,
+    stream_events,
+    tumbling_counts,
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return stream_events(spark, sf_dir)
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type, drained with
+    availableNow (complete mode) — hash-equal to the batch time-bucket
+    aggregation the oracle runs.
+    """
+    out = run_available_now(tumbling_counts(_events(spark, sf_dir)), "complete")
+    return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_sliding_avg",
+    oracle="""
+    WITH expanded AS (
+      SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                     time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM expanded
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h windows every 1h: each event belongs to two windows.
+    The oracle expands each event into its two window starts and
+    aggregates — identical semantics, batch form.
+    """
+    out = run_available_now(sliding_avg(_events(spark, sf_dir)), "complete")
+    return out.orderBy("window_start")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '10 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 10-minute-gap session windows. The oracle rebuilds the
+    identical sessions with the classic gaps-and-islands window SQL
+    (session_end = last event + gap, Spark's session_window definition).
+    """
+    out = run_available_now(session_windows(_events(spark, sf_dir)), "complete")
+    return out.orderBy("user_id", "session_start")
+
+
+@query("stream_dedup_watermark", oracle=None)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (dropDuplicatesWithinWatermark) on
+    (user_id, event_type): first arrival per key within the 1h watermark
+    horizon survives; late duplicates are suppressed, expired state is
+    evicted. Output depends on arrival order within microbatches →
+    rows-only here; batch-equivalence bounds asserted in
+    tests/test_streaming.py.
+    """
+    out = run_available_now(
+        dedup_within_watermark(_events(spark, sf_dir), ["user_id", "event_type"]),
+        "append",
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
+
+
+@query(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch custom sink: stream events to parquet per microbatch,
+    then aggregate the landed data — end-to-end completeness is exactly
+    the batch aggregate (no rows lost or duplicated across batches).
+    """
+    events = _events(spark, sf_dir)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "dec_spark_stream", os.path.basename(sf_dir.rstrip("/")), "events_sink"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_foreach_batch_to_parquet(events, out_dir)
+    landed = spark.read.parquet(out_dir)
+    return (
+        landed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,146 @@
+"""Structured Streaming over the events table (SURVEY.md §2 C-stream).
+
+The reference has no streaming surface; this is the extension tier
+(BASELINE.json). Everything is event-time based: watermarks bound state,
+windows aggregate, ``availableNow`` drains the backlog so results are
+deterministic and comparable to batch oracles (SURVEY.md §7 P6).
+
+Scale notes: streaming state lives in the state store keyed by
+(window/session, group) — watermarks are what keep it bounded at 100 TB/
+day ingest; every aggregation here declares one. File-source streaming
+shards by input file; on a real bus swap ``readStream.parquet`` for the
+Kafka source with identical downstream code.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MEM_COUNTER = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream with event-time ``ts``.
+
+    Schema comes from a batch read (streaming sources require an explicit
+    schema); the TIMESTAMP(NANOS) workaround matches
+    ``sources.testdata.load_table``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    # The file streaming source requires a DIRECTORY (it monitors for new
+    # files); the testdata ships a single parquet file. Stage a symlink
+    # directory — zero copy, still read-only on the source data.
+    stage = os.path.join(
+        tempfile.gettempdir(), "dec_spark_stream_src", os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(path, link)
+        except OSError:
+            shutil.copyfile(path, link)
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(stage)
+    # integer division — see sources.testdata.load_table
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain the stream through an in-memory sink and return the result.
+
+    ``availableNow`` processes the full backlog then stops — the
+    streaming query becomes a deterministic function of its input, which
+    is what lets a batch SQL oracle check it.
+    """
+    name = f"stream_result_{next(_MEM_COUNTER)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark_ = stream_df.sparkSession
+    out = spark_.table(name)
+    # detach from the memory sink (snapshot) so later runs can't mutate it
+    return spark_.createDataFrame(out.collect(), out.schema)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window aggregate with a state-bounding watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal summation: double adds are order-dependent across
+            # engines/partitionings and flip ROUND at .5 boundaries
+            F.round(F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_avg(events: DataFrame, width: str = "2 hours", slide: str = "1 hour",
+                watermark: str = "4 hours") -> DataFrame:
+    """Sliding window: each event lands in width/slide overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # no ROUND: the decimal sum is exact on both engines, so one
+            # double division is IEEE-identical — rounding would instead
+            # REINTRODUCE divergence (Spark rounds the shortest decimal
+            # repr half-up; DuckDB rounds the binary value) on .5 ties
+            (F.sum(F.col("value").cast("decimal(14,2)")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Per-user session windows: a session extends while successive events
+    arrive within ``gap``; state is evicted past the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup: first event per key within the watermark
+    horizon survives; state for expired keys is dropped."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_foreach_batch_to_parquet(stream_df: DataFrame, out_dir: str) -> None:
+    """foreachBatch sink: per-microbatch custom write (the escape hatch
+    for sinks Structured Streaming lacks natively — JDBC upserts, multi-
+    table fan-out...). Here: append parquet keyed by batch id."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = stream_df.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination()

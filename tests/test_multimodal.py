@@ -1,0 +1,60 @@
+"""Multimodal plumbing tests: header round-trip, deterministic stub
+decode, Arrow batch shape (SURVEY.md §2 C-llm-multimodal)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_spark.llm.multimodal import (
+    decode_payload,
+    extract_features,
+    extract_metadata,
+    sample_frames,
+    synthesize_payload,
+)
+
+
+def _media_df(spark):
+    rows = [
+        (1, "hello world this is an image document", "image"),
+        (2, "short audio", "audio"),
+        (3, "a video payload with enough text to span multiple sixty four byte frames " * 3, "video"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, media_type string")
+    return df.withColumn("payload", synthesize_payload("text", "media_type"))
+
+
+def test_header_roundtrip_jvm_and_python(spark):
+    """The JVM-side extract_metadata and the Python stub decoder must
+    agree on every header field — same wire format."""
+    df = _media_df(spark)
+    meta = {
+        r["doc_id"]: r["m"]
+        for r in df.select("doc_id", extract_metadata("payload").alias("m")).collect()
+    }
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in df.collect()}
+    for doc_id, payload in raw.items():
+        media, dim_a, dim_b, body = decode_payload(payload)
+        m = meta[doc_id]
+        assert m["media_type"] == media
+        assert m["dim_a"] == dim_a and m["dim_b"] == dim_b
+        assert m["n_bytes"] == len(payload) and len(body) == len(payload) - 8
+
+
+def test_feature_extract_deterministic_and_normalized(spark):
+    df = _media_df(spark)
+    a = {r["doc_id"]: r["features"] for r in extract_features(df).collect()}
+    b = {r["doc_id"]: r["features"] for r in extract_features(df).collect()}
+    assert a == b                       # deterministic across runs
+    for feats in a.values():
+        assert len(feats) == 16
+        assert abs(sum(feats) - 1.0) < 1e-4   # normalized histogram
+
+
+def test_frame_sampling(spark):
+    df = _media_df(spark)
+    out = sample_frames(df, every_k=2, frame_bytes=64).collect()
+    assert all(r["frame_idx"] % 2 == 0 for r in out)
+    assert all(r["frame_offset"] == 8 + r["frame_idx"] * 64 for r in out)
+    # only the video doc passes the magic filter
+    assert {r["doc_id"] for r in out} == {3}

@@ -1,0 +1,43 @@
+"""Streaming tier tests: availableNow determinism and batch equivalence
+(SURVEY.md §7 P6 strategy)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_spark.sources.testdata import load_table
+from data_engineering_capstone_spark.streaming.windows import (
+    dedup_within_watermark,
+    run_available_now,
+    stream_events,
+    tumbling_counts,
+)
+
+
+def test_stream_matches_batch_window_agg(spark, sf_dir):
+    streamed = run_available_now(tumbling_counts(stream_events(spark, sf_dir)), "complete")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    a = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stream_dedup_bounds(spark, sf_dir):
+    """Streaming dedup output must lie between the distinct-key count
+    (perfect dedup) and the raw count, and keep >=1 row per key."""
+    events = load_table(spark, sf_dir, "events")
+    n_keys = events.select("user_id", "event_type").distinct().count()
+    n_raw = events.count()
+    out = run_available_now(
+        dedup_within_watermark(stream_events(spark, sf_dir), ["user_id", "event_type"]),
+        "append",
+    )
+    n_out = out.count()
+    assert n_keys <= n_out <= n_raw
+    keys_out = out.select("user_id", "event_type").distinct().count()
+    assert keys_out == n_keys
