@@ -31,7 +31,17 @@ HEADLINE = [
     "asof_purchase_click",
     "scalar_math_funcs",
     "json_props_agg",
+    "skew_salted_agg",
+    "llm_minhash_near_dup",
+    "llm_cosine_topk",
+    "llm_text_stats",
+    "mm_feature_extract",
+    "stream_tumbling_counts",
 ]
+
+# One timed pass is enough for these (streaming drain dominates; a second
+# run would double bench wall time for no signal).
+SINGLE_RUN = {"stream_tumbling_counts"}
 
 
 def run_one(fn, spark, sf_dir: str) -> float:
@@ -53,7 +63,10 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in names:
-        timings[name] = round(run_one(catalog[name].fn, spark, sf_dir), 3)
+        best = run_one(catalog[name].fn, spark, sf_dir)
+        if name not in SINGLE_RUN:
+            best = min(best, run_one(catalog[name].fn, spark, sf_dir))
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

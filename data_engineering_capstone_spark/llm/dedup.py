@@ -86,7 +86,13 @@ def minhash_signatures(
     ANSI mode — kept on for oracle-faithful arithmetic — forbids
     overflowing multiplies.)
     """
-    sh = df.select(F.col(id_col), F.explode(shingle_set(text_col, shingle_n)).alias("s"))
+    # CPU-bound per-row stage: byte-based file splitting often yields a
+    # single scan partition for a small-but-expensive corpus slice, so
+    # fan out to the cluster's parallelism before hashing.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par).select(
+        F.col(id_col), F.explode(shingle_set(text_col, shingle_n)).alias("s")
+    )
     mins = sh.groupBy(id_col).agg(
         *[F.min(F.xxhash64("s", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
     )
@@ -146,10 +152,14 @@ def minhash_near_dups(
     shingle → minhash → band → bucket-join → estimate, the standard
     linear-scan near-dup pipeline for LLM corpus cleaning.
     """
-    # Materialize signatures once (num_hashes longs per doc — tiny):
-    # candidate generation and both verify sides reuse them, instead of
-    # re-evaluating the shingle→hash→min plan per reference.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
+    # Materialize signatures once (num_hashes longs per doc — tiny) and
+    # TRUNCATE the lineage: localCheckpoint, not cache. A cached plan
+    # stays registered with the CacheManager, which then canonicalizes
+    # every later query's plan against this 64-column hash-agg tree —
+    # measured as a 3-6x slowdown on unrelated queries in the same
+    # session. (On a multi-node cluster prefer reliable checkpointing or
+    # an explicit parquet materialization for fault tolerance.)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sigs, id_col, "signature", num_bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -178,7 +188,12 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|-|A∩B|) counted from the full index. Never builds an
     all-pairs product.
     """
-    sh = df.select(F.col(id_col), F.explode(shingle_set(text_col, shingle_n)).alias("s")).cache()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par)
+        .select(F.col(id_col), F.explode(shingle_set(text_col, shingle_n)).alias("s"))
+        .localCheckpoint(eager=True)  # reused 3x below; lineage-truncated (see minhash note)
+    )
     if max_doc_freq is not None:
         hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_doc_freq)
         sh = sh.join(hot, "s", "left_anti")
@@ -257,7 +272,8 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     shuffle carries 64 longs per doc). The Column-expression
     :func:`simhash64` is the ad-hoc form; this is the corpus-scale one.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(par).select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
     h = F.xxhash64("t")
     one = F.lit(1).cast("long")
     sums = tok.groupBy(id_col).agg(
@@ -299,7 +315,7 @@ def simhash_near_dups(
     # Materialize the (tiny: one long per doc) signature table once —
     # the banded self-join would otherwise recompute the full simhash
     # plan on both sides of the join.
-    hashed = simhash_signatures(df, text_col, id_col).cache()
+    hashed = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=True)
     mask = F.lit((1 << bits_per) - 1).cast("long")
     blocked = hashed.select(
         id_col,

@@ -125,7 +125,11 @@ def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = 
                 out.append((int(doc_id), media, len(body), feats))
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
-    return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+    # Python decode is CPU-bound: spread rows over all cores (a small
+    # binary corpus otherwise arrives as one scan partition -> one
+    # Python worker).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(id_col, payload_col).repartition(par).mapInPandas(run, FEATURE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id",

@@ -549,3 +549,86 @@ def pivot_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_year",
         *[F.coalesce(F.col(f"`{s}`"), F.lit(0)).alias(s) for s in ("O", "F", "P")],
     ).orderBy("order_year")
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py): partial agg on
+    (key, salt) spreads a hot key over 16 reducers, final agg merges —
+    exactly the plain GROUP BY\'s result, which is what the oracle
+    computes. The static fix for agg skew AQE does not cover
+    (reference-motivated: hot NYC/LOS port keys,
+    I94_SAS_Labels_Descriptions.SAS:302-963).
+    """
+    from .operators.skew import salted_aggregate
+
+    l = _t(spark, sf_dir, "lineitem").withColumn(
+        "price_dec", F.col("l_extendedprice").cast("decimal(12,2)")
+    )
+    out = salted_aggregate(
+        l,
+        ["l_suppkey"],
+        {
+            "n": ("count", "l_orderkey"),
+            "total": ("sum", "price_dec"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "l_suppkey", "n", F.col("total").cast("double").alias("total"), "min_qty", "max_qty"
+    ).orderBy("l_suppkey")
+
+
+@query(
+    "range_join_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('900s', 900.0, 925.0), ('925s', 925.0, 950.0),
+             ('950s', 950.0, 975.0), ('975s', 975.0, 1000.0)
+    )
+    SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(MIN(p.p_retailprice), 2) AS min_price,
+           ROUND(MAX(p.p_retailprice), 2) AS max_price
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join as an EQUI-join via bucketization (operators/
+    rangejoin.py): points and intervals meet on a quantized bucket id,
+    then the exact BETWEEN predicate filters — no nested-loop join, so
+    the plan survives when neither side broadcasts. Oracle does the
+    naive theta join (same result).
+    """
+    from .operators.rangejoin import point_interval_join
+
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("900s", 900.0, 925.0), ("925s", 925.0, 950.0),
+         ("950s", 950.0, 975.0), ("975s", 975.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = point_interval_join(p, bands, "p_retailprice", "lo", "hi", bucket_width=25.0)
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        )
+        .orderBy("band")
+    )

@@ -1,0 +1,58 @@
+"""Tests for skew-mitigation and range-join operators: exactness vs the
+naive plans they replace (SURVEY.md §7 P7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_spark.operators.rangejoin import point_interval_join
+from data_engineering_capstone_spark.operators.skew import salted_aggregate, salted_join
+from data_engineering_capstone_spark.sources.testdata import load_table
+
+
+def test_salted_aggregate_exact(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r["l_suppkey"]: (r["n"], r["mn"], r["mx"])
+        for r in l.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("l_quantity").alias("mn"), F.max("l_quantity").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["l_suppkey"]: (r["n"], r["mn"], r["mx"])
+        for r in salted_aggregate(
+            l, ["l_suppkey"],
+            {"n": ("count", "l_orderkey"), "mn": ("min", "l_quantity"), "mx": ("max", "l_quantity")},
+            buckets=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_exact_with_skew(spark):
+    # 1000 rows all sharing one hot key + a cold key
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 990, F.lit("HOT")).otherwise(F.lit("COLD")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame([("HOT", 1), ("COLD", 2), ("ABSENT", 3)], "k string, tag int")
+    plain = left.join(right, "k").groupBy("k", "tag").count().collect()
+    salted = salted_join(left, right, "k", buckets=8).groupBy("k", "tag").count().collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_point_interval_join_matches_theta(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("a", 900.0, 933.0), ("b", 933.0, 966.0), ("c", 966.0, 1000.0), ("overlap", 950.0, 990.0)],
+        "band string, lo double, hi double",
+    )
+    theta = (
+        p.join(bands, (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi))
+        .groupBy("band").count().collect()
+    )
+    bucketed = (
+        point_interval_join(p, bands, "p_retailprice", "lo", "hi", bucket_width=10.0)
+        .groupBy("band").count().collect()
+    )
+    assert sorted(map(tuple, theta)) == sorted(map(tuple, bucketed))

