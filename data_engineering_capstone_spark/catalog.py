@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         queries_streaming,
         queries_udf,
         queries_sources,
+        queries_sql,
     )
 
     return QUERIES

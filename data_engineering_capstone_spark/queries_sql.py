@@ -1,0 +1,118 @@
+"""SQL-entry-point catalog queries (SURVEY.md §3: the engine's lifecycle
+is ``DataFrame API / spark.sql() → Catalyst``; these exercise the
+``spark.sql`` half).
+
+Tables register as temp views (``sources.testdata.register_views``) and
+the query text goes through Spark's SQL parser — CTEs, correlated
+subqueries (EXISTS / IN / scalar), GROUPING SETS. Catalyst plans them
+identically to the DataFrame forms: subqueries decorrelate to joins,
+grouping sets to Expand — same physical operators, same scale behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import query
+from .session import prep
+from .sources.testdata import register_views
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(text)
+
+
+_EXISTS_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape through spark.sql(): correlated EXISTS — Catalyst
+    decorrelates it into a left-semi join (check with explain_audit), so
+    it scales exactly like the hand-written semi-join queries.
+    """
+    return _sql(spark, sf_dir, _EXISTS_SQL)
+
+
+_SCALAR_SUBQ_SQL = """
+WITH seg_avg AS (
+  SELECT c_mktsegment, AVG(c_acctbal) AS seg_bal FROM customer GROUP BY c_mktsegment
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       ROUND(c.c_acctbal - s.seg_bal, 4) AS bal_vs_segment
+FROM customer c JOIN seg_avg s ON c.c_mktsegment = s.c_mktsegment
+WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+ORDER BY c.c_custkey
+"""
+
+
+@query(
+    "sql_cte_scalar_subquery",
+    oracle="""
+    WITH seg_avg AS (
+      SELECT c_mktsegment, AVG(c_acctbal) AS seg_bal FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           ROUND(c.c_acctbal - s.seg_bal, 4) AS bal_vs_segment
+    FROM customer c JOIN seg_avg s ON c.c_mktsegment = s.c_mktsegment
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    ORDER BY c.c_custkey
+    """,
+)
+def sql_cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + uncorrelated scalar subquery through spark.sql(): the scalar
+    subquery runs once and broadcasts as a literal; the CTE plans as a
+    reused subtree.
+    """
+    return _sql(spark, sf_dir, _SCALAR_SUBQ_SQL)
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@query(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube):
+    one Expand node, one aggregate pass over all three groupings.
+    """
+    return _sql(spark, sf_dir, _GROUPING_SETS_SQL)

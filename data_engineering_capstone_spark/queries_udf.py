@@ -220,3 +220,52 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.col("frame_offset").cast("long").alias("frame_offset"),
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "udtf_sentence_split",
+    oracle="""
+    WITH sentences AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(string_split(text, '.'), s -> trim(s)),
+               s -> s <> '')) AS sentence
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, sentence,
+           CAST(LEN(list_filter(string_split_regex(sentence, '\\s+'), x -> x <> '')) AS INT) AS n_tokens
+    FROM sentences
+    ORDER BY doc_id, sentence
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row -> N output
+    rows, here sentence-splitting with a per-sentence token count — the
+    generic row-expanding shape (parsers, chunkers) beyond what explode
+    of a column expression covers. Registered and invoked through
+    spark.sql LATERAL.
+    """
+    from pyspark.sql.functions import udtf
+
+    prep(spark)
+
+    @udtf(returnType="sentence: string, n_tokens: int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for raw in text.split("."):
+                s = raw.strip()
+                if s:
+                    yield s, len(s.split())
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, s.sentence, s.n_tokens
+        FROM udtf_docs, LATERAL sentence_split(text) s
+        ORDER BY doc_id, sentence
+        """
+    )

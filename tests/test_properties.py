@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5's strategy upgrade
+over the reference's absent tests.
+
+Spark-backed properties run few examples (each is a distributed job);
+pure-Python properties (the SAS parser) run the full default budget.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_engineering_capstone_spark.etl.sas_labels import parse_sas_value_maps
+from data_engineering_capstone_spark.operators.asof import asof_join
+from data_engineering_capstone_spark.operators.skew import salted_aggregate
+
+# ---------------------------------------------------------------------------
+# SAS proc-format parser: render → parse round trip (pure Python)
+# ---------------------------------------------------------------------------
+
+code_st = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Nd")), min_size=1, max_size=8
+)
+label_st = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" ,-"),
+    min_size=1,
+    max_size=30,
+).map(str.strip).filter(bool)
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefghij", min_size=3, max_size=8),
+        st.dictionaries(code_st, label_st, min_size=1, max_size=20),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=50)
+def test_sas_parser_roundtrip(maps):
+    text = ""
+    for name, entries in maps.items():
+        text += f"value ${name}\n"
+        for code, label in entries.items():
+            text += f"   '{code}' = '{label}'\n"
+        text += ";\n"
+    parsed = parse_sas_value_maps(text)
+    assert parsed == {k: v for k, v in maps.items()}
+
+
+# ---------------------------------------------------------------------------
+# As-of join ≡ pandas merge_asof on arbitrary event sets (Spark-backed)
+# ---------------------------------------------------------------------------
+
+events_st = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),          # key
+        st.integers(min_value=0, max_value=100),   # ts
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(left_rows=events_st, right_rows=events_st)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_matches_merge_asof_property(spark, left_rows, right_rows):
+    # duplicate (key, rts) pairs have an ENGINE-ARBITRARY winner in every
+    # as-of implementation (ours, merge_asof, DuckDB) — the property holds
+    # on the well-defined domain of unique right timestamps per key
+    right_rows = list({(k, t): None for (k, t) in right_rows}.keys())
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k string, ts long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(i)) for i, (k, t) in enumerate(right_rows)], "k string, rts long, val double"
+    )
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="rts", right_cols=["val"]).collect()
+    }
+    lpdf = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(left_rows)], columns=["k", "ts", "lid"]).sort_values(["ts", "lid"])
+    rpdf = pd.DataFrame([(k, t, float(i)) for i, (k, t) in enumerate(right_rows)], columns=["k", "rts", "val"]).sort_values(["rts", "val"])
+    want = pd.merge_asof(lpdf, rpdf, left_on="ts", right_on="rts", by="k", direction="backward")
+    want_map = {int(r.lid): (None if pd.isna(r.val) else float(r.val)) for r in want.itertuples()}
+    assert got == want_map
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation ≡ plain aggregation for any bucket count
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("spark")
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=30,
+    ),
+    buckets=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_salted_agg_property(spark, rows, buckets):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    plain = {
+        r["k"]: (r["n"], r["mn"], r["mx"])
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.min("v").alias("mn"), F.max("v").alias("mx")
+        ).collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["mn"], r["mx"])
+        for r in salted_aggregate(
+            df, ["k"], {"n": ("count", "v"), "mn": ("min", "v"), "mx": ("max", "v")}, buckets=buckets
+        ).collect()
+    }
+    assert plain == salted
