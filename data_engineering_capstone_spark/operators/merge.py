@@ -1,0 +1,70 @@
+"""Batch merge patterns: upsert and SCD2 (slowly-changing dimension).
+
+The reference's pipeline is overwrite-only (reference:
+dags/transform/airport.py:6-7); production star schemas need key-based
+merges. Without a transactional table format (Delta/Iceberg) a merge is
+a full-outer-join rewrite — still fully distributed, one shuffle on the
+key (or zero if both sides are bucketed on it, sources/writers.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(target: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Key-based upsert: update rows present in ``updates``, keep the
+    rest, insert new keys. Both sides must share a schema.
+
+    Anti-join + union instead of full-outer + per-column coalesce: moves
+    only keys for the probe, never widens the row, and keeps column
+    count independent of schema width.
+    """
+    keep = target.join(updates.select(*keys), list(keys), "left_anti")
+    return keep.unionByName(updates)
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    change_ts_col: str,
+    effective_from: str = "valid_from",
+    effective_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Type-2 SCD merge: close out the current version of each changed
+    key (set ``valid_to`` / drop the current flag) and append the new
+    version as current.
+
+    ``current`` must carry the three bookkeeping columns; ``changes``
+    carries the business columns + ``change_ts_col``. One shuffle on the
+    key; history rows stream through untouched.
+    """
+    klist = list(keys)
+    changed_keys = changes.select(*klist).distinct()
+    new_versions = (
+        changes.withColumn(effective_from, F.col(change_ts_col))
+        .withColumn(effective_to, F.lit(None).cast(current.schema[effective_to].dataType))
+        .withColumn(current_flag, F.lit(True))
+        .drop(change_ts_col)
+    )
+    first_change = changes.groupBy(*klist).agg(F.min(change_ts_col).alias("__chg_ts"))
+    closed = (
+        current.join(first_change, klist, "left")
+        .withColumn(
+            effective_to,
+            F.when(
+                F.col(current_flag) & F.col("__chg_ts").isNotNull(), F.col("__chg_ts")
+            ).otherwise(F.col(effective_to)),
+        )
+        .withColumn(
+            current_flag,
+            F.when(F.col("__chg_ts").isNotNull(), F.lit(False)).otherwise(F.col(current_flag)),
+        )
+        .drop("__chg_ts")
+    )
+    return closed.unionByName(new_versions.select(*closed.columns))

@@ -292,3 +292,133 @@ def etl_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("order_year", F.col("order_year").cast("int"))
         .orderBy("order_year")
     )
+
+
+@query(
+    "etl_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), inserts AS (
+      SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), merged AS (
+      SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      UNION ALL SELECT * FROM updates
+      UNION ALL SELECT * FROM inserts
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+)
+def etl_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based upsert (operators/merge.py): 10% of orders updated (new
+    status, repriced) + 1% inserted under new keys, merged via anti-join
+    + union — one shuffle on the key, row width independent. The oracle
+    rebuilds the merged table set-theoretically.
+    """
+    from .operators.merge import upsert
+
+    o = _t(spark, sf_dir, "orders")
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    merged = upsert(o, updates.unionByName(inserts), ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "etl_scd2_customer_segment",
+    oracle="""
+    WITH current AS (
+      SELECT c_custkey, c_mktsegment, DATE '2020-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+      FROM customer
+    ), changes AS (
+      SELECT c_custkey, 'PIVOTED' AS c_mktsegment, DATE '2024-06-01' AS chg
+      FROM customer WHERE c_custkey % 7 = 0
+    ), closed AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+             CASE WHEN ch.c_custkey IS NOT NULL THEN DATE '2024-06-01' ELSE c.valid_to END AS valid_to,
+             CASE WHEN ch.c_custkey IS NOT NULL THEN FALSE ELSE c.is_current END AS is_current
+      FROM current c LEFT JOIN (SELECT DISTINCT c_custkey FROM changes) ch USING (c_custkey)
+    ), appended AS (
+      SELECT * FROM closed
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, chg, CAST(NULL AS DATE), TRUE FROM changes
+    )
+    SELECT is_current, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM appended GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def etl_scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge (operators/merge.py): every 7th customer changes
+    segment; their open version closes at the change date and a new
+    current version appends — full history preserved, one shuffle on the
+    key. Oracle rebuilds the same close-and-append set.
+    """
+    from .operators.merge import scd2_apply
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    current = (
+        c.withColumn("valid_from", F.lit("2020-01-01").cast("date"))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    changes = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_mktsegment", F.lit("PIVOTED"))
+        .withColumn("chg", F.lit("2024-06-01").cast("date"))
+    )
+    out = scd2_apply(current, changes, ["c_custkey"], "chg")
+    return (
+        out.groupBy("is_current", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("is_current", "c_mktsegment")
+    )
+
+
+@query(
+    "etl_systematic_sample",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM lineitem
+    WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) LIKE '%0'
+    """,
+)
+def etl_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 systematic sample by content hash — unlike
+    ``df.sample`` (partition-layout-dependent RNG), a hash-mod filter is
+    reproducible across engines, partitionings, and re-plans: the sample
+    IS a pure function of the data. The cross-engine-portable digest is
+    md5 (xxhash64 seeds differ per engine).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit("-"), F.col("l_linenumber").cast("string")
+    )
+    sampled = l.filter(F.md5(key).endswith("0"))
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("double").alias("total"),
+    )

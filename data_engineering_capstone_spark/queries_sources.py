@@ -114,3 +114,54 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.write.mode("overwrite").orc(path)
     back = read_orc(spark, path)
     return _roundtrip_agg(spark, sf_dir, back)
+
+
+@query(
+    "bucketed_join_zero_shuffle",
+    oracle="""
+    SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (B14/§3 of SCALE.md): lineitem and orders
+    both bucketed+sorted on orderkey into a /tmp-backed database; the
+    join then needs NO shuffle of either side (tests/test_sources.py
+    asserts the plan has no Exchange above the scans). At 100 TB this is
+    the lever that turns the repeated fact⋈fact join from an hours-long
+    shuffle into a map-side merge.
+    """
+    prep(spark)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    db = f"bucketdb_{sf_tag}"
+    loc = os.path.join(tempfile.gettempdir(), "dec_spark_bucketdb", sf_tag)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    l_tbl, o_tbl = f"{db}.lineitem_b", f"{db}.orders_b"
+    if not spark.catalog.tableExists(l_tbl):
+        from .sources.writers import write_bucketed_table
+
+        # the metastore is per-session but table files persist: clear any
+        # stale location from a previous session before re-registering
+        for leaf in ("lineitem_b", "orders_b"):
+            shutil.rmtree(os.path.join(loc, leaf), ignore_errors=True)
+        write_bucketed_table(load_table(spark, sf_dir, "lineitem"), l_tbl,
+                             ["l_orderkey"], 16, sort_cols=["l_orderkey"])
+        write_bucketed_table(load_table(spark, sf_dir, "orders"), o_tbl,
+                             ["o_orderkey"], 16, sort_cols=["o_orderkey"])
+    l = spark.table(l_tbl)
+    o = spark.table(o_tbl).filter(F.col("o_orderstatus") == "F")
+    # pin sort-merge: at test SFs the orders side would auto-broadcast,
+    # which hides the zero-shuffle property under test; a real fact⋈fact
+    # join is SMJ regardless
+    joined = l.hint("merge").join(o, l.l_orderkey == o.o_orderkey)
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("double").alias("total"),
+        )
+        .orderBy("l_returnflag")
+    )
