@@ -632,3 +632,102 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "cross_join_nation_region",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           (n.n_regionkey = r.r_regionkey) AS is_home
+    FROM nation n CROSS JOIN region r
+    ORDER BY nation, region
+    """,
+)
+def cross_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit theta/cross join (C-join): small×small Cartesian with a
+    derived predicate column. Intentional nested-loop — the only join
+    shape where one is acceptable, and only because both sides are
+    dimension-sized (the cost model in SCALE.md §2 forbids it on facts).
+    """
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.crossJoin(r)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+        )
+        .orderBy("nation", "region")
+    )
+
+
+@query(
+    "set_ops_multiset",
+    oracle="""
+    SELECT flag, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT 'intersect_all' AS flag FROM (
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        INTERSECT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      )
+      UNION ALL
+      SELECT 'except_all' FROM (
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        EXCEPT ALL
+        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      )
+    ) GROUP BY flag ORDER BY flag
+    """,
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (intersectAll / exceptAll): duplicate-preserving
+    semantics — each row participates min(m,n) / max(m-n,0) times, vs the
+    distinct forms in set_ops_nations.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    r = l.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    both = a.intersectAll(r).select(F.lit("intersect_all").alias("flag"))
+    only_a = a.exceptAll(r).select(F.lit("except_all").alias("flag"))
+    return (
+        both.unionByName(only_a)
+        .groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("flag")
+    )
+
+
+@query(
+    "null_handling_family",
+    oracle="""
+    WITH joined AS (
+      SELECT c.c_custkey, o.o_totalprice
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+    )
+    SELECT c_custkey,
+           COALESCE(o_totalprice, 0.0) AS price_filled,
+           (o_totalprice IS NULL) AS was_null,
+           CASE WHEN o_totalprice IS NULL THEN 'missing' ELSE 'present' END AS status,
+           IFNULL(o_totalprice, -1.0) AS price_or_neg1
+    FROM joined
+    ORDER BY c_custkey, price_filled
+    """,
+)
+def null_handling_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family (B1-adjacent): na.fill / coalesce / isNull /
+    when-otherwise over outer-join-produced nulls."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left").select("c_custkey", "o_totalprice")
+    return (
+        joined.select(
+            "c_custkey",
+            F.coalesce("o_totalprice", F.lit(0.0)).alias("price_filled"),
+            F.col("o_totalprice").isNull().alias("was_null"),
+            F.when(F.col("o_totalprice").isNull(), "missing").otherwise("present").alias("status"),
+            F.ifnull(F.col("o_totalprice"), F.lit(-1.0)).alias("price_or_neg1"),
+        )
+        .orderBy("c_custkey", "price_filled")
+    )

@@ -249,7 +249,7 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep(spark)
 
-    @udtf(returnType="sentence: string, n_tokens: int")
+    @udtf(returnType="sentence: string, n_tokens: int", useArrow=True)
     class SentenceSplit:
         def eval(self, text: str):
             if text is None:

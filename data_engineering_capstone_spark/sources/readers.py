@@ -93,3 +93,32 @@ def read_sas(spark: SparkSession, path: str) -> DataFrame:
         if pdf[col].dtype == object:
             pdf[col] = pdf[col].apply(lambda v: v.decode("latin-1") if isinstance(v, bytes) else v)
     return spark.createDataFrame(pdf)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan (SURVEY.md §2 C-scan). Untested here — no database or
+    driver jar ships in this container — but the contract matters: WITHOUT
+    the partition-column bounds Spark reads the whole table through ONE
+    connection; with them it issues ``num_partitions`` bounded range
+    queries in parallel, which is the only scalable form.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -30,6 +30,7 @@ INTENTIONAL_CROSS = {
     "llm_cosine_topk",      # broadcast query set x corpus scan
     "llm_embedding_near_dup",  # exact all-pairs verify stage (documented)
     "llm_ann_lsh",          # bucket-join candidates, rerank
+    "cross_join_nation_region",  # explicit dim x dim Cartesian (documented)
 }
 
 # Streaming queries execute through the streaming runner; the batch
