@@ -731,3 +731,169 @@ def null_handling_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "price_filled")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT p.p_partkey, s.s_name, CAST(ps.cost AS DOUBLE) AS cost
+    FROM part p
+    JOIN (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ) ps ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.cost = (
+      SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(12,2)))
+      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+    )
+    ORDER BY p.p_partkey, s.s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery — for each part, the
+    supplier(s) offering its minimum price. Catalyst rewrites the
+    correlation into an aggregate + join; expressed here directly as the
+    decorrelated form (min-per-part joined back), the plan you want at
+    scale either way.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    cost_dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    per_supp = l.groupBy("l_partkey", "l_suppkey").agg(F.min(cost_dec).alias("cost"))
+    min_per_part = per_supp.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    winners = per_supp.join(min_per_part, "l_partkey").filter(F.col("cost") == F.col("min_cost"))
+    return (
+        winners.join(p, winners.l_partkey == p.p_partkey)
+        .join(s, winners.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "s_name", F.col("cost").cast("double").alias("cost"))
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@query(
+    "q14_conditional_ratio",
+    oracle="""
+    SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+           CAST(100.0 * SUM(CASE WHEN p.p_type IN ('PROMO', 'ECONOMY')
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q14_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio (promo revenue
+    share per ship year). One join + one pass; the CASE keeps it a
+    single aggregate instead of two scans. Exact-decimal sums; the final
+    double division is unrounded (see SCALE.md §7).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = _revenue_dec()
+    promo = F.when(F.col("p_type").isin("PROMO", "ECONOMY"), rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
+                "promo_revenue_pct"
+            )
+        )
+        .orderBy("ship_year")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, agg.total_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) agg ON agg.l_orderkey = o.o_orderkey
+    ORDER BY agg.total_qty DESC, o.o_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join driver —
+    aggregate lineitem FIRST (the big side shrinks to qualifying order
+    keys), then join the small survivors to orders/customer. Order of
+    operations is the scale lever: agg-then-join shuffles qualifying
+    keys only.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )
+
+
+@query(
+    "q7_bilateral_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(YEAR(l.l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('NATION_0', 'NATION_1') AND sn.n_name IN ('NATION_0', 'NATION_1')
+      AND cn.n_name <> sn.n_name
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — the same dimension table
+    joined TWICE under different roles (customer nation vs supplier
+    nation), with a cross-filter. Self-join aliasing + two broadcasts of
+    the same tiny dim.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    nations = ["NATION_0", "NATION_1"]
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.cn_key)
+        .join(F.broadcast(sn), s.s_nationkey == sn.sn_key)
+        .filter(
+            F.col("cust_nation").isin(nations)
+            & F.col("supp_nation").isin(nations)
+            & (F.col("cust_nation") != F.col("supp_nation"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(F.sum(_revenue_dec()).cast("double").alias("volume"))
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
