@@ -294,3 +294,55 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_md5("text").alias("content_fp"),
         rolling_fingerprint("text").alias("rolling_fp"),
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS s
+      FROM toks WHERE len(t) >= 2
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+    ), raw_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM raw_pairs
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.2
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    )
+    SELECT a AS doc_id,
+           LEAST(a, MIN(b)) AS component,
+           (LEAST(a, MIN(b)) = a) AS is_survivor
+    FROM reach GROUP BY a ORDER BY doc_id
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact bigram-Jaccard pairs (>= 0.2) closed
+    under transitivity via iterative min-label propagation (llm/
+    clustering.py), survivor = min doc_id per component. The class of
+    iterative DataFrame algorithms beyond one-shot SQL — yet still
+    oracle-checked: DuckDB rebuilds the same components with a recursive
+    CTE over the same pair set.
+    """
+    from .llm.clustering import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, shingle_n=2)
+    return dedup_clusters(pairs).orderBy("doc_id")

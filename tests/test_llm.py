@@ -119,3 +119,26 @@ def test_embedding_near_dup_symmetric_with_topk(spark, sf_dir):
         q = e.filter(F.col("vec_id") == r["id_a"])
         top = cosine_topk(e, q, k=10).collect()
         assert any(t["neighbor_id"] == r["id_b"] for t in top) or r["cos_sim"] < top[-1]["cos_sim"]
+
+
+def test_connected_components_planted_graph(spark):
+    from data_engineering_capstone_spark.llm.clustering import connected_components, dedup_clusters
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    clusters = dedup_clusters(edges).collect()
+    survivors = {r["doc_id"] for r in clusters if r["is_survivor"]}
+    assert survivors == {1, 10, 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from data_engineering_capstone_spark.llm.clustering import connected_components
+
+    # a 30-node path: worst-case diameter for label propagation
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"] for r in connected_components(edges, max_iter=40).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 31
