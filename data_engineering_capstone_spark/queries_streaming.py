@@ -22,6 +22,7 @@ from .catalog import query
 from .session import prep
 from .streaming.windows import (
     dedup_within_watermark,
+    stateful_user_stats,
     run_available_now,
     run_foreach_batch_to_parquet,
     session_windows,
@@ -158,4 +159,25 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 4).alias("sum_value"),
         )
         .orderBy("event_type")
+    )
+
+
+@query("stream_stateful_user_stats", oracle=None)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals held in explicit typed state across microbatches.
+    Output depends on microbatch boundaries (update mode emits one row
+    per key per batch) → rows-only; equality of the FINAL per-user state
+    with the batch aggregate is asserted in tests/test_streaming.py.
+    """
+    out = run_available_now(stateful_user_stats(_events(spark, sf_dir)), "update")
+    # final state per user = last emitted row (update mode)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
     )

@@ -144,3 +144,38 @@ def run_foreach_batch_to_parquet(stream_df: DataFrame, out_dir: str) -> None:
 
     q = stream_df.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count / value sum carried in explicit state
+    across microbatches (the escape hatch when built-in windows/dedup
+    can't express the state machine — per-entity models, conversion
+    funnels, fraud counters).
+
+    Arrow-batched per key-partition; state is a typed tuple persisted in
+    the state store (swap NoTimeout for a processing/event-time timeout
+    to bound state at production ingest rates). Emits the updated
+    per-user row each batch ("update" mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]})
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -41,3 +41,25 @@ def test_stream_dedup_bounds(spark, sf_dir):
     assert n_keys <= n_out <= n_raw
     keys_out = out.select("user_id", "event_type").distinct().count()
     assert keys_out == n_keys
+
+
+def test_stateful_user_stats_matches_batch(spark, sf_dir):
+    """The custom stateful operator's final state must equal the batch
+    per-user aggregate regardless of how many microbatches ran."""
+    from data_engineering_capstone_spark.streaming.windows import stateful_user_stats
+    from pyspark.sql import Window
+
+    out = run_available_now(stateful_user_stats(stream_events(spark, sf_dir)), "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("t"))
+        .collect()
+    }
+    assert final == batch
