@@ -158,3 +158,68 @@ def lsh_ann_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), F.col("rk").cast("int").alias("rk"))
     )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer → probe the
+    ``nprobe`` nearest cells per query → exact cosine rerank inside the
+    probed cells.
+
+    The other classic ANN family next to LSH (:func:`lsh_ann_topk`):
+    where LSH buckets by random projection, IVF clusters by the data's
+    own geometry — on clustered real embeddings it probes ~nprobe/
+    num_centroids of the corpus for near-exhaustive recall. Training
+    uses Spark ML KMeans (seeded, deterministic); assignment + rerank
+    are one broadcast of the centroid table and one equi-join on cell id
+    — no all-pairs product.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    train = corpus.select(F.col(id_col), array_to_vector(dbl).alias("features"))
+    model = KMeans(k=num_centroids, seed=seed, maxIter=20).fit(train)
+
+    # centroid table: (cell, centroid array) — tiny, broadcast everywhere
+    centroids = [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+
+    # corpus side: each vector lands in its ONE nearest cell
+    assigned = model.transform(train).select(
+        F.col(id_col).alias("neighbor_id"),
+        vector_to_array("features").alias("__c_vec"),
+        F.col("prediction").alias("cell"),
+    )
+
+    # query side: rank all cells by centroid distance, keep nprobe
+    q = queries.select(F.col(id_col).alias("q_id"), dbl.alias("__q_vec"))
+    q_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("dist", -cosine(F.col("__q_vec"), F.col("centroid")))
+        .withColumn("cell_rank", F.row_number().over(
+            Window.partitionBy("q_id").orderBy("dist", "cell")))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("q_id", "__q_vec", "cell")
+    )
+
+    scored = (
+        q_cells.join(assigned, "cell")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select("q_id", "neighbor_id", cosine(F.col("__q_vec"), F.col("__c_vec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), F.col("rk").cast("int").alias("rk"))
+    )

@@ -142,3 +142,19 @@ def test_connected_components_long_chain_converges(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(30)], "id_a long, id_b long")
     comp = {r["id"]: r["component"] for r in connected_components(edges, max_iter=40).collect()}
     assert set(comp.values()) == {0} and len(comp) == 31
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    from data_engineering_capstone_spark.llm.similarity import ivf_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r["q_id"], r["neighbor_id"]) for r in cosine_topk(e, q, k=5).collect()}
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(e, q, k=5, num_centroids=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing 4/16 cells of uniform-random data ~ 25% of the corpus;
+    # bar = meaningfully above the probe fraction and far above chance
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"
