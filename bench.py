@@ -39,9 +39,11 @@ HEADLINE = [
     "stream_tumbling_counts",
 ]
 
-# One timed pass is enough for these (streaming drain dominates; a second
-# run would double bench wall time for no signal).
-SINGLE_RUN = {"stream_tumbling_counts"}
+# Everything runs best-of-2: periodic external load (the round driver's
+# own probes) produces 2-7x transient spikes, and the warm second run is
+# cheap — without this, one unlucky query (observed: the streaming drain
+# at 71s vs 7s isolated) dominates the recorded total.
+SINGLE_RUN: set[str] = set()
 
 
 def run_one(fn, spark, sf_dir: str) -> float:
