@@ -223,3 +223,39 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "click_event_id", F.col("value").alias("click_value")
     )
+
+
+@query(
+    "map_funcs_props",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')::INT AS k_value,
+           ['k'] AS prop_keys,
+           CAST(1 AS INT) AS n_props,
+           json_extract_string(props, '$.missing') IS NULL AS missing_absent
+    FROM events
+    WHERE props IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def map_funcs_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type family (C-scalar): parse events.props JSON into a real
+    MapType column, then map_keys / size / element_at — typed map access
+    instead of repeated string JSON extraction (parse once, access many,
+    which matters when props carries dozens of keys at 100 TB).
+    """
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.IntegerType()))
+    return (
+        e.select("event_id", m.alias("pm"))
+        .select(
+            "event_id",
+            F.element_at(F.col("pm"), "k").alias("k_value"),
+            F.map_keys(F.col("pm")).alias("prop_keys"),
+            F.size(F.col("pm")).cast("int").alias("n_props"),
+            F.element_at(F.col("pm"), "missing").isNull().alias("missing_absent"),
+        )
+        .orderBy("event_id")
+    )
