@@ -359,3 +359,111 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return ivf_ann_topk(e, q, k=5).orderBy("q_id", "rk")
+
+
+@query(
+    "llm_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(n_lang) AS BIGINT) AS n_total,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           MIN(md5(CAST(doc_id AS VARCHAR))) AS first_hash
+    FROM ranked
+    WHERE rn <= CEIL(n_lang * 0.2)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly ceil(20%) of each lang
+    stratum, chosen by content-hash order — reproducible across engines,
+    partitionings, and re-plans (training-data pipelines need the SAME
+    sample every run; ``df.sampleBy`` is approximate and layout-
+    dependent). One window per stratum, no driver involvement.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    ranked = d.select(
+        "doc_id", "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    sampled = ranked.filter(F.col("rn") <= F.ceil(F.col("n_lang") * 0.2))
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("n_lang").alias("n_total"),
+            # membership-sensitive digests: identical counts with different
+            # members would still fail the comparison
+            F.sum("doc_id").alias("id_sum"),
+            F.min(F.md5(F.col("doc_id").cast("string"))).alias("first_hash"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "llm_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ), n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+    df AS (SELECT term, COUNT(*) AS doc_freq FROM tok GROUP BY term),
+    tf AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ), tf_counts AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+    ), scored AS (
+      SELECT t.doc_id, t.term,
+             t.tf * LN((SELECT n FROM n_docs) * 1.0 / d.doc_freq) AS tfidf
+      FROM tf_counts t JOIN df d USING (term)
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 2 AND doc_id < 100
+    ORDER BY doc_id, rk
+    """,
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-2 terms per document (first 100 docs): term frequency
+    per doc x ln(N/df) corpus weight, ranked per doc. Three distributed
+    aggregations (tf, df, N) + one broadcast-sized join on the term
+    vocabulary — the vocabulary/keyword-extraction primitive of corpus
+    pipelines (SURVEY.md §2 C-llm-text).
+    """
+    from pyspark.sql import Window
+
+    from .functions.strings import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = tok.select("doc_id").distinct().count()
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 2) & (F.col("doc_id") < 100))
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), F.col("rk").cast("int").alias("rk"))
+        .orderBy("doc_id", "rk")
+    )
