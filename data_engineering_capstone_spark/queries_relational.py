@@ -897,3 +897,81 @@ def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_revenue_dec()).cast("double").alias("volume"))
         .orderBy("cust_nation", "supp_nation", "ship_year")
     )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average balance (uncorrelated scalar
+    subquery → one broadcast literal) AND no urgent orders (anti join
+    against a filtered fact) — the classic "lost opportunity" filter.
+    (Every synthetic customer has SOME order, so the anti join targets
+    the urgent subset to select a real population.)
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    idle_rich = (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+    )
+    return (
+        idle_rich.join(F.broadcast(n), idle_rich.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "q21_sole_supplier_orders",
+    oracle="""
+    WITH order_suppliers AS (
+      SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+             MIN(l_suppkey) AS sole_suppkey
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_sole_orders
+    FROM order_suppliers os
+    JOIN supplier s ON s.s_suppkey = os.sole_suppkey
+    WHERE os.n_suppliers = 1
+    GROUP BY 1 ORDER BY n_sole_orders DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 flavor: orders served by exactly ONE supplier, counted
+    per supplier — the EXISTS + NOT-EXISTS pair collapsed into one
+    distinct-count aggregate over the fact (aggregate-first: the heavy
+    side reduces to one row per order before any join).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.min("l_suppkey").alias("sole_suppkey"),
+    )
+    sole = per_order.filter(F.col("n_suppliers") == 1)
+    agg = (
+        sole.join(F.broadcast(s), sole.sole_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_sole_orders"))
+    )
+    return top_k(agg, [F.col("n_sole_orders").desc(), F.col("s_name")], 20)
