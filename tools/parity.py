@@ -93,6 +93,13 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
             continue
+        import decimal as _dec
+
+        for c in spark_pdf.columns:
+            col = spark_pdf[c]
+            if col.dtype == object and col.dropna().map(lambda v: isinstance(v, _dec.Decimal)).any():
+                print(f"WARN  {name}: column {c!r} is DECIMAL at the output boundary — "
+                      f"cast to double in the query (object dtype desyncs sorted comparison)")
         if spec.oracle is None:
             print(f"ok    {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
             continue
