@@ -301,7 +301,7 @@ def simhash_near_dups(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    max_hamming: int = 8,
+    max_hamming: int | None = None,
     num_blocks: int = 8,
 ) -> DataFrame:
     """SimHash near-dup pairs within ``max_hamming`` bits.
@@ -310,7 +310,18 @@ def simhash_near_dups(
     ``num_blocks`` byte blocks; by pigeonhole, any pair within
     ``num_blocks-1`` bit flips agrees on at least one block. Join on
     (block_idx, block_value), verify with exact Hamming distance.
+
+    ``max_hamming`` defaults to ``num_blocks - 1``, the largest radius
+    the blocking is complete for; larger values are rejected because
+    pairs beyond the pigeonhole bound can silently be missed.
     """
+    if max_hamming is None:
+        max_hamming = num_blocks - 1
+    if max_hamming > num_blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole completeness "
+            f"bound num_blocks-1={num_blocks - 1}; raise num_blocks instead"
+        )
     bits_per = 64 // num_blocks
     # Materialize the (tiny: one long per doc) signature table once —
     # the banded self-join would otherwise recompute the full simhash

@@ -22,6 +22,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -40,18 +41,26 @@ def asof_join(
     ]
 
     out_map = {c: (c + suffix if c in left.columns or c == right_ts else c) for c in right_cols}
+    # Pack all right columns into ONE struct and forward-fill the struct,
+    # not each column independently: per-column fill would let a NULL field
+    # in the matched right row be replaced by an older row's value, mixing
+    # fields from different right rows (DuckDB ASOF JOIN returns the single
+    # matched row including its NULLs).
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
         F.col(left_ts).alias("__ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias("__r_" + c) for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     rhs = right.select(
         *[F.col(k) for k in keys],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
         F.lit(0).alias("__is_left"),
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias("__r_" + c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     ).select(*lhs.columns)  # align column order
 
     # Right rows sort before left rows at equal __ts (__is_left asc) so a
@@ -61,13 +70,12 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = lhs.unionByName(rhs)
-    for c in right_cols:
-        filled = filled.withColumn(
-            out_map[c], F.last(F.col("__r_" + c), ignorenulls=True).over(w)
-        )
-    return filled.filter(F.col("__is_left") == 1).drop(
-        "__is_left", "__ts", *["__r_" + c for c in right_cols]
+    filled = lhs.unionByName(rhs).withColumn(
+        "__r_filled", F.last(F.col("__r"), ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__r_filled").getField(c).alias(out_map[c]) for c in right_cols],
     )
 
 

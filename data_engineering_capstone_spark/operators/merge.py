@@ -43,14 +43,25 @@ def scd2_apply(
     ``current`` must carry the three bookkeeping columns; ``changes``
     carries the business columns + ``change_ts_col``. One shuffle on the
     key; history rows stream through untouched.
+
+    Multiple changes for one key in a single batch are chained: each
+    intermediate version closes at the NEXT change's timestamp and only
+    the latest change stays current (ties on ``change_ts_col`` within a
+    key are broken arbitrarily — pre-dedup if that matters).
     """
+    from pyspark.sql import Window
+
     klist = list(keys)
-    changed_keys = changes.select(*klist).distinct()
+    w = Window.partitionBy(*klist).orderBy(F.col(change_ts_col).asc())
+    nxt = F.lead(change_ts_col).over(w)
     new_versions = (
         changes.withColumn(effective_from, F.col(change_ts_col))
-        .withColumn(effective_to, F.lit(None).cast(current.schema[effective_to].dataType))
-        .withColumn(current_flag, F.lit(True))
-        .drop(change_ts_col)
+        .withColumn("__next_ts", nxt)
+        .withColumn(
+            effective_to, F.col("__next_ts").cast(current.schema[effective_to].dataType)
+        )
+        .withColumn(current_flag, F.col("__next_ts").isNull())
+        .drop(change_ts_col, "__next_ts")
     )
     first_change = changes.groupBy(*klist).agg(F.min(change_ts_col).alias("__chg_ts"))
     closed = (

@@ -297,20 +297,26 @@ def etl_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 @query(
     "etl_upsert_orders",
     oracle="""
-    WITH updates AS (
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DECIMAL(17,3)) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+    ), updates AS (
       SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
-             o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
-      FROM orders WHERE o_orderkey % 10 = 0
+             CAST(o_totalprice * 1.1 AS DECIMAL(17,3)) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM base WHERE o_orderkey % 10 = 0
     ), inserts AS (
       SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
-      FROM orders WHERE o_orderkey % 100 = 0
+      FROM base WHERE o_orderkey % 100 = 0
     ), merged AS (
-      SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
       UNION ALL SELECT * FROM updates
       UNION ALL SELECT * FROM inserts
     )
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total
     FROM merged GROUP BY 1 ORDER BY 1
     """,
 )
@@ -319,14 +325,22 @@ def etl_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     status, repriced) + 1% inserted under new keys, merged via anti-join
     + union — one shuffle on the key, row width independent. The oracle
     rebuilds the merged table set-theoretically.
+
+    Prices are moved into DECIMAL(17,3) BEFORE the 1.1 reprice so the
+    product is exact in both engines (double*1.1 lands on .5-cent ties
+    that Spark and DuckDB round differently — SCALE.md no-derived-round
+    rule); the one double cast happens at the output boundary.
     """
     from .operators.merge import upsert
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_totalprice",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DECIMAL(17,3))"),
+    )
     updates = (
         o.filter(F.col("o_orderkey") % 10 == 0)
         .withColumn("o_orderstatus", F.lit("X"))
-        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("o_totalprice", F.expr("CAST(o_totalprice * 1.1 AS DECIMAL(17,3))"))
     )
     inserts = (
         o.filter(F.col("o_orderkey") % 100 == 0)
@@ -338,7 +352,7 @@ def etl_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
+            F.sum("o_totalprice").cast("double").alias("total"),
         )
         .orderBy("o_orderstatus")
     )

@@ -230,7 +230,7 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            json_extract_string(props, '$.k')::INT AS k_value,
-           ['k'] AS prop_keys,
+           'k' AS prop_keys,
            CAST(1 AS INT) AS n_props,
            json_extract_string(props, '$.missing') IS NULL AS missing_absent
     FROM events
@@ -253,7 +253,9 @@ def map_funcs_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             F.element_at(F.col("pm"), "k").alias("k_value"),
-            F.map_keys(F.col("pm")).alias("prop_keys"),
+            # joined to a scalar string at the boundary (harness sorts
+            # columns; array cells are unhashable there)
+            F.array_join(F.array_sort(F.map_keys(F.col("pm"))), ",").alias("prop_keys"),
             F.size(F.col("pm")).cast("int").alias("n_props"),
             F.element_at(F.col("pm"), "missing").isNull().alias("missing_absent"),
         )

@@ -224,7 +224,15 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("_pcts"),
+        )
+        # scalar columns at the boundary: the correctness harness sorts
+        # every output column, and array cells are unhashable there
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.element_at("_pcts", 1).alias("price_p50"),
+            F.element_at("_pcts", 2).alias("price_p95"),
         )
         .orderBy("l_returnflag")
     )

@@ -52,6 +52,13 @@ def test_simhash_finds_planted_near_dup(spark, planted_docs):
     assert not any(3 in p for p in got)
 
 
+def test_simhash_rejects_radius_beyond_pigeonhole_bound(spark, planted_docs):
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(planted_docs, "text", "doc_id", max_hamming=8, num_blocks=8)
+
+
 def test_minhash_recall_vs_exact(spark, sf_dir):
     """Every exact-Jaccard>=0.5 pair must be recovered by MinHash-LSH at
     a lower estimate threshold (estimator noise margin)."""

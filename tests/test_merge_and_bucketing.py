@@ -48,6 +48,27 @@ def test_scd2_close_and_append(spark):
     assert rows[(2, "seg_b")]["is_current"] is True
 
 
+def test_scd2_chains_multiple_changes_per_key(spark):
+    """Two changes for one key in a single batch: the earlier version
+    closes at the later change's ts; only the latest stays current."""
+    current = spark.createDataFrame(
+        [(1, "seg_a", dt.date(2020, 1, 1), None, True)],
+        "k long, seg string, valid_from date, valid_to date, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "seg_mid", dt.date(2024, 6, 1)), (1, "seg_new", dt.date(2024, 9, 1))],
+        "k long, seg string, chg date",
+    )
+    rows = {r["seg"]: r for r in scd2_apply(current, changes, ["k"], "chg").collect()}
+    assert len(rows) == 3
+    assert rows["seg_a"]["valid_to"] == dt.date(2024, 6, 1) and rows["seg_a"]["is_current"] is False
+    assert rows["seg_mid"]["valid_from"] == dt.date(2024, 6, 1)
+    assert rows["seg_mid"]["valid_to"] == dt.date(2024, 9, 1) and rows["seg_mid"]["is_current"] is False
+    assert rows["seg_new"]["valid_to"] is None and rows["seg_new"]["is_current"] is True
+    # exactly one current row for the key
+    assert sum(1 for r in rows.values() if r["is_current"]) == 1
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """The point of bucketing: the physical plan joins the two bucketed
     scans with NO Exchange (shuffle) between scan and join."""

@@ -32,6 +32,24 @@ def test_asof_backward_semantics(spark):
     assert got == {"p1": 1.0, "p2": 3.0, "p3": None, "p4": None}
 
 
+def test_asof_null_right_field_not_backfilled(spark):
+    """A matched right row's NULL field must stay NULL — per-column
+    forward-fill would pull that field from an OLDER right row, mixing
+    fields from different rows (DuckDB ASOF returns the matched row
+    including its NULLs)."""
+    left = spark.createDataFrame([("u1", 20, "p1")], "key string, ts long, pid string")
+    right = spark.createDataFrame(
+        [("u1", 8, 1.0, "old"), ("u1", 15, None, "new")],
+        "key string, rts long, val double, tag string",
+    )
+    out = asof_join(
+        left, right, on="key", left_ts="ts", right_ts="rts", right_cols=["val", "tag"]
+    ).collect()
+    assert len(out) == 1
+    # matched row is rts=15: tag comes from it AND its NULL val survives
+    assert out[0]["tag"] == "new" and out[0]["val"] is None
+
+
 def test_asof_matches_pandas_merge_asof(spark, sf_dir):
     from data_engineering_capstone_spark.sources.testdata import load_table
 

@@ -97,9 +97,16 @@ def main() -> int:
 
         for c in spark_pdf.columns:
             col = spark_pdf[c]
-            if col.dtype == object and col.dropna().map(lambda v: isinstance(v, _dec.Decimal)).any():
+            if col.dtype != object:
+                continue
+            nonnull = col.dropna()
+            if nonnull.map(lambda v: isinstance(v, _dec.Decimal)).any():
                 print(f"WARN  {name}: column {c!r} is DECIMAL at the output boundary — "
                       f"cast to double in the query (object dtype desyncs sorted comparison)")
+            if nonnull.map(lambda v: isinstance(v, (list, np.ndarray, dict))).any():
+                print(f"WARN  {name}: column {c!r} is ARRAY/MAP at the output boundary — "
+                      f"flatten it (array_join / element_at): the driver's value-hash "
+                      f"sorts all columns and list cells are unhashable there")
         if spec.oracle is None:
             print(f"ok    {name}: rows-only ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
             continue
