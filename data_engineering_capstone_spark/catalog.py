@@ -44,6 +44,7 @@ def load_all() -> dict[str, QuerySpec]:
     the full catalog."""
     from . import (  # noqa: F401
         queries_relational,
+        queries_tpch2,
         queries_functions,
         queries_etl,
         queries_llm,

@@ -31,6 +31,8 @@ INTENTIONAL_CROSS = {
     "llm_embedding_near_dup",  # exact all-pairs verify stage (documented)
     "llm_ann_lsh",          # bucket-join candidates, rerank
     "cross_join_nation_region",  # explicit dim x dim Cartesian (documented)
+    "q11_important_parts",  # 1-row broadcast scalar threshold; inequality
+                            # compare can't become an equi-join
 }
 
 # Streaming queries execute through the streaming runner; the batch
