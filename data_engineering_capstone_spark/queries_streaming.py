@@ -162,6 +162,42 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_static_join_segments",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the static
+    customer dimension (broadcast — re-read per micro-batch, so at
+    production scale the static side should be a small table or a
+    pre-broadcast dim), then windowed per segment. The oracle is the
+    identical batch join + time-bucket aggregate.
+    """
+    from .sources.testdata import load_table
+
+    events = _events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = events.join(F.broadcast(cust), events.user_id == cust.c_custkey)
+    agg = (
+        joined.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n", "sum_value")
+    )
+    out = run_available_now(agg, "complete")
+    return out.orderBy("window_start", "segment")
+
+
 @query("stream_stateful_user_stats", oracle=None)
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user

@@ -63,3 +63,44 @@ def test_stateful_user_stats_matches_batch(spark, sf_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static join + window agg must equal the batch join twin."""
+    from data_engineering_capstone_spark.catalog import load_all
+
+    streamed = load_all()["stream_static_join_segments"].fn(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    e = load_table(spark, sf_dir, "events")
+    batch = (
+        e.join(cust, e.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n", "sum_value")
+    )
+    a = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_run_available_now_restores_session_confs(spark, sf_dir):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    run_available_now(tumbling_counts(stream_events(spark, sf_dir)), "complete")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_kafka_plumbing_raises_clear_error_without_connector(spark):
+    """No Kafka jar in this container: the wiring must fail fast with an
+    actionable message at plan-construction time, not a stack bomb at
+    stream start."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from data_engineering_capstone_spark.sources.kafka import read_kafka_stream
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    with pytest.raises(RuntimeError, match="--packages"):
+        read_kafka_stream(spark, "localhost:9092", "events", schema)
