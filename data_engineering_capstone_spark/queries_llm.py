@@ -467,3 +467,86 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), F.col("rk").cast("int").alias("rk"))
         .orderBy("doc_id", "rk")
     )
+
+
+@query(
+    "llm_token_frequency",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM tok GROUP BY term
+    ORDER BY freq DESC, term LIMIT 100
+    """,
+)
+def llm_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency table, top 100 — the vocabulary-building
+    primitive for tokenizer training (BPE seed vocab, frequency cutoffs).
+    explode → map-side partial count → tiny shuffle on the term key; at
+    100 TB the explode multiplies rows ~200x but the partial aggregate
+    collapses them within each scan partition before any data moves.
+    Ties broken by term so the top-100 cutoff is engine-independent.
+    """
+    from .functions.strings import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(100)
+    )
+
+
+@query(
+    "llm_fuzzy_prefix_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source, substr(trim(lower(text)), 1, 40) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS INT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 24
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: candidate pairs blocked on
+    (lang, source), verified with Levenshtein distance on a normalized
+    40-char prefix. Blocking bounds the quadratic levenshtein to within-
+    block pairs (max block ~16 docs here; at 100 TB block on a cheap
+    fingerprint — SimHash band or length bucket — for the same shape:
+    equi-join candidates, exact verify). Both engines implement plain
+    Levenshtein, so the distances are identical.
+    """
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", "source",
+            F.substring(F.trim(F.lower(F.col("text"))), 1, 40).alias("pfx"),
+        )
+    )
+    a = d.select([F.col(c).alias("a_" + c) for c in d.columns])
+    b = d.select([F.col(c).alias("b_" + c) for c in d.columns])
+    return (
+        a.join(
+            b,
+            (F.col("a_lang") == F.col("b_lang"))
+            & (F.col("a_source") == F.col("b_source"))
+            & (F.col("a_doc_id") < F.col("b_doc_id")),
+        )
+        .withColumn("edit_dist", F.levenshtein("a_pfx", "b_pfx").cast("int"))
+        .filter(F.col("edit_dist") <= 24)
+        .select(
+            F.col("a_doc_id").alias("id_a"),
+            F.col("b_doc_id").alias("id_b"),
+            "edit_dist",
+        )
+        .orderBy("id_a", "id_b")
+    )
