@@ -33,6 +33,8 @@ INTENTIONAL_CROSS = {
     "cross_join_nation_region",  # explicit dim x dim Cartesian (documented)
     "q11_important_parts",  # 1-row broadcast scalar threshold; inequality
                             # compare can't become an equi-join
+    "llm_ann_ivf",  # query-set x tiny centroid table broadcast (nearest-
+                    # cell assignment); candidate join itself is equi
 }
 
 # Streaming queries execute through the streaming runner; the batch
