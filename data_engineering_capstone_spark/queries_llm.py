@@ -550,3 +550,53 @@ def llm_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "llm_pii_redaction",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             AS text
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(length(regexp_extract_all(text, '\\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                 '\\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS BIGINT) AS red_len
+    FROM seeded
+    ORDER BY doc_id
+    """,
+)
+def llm_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: plant synthetic emails/phones into every 10th doc
+    (the corpus has none), then detect and redact with anchored regexes
+    — the pre-training scrub pass. Pure JVM regexp_extract_all /
+    regexp_replace: stays in codegen, no Python in the hot path; the
+    patterns are chosen to parse identically under Java regex and RE2
+    so the oracle is engine-exact.
+    """
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+1-555-[0-9]{4}"
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email_re), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), 0)).cast("int").alias("n_phones"),
+        F.length(redacted).cast("bigint").alias("red_len"),
+    ).orderBy("doc_id")

@@ -56,3 +56,37 @@ def test_point_interval_join_matches_theta(spark, sf_dir):
         .groupBy("band").count().collect()
     )
     assert sorted(map(tuple, theta)) == sorted(map(tuple, bucketed))
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """Partition pruning is the layout-level filter: a year-equality
+    predicate over a year-partitioned sink must appear as a
+    PartitionFilter on the scan (skipping other years' files before any
+    I/O), not as a post-scan row filter."""
+    import io
+    import os
+    import tempfile
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_spark.sources.testdata import load_table
+    from data_engineering_capstone_spark.sources.writers import write_parquet
+
+    out = os.path.join(tempfile.gettempdir(), "dec_spark_prune_test")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_parquet(o, out, partition_by=["order_year"])
+
+    df = spark.read.parquet(out).filter(F.col("order_year") == 1996)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "1996" in pf_line, pf_line
+    # and the filter is NOT re-applied as a data filter on the scan
+    n_expected = o.filter(F.col("order_year") == 1996).count()
+    assert df.count() == n_expected > 0
