@@ -436,3 +436,109 @@ def etl_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_orderkey").alias("n_orders"),
         F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("double").alias("total"),
     )
+
+
+@query(
+    "etl_i94_pipeline_e2e",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_id END AS cicid,
+             CASE event_id % 3 WHEN 0 THEN 582 WHEN 1 THEN 236 ELSE 101 END AS i94cit,
+             20566 + event_id % 30 AS arrdate,
+             CASE WHEN event_id % 4 = 3 THEN 9 ELSE event_id % 4 + 1 END AS i94mode,
+             CASE event_id % 5 WHEN 0 THEN 'NY' WHEN 1 THEN 'CA' ELSE 'XX' END AS i94addr,
+             event_id % 3 + 1 AS i94visa,
+             1 AS cnt,
+             CASE WHEN event_id % 7 = 0 THEN 'D/S' ELSE '07202016' END AS dtaddto
+      FROM events
+    ), cleaned AS (
+      -- planted duplicates are FULL-row copies and cicid is unique per
+      -- source row, so dedup-on-key == DISTINCT *; null keys drop
+      SELECT DISTINCT * FROM fact WHERE cicid IS NOT NULL
+    ), staged AS (
+      SELECT CASE i94cit WHEN 582 THEN 'MEXICO' WHEN 236 THEN 'AFGHANISTAN'
+                  ELSE 'ALBANIA' END AS origin_country,
+             CASE i94mode WHEN 1 THEN 'Air' WHEN 2 THEN 'Sea' WHEN 3 THEN 'Land'
+                  WHEN 9 THEN 'Not reported' END AS travel_mode,
+             CASE WHEN i94addr = 'NY' THEN 'NEW YORK'
+                  WHEN i94addr = 'CA' THEN 'CALIFORNIA'
+                  ELSE 'other' END AS state_name,
+             CASE i94visa WHEN 1 THEN 'Business' WHEN 2 THEN 'Pleasure'
+                  ELSE 'Student' END AS visa_category,
+             DATE '1960-01-01' + CAST(arrdate AS INT) AS arrival_date,
+             CASE WHEN dtaddto = 'D/S' THEN NULL ELSE dtaddto END AS adm,
+             cnt
+      FROM cleaned
+    )
+    SELECT origin_country, travel_mode, state_name, visa_category,
+           CAST(SUM(cnt) AS BIGINT) AS arrivals,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           MIN(arrival_date) AS first_arrival,
+           CAST(SUM(CASE WHEN adm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ds_visas
+    FROM staged
+    GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+    """,
+)
+def etl_i94_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE star-schema spec end-to-end through the
+    real pipeline stages (etl/pipeline.py): clean (null-drop + dedup +
+    code casts) → SAS-epoch / sentinel date conversion → broadcast
+    code→name dim joins (with the i94addr 'not in list → other' rule) →
+    star rollup. The fact is derived deterministically from events in
+    the reference's §1.2 shape (doubles + strings), with planted
+    full-row duplicates and null keys; the oracle rebuilds every rule
+    in SQL. (reference: notebook cells 7-13, dags/capstone_project.py:100,
+    I94_SAS_Labels_Descriptions.SAS:9-1050.)
+    """
+    from .etl import pipeline
+    from .etl.sas_labels import dim_from_map
+
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    fact = e.select(
+        F.when(eid % 97 == 0, F.lit(None).cast("double"))
+        .otherwise(eid.cast("double")).alias("cicid"),
+        F.lit(2016.0).alias("i94yr"),
+        F.lit(4.0).alias("i94mon"),
+        F.when(eid % 3 == 0, 582.0).when(eid % 3 == 1, 236.0)
+        .otherwise(101.0).alias("i94cit"),
+        (F.lit(20566.0) + (eid % 30).cast("double")).alias("arrdate"),
+        F.when(eid % 4 == 3, 9.0).otherwise((eid % 4 + 1).cast("double")).alias("i94mode"),
+        F.when(eid % 5 == 0, F.lit("NY")).when(eid % 5 == 1, F.lit("CA"))
+        .otherwise(F.lit("XX")).alias("i94addr"),
+        ((eid % 3) + 1).cast("double").alias("i94visa"),
+        F.lit(1.0).alias("count"),
+        F.when(eid % 7 == 0, F.lit("D/S")).otherwise(F.lit("07202016")).alias("dtaddto"),
+    )
+    # plant full-row duplicates (every 100th record) — clean() must drop them
+    fact = fact.unionByName(fact.filter(F.col("cicid") % 100 == 0))
+
+    cleaned = pipeline.clean(fact, key="cicid", required=("cicid", "i94yr", "i94mon"))
+    dated = pipeline.convert_dates(cleaned)
+    dims = {
+        "country": dim_from_map(
+            spark, {"582": "MEXICO", "236": "AFGHANISTAN", "101": "ALBANIA"},
+            "code", "label",
+        ),
+        "mode": dim_from_map(
+            spark, {"1": "Air", "2": "Sea", "3": "Land", "9": "Not reported"},
+            "code", "label",
+        ),
+        "state": dim_from_map(
+            spark, {"NY": "NEW YORK", "CA": "CALIFORNIA"}, "code", "label"
+        ),
+        "visa": dim_from_map(
+            spark, {"1": "Business", "2": "Pleasure", "3": "Student"}, "code", "label"
+        ),
+    }
+    staged = pipeline.join_dims(dated, dims)
+    return (
+        staged.groupBy("origin_country", "travel_mode", "state_name", "visa_category")
+        .agg(
+            F.sum("count").alias("arrivals"),
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("arrival_date").alias("first_arrival"),
+            F.sum(F.when(F.col("admitted_until").isNull(), 1).otherwise(0)).alias("n_ds_visas"),
+        )
+        .orderBy("origin_country", "travel_mode", "state_name", "visa_category")
+    )
