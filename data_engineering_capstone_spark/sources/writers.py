@@ -49,3 +49,31 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_rows_per_file: int,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    ~``target_rows_per_file``-row files and return the output file count.
+
+    The small-files problem is THE steady-state killer of long-lived
+    100 TB tables (every micro-batch/append leaves shards; each file
+    costs a scan task + a NameNode/listing entry). Row-count-based
+    sizing keeps the op deterministic; production variants target bytes
+    via table statistics. ``repartition`` (round-robin) rather than
+    ``coalesce`` so output files are even-sized — coalesce would glue
+    neighbors and preserve skew.
+    """
+    import math
+
+    df = spark.read.parquet(src_dir)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_dir)
+    out = spark.read.parquet(dst_dir)
+    assert out.count() == n, "compaction must preserve row count"
+    return n_files

@@ -90,3 +90,60 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
     # and the filter is NOT re-applied as a data filter on the scan
     n_expected = o.filter(F.col("order_year") == 1996).count()
     assert df.count() == n_expected > 0
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir):
+    """Fragment orders into many tiny files, compact, and verify: far
+    fewer files, identical data."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_spark.sources.testdata import load_table
+    from data_engineering_capstone_spark.sources.writers import compact_parquet, write_parquet
+
+    base = os.path.join(tempfile.gettempdir(), "dec_spark_compact_test")
+    frag, compacted = os.path.join(base, "frag"), os.path.join(base, "out")
+    o = load_table(spark, sf_dir, "orders")
+    write_parquet(o.repartition(64), frag, max_records_per_file=200)
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    assert n_frag >= 64
+
+    compact_parquet(spark, frag, compacted, target_rows_per_file=50_000)
+    n_out = len(glob.glob(os.path.join(compacted, "*.parquet")))
+    assert n_out < n_frag / 8
+
+    a = {tuple(r) for r in spark.read.parquet(compacted).collect()}
+    b = {tuple(r) for r in o.collect()}
+    assert a == b
+
+
+def test_merge_schema_reads_evolved_partitions(spark, sf_dir):
+    """Schema evolution: an appended partition gains a column; a
+    mergeSchema read sees the union schema with NULLs for old rows —
+    the append-only table evolution pattern at scale."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_spark.sources.testdata import load_table
+
+    base = os.path.join(tempfile.gettempdir(), "dec_spark_evolve_test")
+    o = load_table(spark, sf_dir, "orders").limit(100)
+    o.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+    o.withColumn("discount_pct", F.lit(5.0)).write.mode("overwrite").parquet(
+        os.path.join(base, "batch=2")
+    )
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert "discount_pct" in merged.columns
+    per_batch = {
+        r["batch"]: r["n_null"]
+        for r in merged.groupBy("batch")
+        .agg(F.sum(F.col("discount_pct").isNull().cast("int")).alias("n_null"))
+        .collect()
+    }
+    assert per_batch[1] == 100 and per_batch[2] == 0
