@@ -269,3 +269,29 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, sentence
         """
     )
+
+
+@query("mm_binary_ingest", oracle=None)
+def mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal raw-file ingest via the ``binaryFile`` source: each
+    file lands as one row of (path, length, content bytes) — the Spark
+    entry point for image/audio corpora (decode then happens in
+    Arrow-batched UDFs, llm/multimodal.py). Emits per-file size + md5
+    digest; content correctness is pinned against hashlib in
+    tests/test_multimodal.py (no SQL oracle: DuckDB has no
+    filesystem-blob view of the same directory).
+
+    Scale note: binaryFile caps per-file content at
+    spark.sql.sources.binaryFile.maxLength (2 GB); for larger media,
+    store pointers and range-read in the decode UDF instead.
+    """
+    prep(spark)
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return (
+        files.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("file_name")
+    )

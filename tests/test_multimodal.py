@@ -58,3 +58,23 @@ def test_frame_sampling(spark):
     assert all(r["frame_offset"] == 8 + r["frame_idx"] * 64 for r in out)
     # only the video doc passes the magic filter
     assert {r["doc_id"] for r in out} == {3}
+
+
+def test_binary_ingest_digests_match_hashlib(spark, sf_dir):
+    """binaryFile content must be byte-exact: md5 from Spark equals
+    hashlib over the same files."""
+    import glob
+    import hashlib
+    import os
+
+    from data_engineering_capstone_spark.catalog import load_all
+
+    got = {
+        r["file_name"]: (r["n_bytes"], r["content_md5"])
+        for r in load_all()["mm_binary_ingest"].fn(spark, sf_dir).collect()
+    }
+    expected = {}
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        data = open(p, "rb").read()
+        expected[os.path.basename(p)] = (len(data), hashlib.md5(data).hexdigest())
+    assert got == expected and len(got) == 10
