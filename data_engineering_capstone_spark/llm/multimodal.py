@@ -152,3 +152,55 @@ def sample_frames(df: DataFrame, payload_col: str = "payload", id_col: str = "do
         .select(F.col(id_col), n_frames.alias("n_frames"), idx)
         .withColumn("frame_offset", F.lit(8) + F.col("frame_idx") * frame_bytes)
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("dim_a", T.IntegerType()),
+        T.StructField("dim_b", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_a: int,
+    target_b: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize "image" payloads to (target_a, target_b): decode, rescale,
+    re-encode — Arrow-batched per partition like every decode-path op.
+
+    THE RESAMPLER IS STUBBED (no PIL in this container): the body is
+    deterministically resampled by byte-striding to the target pixel
+    budget and the header rewritten with the new dims; a real deployment
+    replaces the three marked lines with ``PIL.Image.resize``. Non-image
+    payloads pass through unchanged (dims from their header) — the
+    mixed-corpus behavior a real pipeline needs.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, raw in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(raw)
+                media, dim_a, dim_b, body = decode_payload(raw)
+                if media != "image":
+                    out.append((int(doc_id), media, raw, dim_a, dim_b))
+                    continue
+                # --- stub resampler (real: PIL.Image.open/resize/save) ---
+                budget = max(1, target_a * target_b // 256)
+                idx = np.linspace(0, max(len(body) - 1, 0), num=budget).astype(int)
+                new_body = bytes(np.frombuffer(body, dtype=np.uint8)[idx]) if body else b""
+                # ---------------------------------------------------------
+                header = MAGICS["image"] + struct.pack(">HH", target_a, target_b)
+                out.append((int(doc_id), media, header + new_body, target_a, target_b))
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(id_col, payload_col).repartition(par).mapInPandas(run, RESIZE_SCHEMA)

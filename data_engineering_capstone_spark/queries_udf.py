@@ -295,3 +295,50 @@ def mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@query(
+    "mm_resize_pipeline",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 224
+                ELSE length(text) % 640 + 16 END AS INT) AS dim_a,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 224
+                ELSE length(text) % 480 + 16 END AS INT) AS dim_b,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + 196
+                ELSE 8 + octet_length(encode(text)) END AS BIGINT) AS n_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the Arrow-batched decode path: synthesize
+    mixed-media payloads, resize images to 224x224 (stub resampler —
+    llm/multimodal.py), pass audio/video through untouched. The oracle
+    predicts the post-resize header dims and byte sizes exactly (the
+    budget arithmetic is deterministic), so the mapInPandas plumbing is
+    hash-checked even though the resampled BYTES are pinned by unit
+    tests instead (binary cells don't survive the driver's sort-based
+    canonicalization).
+    """
+    from .llm.multimodal import resize_images, synthesize_payload
+
+    prep(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        "text",
+    )
+    payloads = d.select(
+        "doc_id", "media_type", synthesize_payload("text", "media_type").alias("payload")
+    )
+    resized = resize_images(payloads, 224, 224)
+    return resized.select(
+        "doc_id", "media_type", "dim_a", "dim_b",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    ).orderBy("doc_id")

@@ -78,3 +78,42 @@ def test_binary_ingest_digests_match_hashlib(spark, sf_dir):
         data = open(p, "rb").read()
         expected[os.path.basename(p)] = (len(data), hashlib.md5(data).hexdigest())
     assert got == expected and len(got) == 10
+
+
+def test_resize_images_rewrites_dims_and_passes_through_other_media(spark, sf_dir):
+    from data_engineering_capstone_spark.catalog import load_all
+    from data_engineering_capstone_spark.llm.multimodal import (
+        decode_payload,
+        extract_metadata,
+        resize_images,
+        synthesize_payload,
+    )
+    from data_engineering_capstone_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").limit(60).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        "text",
+    )
+    payloads = d.select(
+        "doc_id", "media_type", synthesize_payload("text", "media_type").alias("payload")
+    )
+    resized = resize_images(payloads, 224, 224)
+    rows = resized.collect()
+    assert len(rows) == 60
+    for r in rows:
+        media, dim_a, dim_b, body = decode_payload(bytes(r["payload"]))
+        if r["media_type"] == "image":
+            # header rewritten, dims updated, body resampled to budget
+            assert (r["dim_a"], r["dim_b"]) == (224, 224) == (dim_a, dim_b)
+            assert len(body) == max(1, 224 * 224 // 256)
+        else:
+            # non-image payloads untouched
+            assert (dim_a, dim_b) == (r["dim_a"], r["dim_b"]) and media == r["media_type"]
+    # deterministic: second run byte-identical
+    again = {r["doc_id"]: bytes(r["payload"]) for r in resize_images(payloads, 224, 224).collect()}
+    assert all(bytes(r["payload"]) == again[r["doc_id"]] for r in rows)
