@@ -120,3 +120,64 @@ def test_salted_agg_property(spark, rows, buckets):
         ).collect()
     }
     assert plain == salted
+
+
+# ---------------------------------------------------------------------------
+# SCD2 invariants under arbitrary change batches (Spark-backed)
+# ---------------------------------------------------------------------------
+
+changes_st = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),            # key
+        st.sampled_from(["s1", "s2", "s3"]),              # new segment
+        st.integers(min_value=1, max_value=360),          # change day offset
+    ),
+    min_size=1,
+    max_size=10,
+).filter(
+    # distinct change_ts per key: ties are documented as arbitrary-order
+    lambda rows: all(
+        len({t for k2, _, t in rows if k2 == k}) == len([1 for k2, _, _ in rows if k2 == k])
+        for k in {k for k, _, _ in rows}
+    )
+)
+
+
+@given(changes_st)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_scd2_invariants(spark, change_rows):
+    """For ANY batch of dated changes: exactly one current row per key,
+    closed versions chain contiguously (valid_to == next valid_from),
+    and history row count == current + changes."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_spark.operators.merge import scd2_apply
+
+    base = dt.date(2024, 1, 1)
+    current = spark.createDataFrame(
+        [(k, "orig", dt.date(2020, 1, 1), None, True) for k in (1, 2, 3, 4)],
+        "k long, seg string, valid_from date, valid_to date, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(k, s, base + dt.timedelta(days=d)) for k, s, d in change_rows],
+        "k long, seg string, chg date",
+    )
+    out = scd2_apply(current, changes, ["k"], "chg").collect()
+    assert len(out) == 4 + len(change_rows)
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    changed_keys = {k for k, _, _ in change_rows}
+    for k, rows in by_key.items():
+        currents = [r for r in rows if r["is_current"]]
+        assert len(currents) == 1
+        assert (currents[0]["valid_to"] is None)
+        if k in changed_keys:
+            # versions chain: sort by valid_from; each closes at the next's start
+            rows.sort(key=lambda r: r["valid_from"])
+            for a, b in zip(rows, rows[1:]):
+                assert a["valid_to"] == b["valid_from"]
+        else:
+            assert currents[0]["seg"] == "orig"
