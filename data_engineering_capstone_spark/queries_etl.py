@@ -542,3 +542,152 @@ def etl_i94_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("origin_country", "travel_mode", "state_name", "visa_category")
     )
+
+
+@query(
+    "etl_profile_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           COUNT(*) - COUNT(o_orderkey),
+           COUNT(DISTINCT o_orderkey),
+           CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE)
+    FROM orders
+    ORDER BY col_name
+    """,
+)
+def etl_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the reference's stubbed data_quality operator,
+    grown up — plugins/operators/data_quality.py:1-13): null count,
+    distinct count, min/max per column in ONE pass over the table (a
+    single wide aggregate, not one scan per column — at 100 TB, N
+    columns profiled must not mean N scans), unpivoted to one row per
+    column at the tiny output.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice", "o_orderkey"]
+    wide = o.agg(
+        *[
+            agg
+            for c in cols
+            for agg in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"),
+                F.countDistinct(c).alias(f"{c}__nd"),
+                F.min(F.col(c).cast("double")).alias(f"{c}__mn"),
+                F.max(F.col(c).cast("double")).alias(f"{c}__mx"),
+            )
+        ]
+    )
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) AS (col_name, n_null, n_distinct, min_val, max_val)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+                ),
+            )
+        )
+    )
+    return stacked.orderBy("col_name")
+
+
+@query(
+    "etl_funnel_steps",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after
+    """,
+)
+def etl_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each step must occur
+    strictly AFTER the user's first completion of the previous step —
+    sequence detection via per-step min-timestamp aggregates chained
+    through joins (each step's table shrinks, so the joins get cheaper
+    down-funnel; all shuffles key on user_id and AQE reuses the
+    exchange). The three step counts come from ONE distributed plan —
+    left-join the step tables on user_id and count non-null step
+    timestamps in a single final aggregate (no driver-side .count()
+    per step, which would re-execute the chain once per step).
+    """
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_viewed"),
+            F.count("t_click").alias("n_clicked_after"),
+            F.count("t_purchase").alias("n_purchased_after"),
+        )
+    )
+
+
+@query(
+    "etl_price_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) + 1 AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def etl_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over order totals: floor(price/width)+1
+    assigns each row its bin JVM-side (width_bucket semantics spelled
+    out in portable arithmetic — DuckDB lacks the function), one hash
+    aggregate produces the profile — the single-pass distribution
+    sketch behind skew diagnosis and band pricing. The 25000 width is
+    integer-representable, so bin assignment is engine-identical.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            (F.floor(F.col("o_totalprice") / 25000) + 1).cast("int").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
