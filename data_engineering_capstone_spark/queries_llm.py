@@ -600,3 +600,89 @@ def llm_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(phone_re), 0)).cast("int").alias("n_phones"),
         F.length(redacted).cast("bigint").alias("red_len"),
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // 15 AS INT) AS chunk_id,
+           CAST(len(tk[CAST(s + 1 AS INT):CAST(s + 20 AS INT)]) AS INT) AS n_tokens,
+           md5(array_to_string(tk[CAST(s + 1 AS INT):CAST(s + 20 AS INT)], ' ')) AS chunk_md5
+    FROM toks, UNNEST(range(0, len(tk), 15)) AS u(s)
+    WHERE len(tk) > 0
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking: 20-token windows, stride 15 (5-token
+    overlap), one output row per chunk with its md5 identity. The
+    explode happens partition-local (no shuffle); the md5 digest rather
+    than the text keeps the output narrow — the shape a chunk-level
+    dedup or packing stage consumes at 100 TB.
+    """
+    from .llm.chunking import chunk_by_tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_by_tokens(d, "text", "doc_id", size=20, stride=15).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@query(
+    "llm_prep_pipeline_e2e",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), filt AS (
+      SELECT * FROM base WHERE len(tk) >= 20
+    ), dedup AS (
+      SELECT * FROM filt
+      WHERE doc_id = (SELECT MIN(doc_id) FROM filt f2 WHERE f2.fp = filt.fp)
+    ), chunks AS (
+      SELECT doc_id, lang,
+             len(tk[CAST(s + 1 AS INT):CAST(s + 20 AS INT)]) AS n_tok
+      FROM dedup, UNNEST(range(0, len(tk), 15)) AS u(s)
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM chunks
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_prep_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: length gate (>= 20 tokens) →
+    exact dedup (min doc_id per normalized-content md5) → token-window
+    chunking (20/15) → per-language corpus stats. The full pipeline is
+    ONE Catalyst plan: gate and digest are computed in the scan
+    projection, the dedup is the only shuffle (16-byte key), the chunk
+    explode is partition-local, and the final stats aggregate is
+    map-side-partial over 5 language keys.
+    """
+    from .llm.chunking import chunk_by_tokens
+    from .llm.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    gated = d.filter(token_count("text") >= 20)
+    deduped = exact_dedup(gated, "text", "doc_id")
+    chunks = chunk_by_tokens(deduped, "text", "doc_id", size=20, stride=15,
+                             keep_cols=("lang",))
+    return (
+        chunks.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -22,6 +22,7 @@ from .catalog import query
 from .session import prep
 from .streaming.windows import (
     dedup_within_watermark,
+    interval_join_clicks_purchases,
     stateful_user_stats,
     run_available_now,
     run_foreach_batch_to_parquet,
@@ -216,4 +217,38 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_value")
         .orderBy("user_id")
+    )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', p.ts) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM events c
+    JOIN events p ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks x purchases within 30 min,
+    same user), drained with availableNow then aggregated per purchase
+    hour. Watermarks + two-sided time bounds keep the join state store
+    bounded; the drained pair set is exactly the batch interval join,
+    which is what the oracle runs.
+    """
+    joined = interval_join_clicks_purchases(
+        _events(spark, sf_dir), _events(spark, sf_dir)
+    )
+    out = run_available_now(joined, "append")
+    return (
+        out.groupBy(F.date_trunc("hour", "purchase_ts").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_start")
     )

@@ -196,3 +196,38 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def interval_join_clicks_purchases(
+    clicks_src: DataFrame,
+    purchases_src: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks within ``lookback`` before it.
+
+    Both sides carry watermarks and the join condition bounds BOTH
+    event-time columns — that is what lets Spark evict buffered rows
+    from the join state store once the watermark passes
+    ``purchase_ts - lookback`` (unbounded state otherwise; the
+    difference between a join that survives a day of 100 TB ingest and
+    one that OOMs). Inner join emits pairs as soon as both sides
+    arrive — no watermark wait on output.
+    """
+    clicks = (
+        clicks_src.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        purchases_src.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+    )
+    return clicks.join(purchases, cond, "inner").drop("c_user")

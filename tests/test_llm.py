@@ -165,3 +165,36 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     # probing 4/16 cells of uniform-random data ~ 25% of the corpus;
     # bar = meaningfully above the probe fraction and far above chance
     assert recall >= 0.3, f"IVF recall {recall:.2f}"
+
+
+def test_chunking_covers_every_token_and_overlaps(spark):
+    from data_engineering_capstone_spark.llm.chunking import chunk_by_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(47))),   # 47 tokens -> starts 0,15,30,45
+            (2, "a b c"),                                 # shorter than one window
+            (3, "   "),                                   # whitespace only -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_by_tokens(docs, "text", "doc_id", size=20, stride=15, with_text=True)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+
+    assert sorted(k for k in rows if k[0] == 1) == [(1, 0), (1, 1), (1, 2), (1, 3)]
+    # full windows are exactly `size`; the tail window holds the remainder
+    assert rows[(1, 0)].n_tokens == 20
+    assert rows[(1, 3)].n_tokens == 2            # tokens 45, 46
+    # stride < size -> consecutive windows share size-stride tokens
+    w0 = rows[(1, 0)].chunk_text.split(" ")
+    w1 = rows[(1, 1)].chunk_text.split(" ")
+    assert w0[15:] == w1[:5]
+    # every token appears in some window, in order
+    reassembled = []
+    for cid in range(4):
+        toks = rows[(1, cid)].chunk_text.split(" ")
+        reassembled.extend(toks[5:] if cid else toks)
+    assert reassembled == [f"t{i}" for i in range(47)]
+
+    assert rows[(2, 0)].n_tokens == 3 and (2, 1) not in rows
+    assert not any(k[0] == 3 for k in rows)

@@ -104,3 +104,35 @@ def test_kafka_plumbing_raises_clear_error_without_connector(spark):
     schema = T.StructType([T.StructField("x", T.LongType())])
     with pytest.raises(RuntimeError, match="--packages"):
         read_kafka_stream(spark, "localhost:9092", "events", schema)
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir):
+    from data_engineering_capstone_spark.queries_streaming import _events
+    from data_engineering_capstone_spark.sources.testdata import load_table
+    from data_engineering_capstone_spark.streaming.windows import (
+        interval_join_clicks_purchases,
+        run_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    streamed = run_available_now(
+        interval_join_clicks_purchases(_events(spark, sf_dir), _events(spark, sf_dir)),
+        "append",
+    )
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("click_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    batch = c.join(
+        p,
+        (F.col("u") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).drop("u")
+
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
