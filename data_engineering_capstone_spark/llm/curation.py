@@ -1,0 +1,191 @@
+"""Corpus curation operators for training-data pipelines (BASELINE.json
+extension surface; SURVEY.md §2 C-llm-text/C-llm-dedup adjacents):
+repetition-based quality gating, benchmark decontamination, sequence
+packing, and target-mix rebalancing.
+
+All pure DataFrame plans — explode + hash-aggregate shapes that keep
+whole-stage codegen and map-side partial combine (the nested
+higher-order-lambda forms fall out of codegen; see SCALE.md §8).
+
+Scale notes (100 TB):
+* repetition metrics shuffle (doc_id, term) partial counts, never text;
+* decontamination is an inverted-index equi-join on n-gram shingles —
+  the benchmark side is tiny and broadcast;
+* packing uses the two-phase prefix sum (operators/prefix.py) so no
+  single-partition window ever sees the corpus;
+* rebalancing computes per-group quotas from counts (tiny aggregate) and
+  keeps a deterministic hash-ordered prefix per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.strings import ngrams, tokens
+from ..operators.prefix import global_running_sum
+
+
+def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition statistics per document.
+
+    Returns (id, n_tokens, top_token_frac, dup_token_frac,
+    top_bigram_frac): the fraction of tokens taken by the single most
+    frequent token, the fraction of tokens that are repeats of an
+    earlier token, and the fraction of bigrams taken by the most
+    frequent bigram. High values flag boilerplate / spam for quality
+    gating (Rae et al. 2021, "Scaling Language Models", table A1 — the
+    public Gopher repetition rules).
+
+    Plan shape: two explode → count aggregates (token and bigram level)
+    joined per id; shuffles carry (id, term) counts, not documents.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    tok_counts = tok.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("c"))
+    tok_stats = tok_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_c"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+
+    big = df.select(F.col(id_col), F.explode(ngrams(text_col, 2)).alias("__b"))
+    big_counts = big.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("c"))
+    big_stats = big_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bc")
+    )
+
+    return tok_stats.join(big_stats, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_token_frac"),
+        F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6).alias("dup_token_frac"),
+        F.round(F.coalesce(F.col("top_bc") / F.col("n_bigrams"), F.lit(0.0)), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+def repetition_gate(
+    metrics: DataFrame,
+    max_top_token_frac: float = 0.15,
+    max_dup_token_frac: float = 0.55,
+    max_top_bigram_frac: float = 0.05,
+) -> DataFrame:
+    """Attach the pass/fail quality gate to repetition metrics."""
+    return metrics.withColumn(
+        "passes",
+        (F.col("top_token_frac") <= max_top_token_frac)
+        & (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram_n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    ``ngram_n``-gram with a held-out benchmark set (the test-set-overlap
+    scrub every pretraining pipeline runs; 8–13-gram overlap in
+    published pipelines, 5 here to suit the short synthetic docs).
+
+    Returns (id, n_hit_shingles, n_bench_docs) for contaminated docs
+    only. Plan: distinct-shingle explode on both sides, equi-join on the
+    shingle string — the benchmark side is small and broadcast, so the
+    corpus is never shuffled; at 100 TB hash the shingles to 8-byte keys
+    first (same join shape, narrower key).
+    """
+    def shingled(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(alias),
+            F.explode(F.array_distinct(ngrams(text_col, ngram_n))).alias("__s"),
+        )
+
+    c = shingled(corpus, "__cid")
+    b = shingled(benchmark, "__bid")
+    return (
+        c.join(F.broadcast(b), "__s")
+        .groupBy("__cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_shingles"),
+            F.countDistinct("__bid").alias("n_bench_docs"),
+        )
+        .select(
+            F.col("__cid").alias(id_col),
+            F.col("n_hit_shingles").cast("bigint").alias("n_hit_shingles"),
+            F.col("n_bench_docs").cast("bigint").alias("n_bench_docs"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int = 512,
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """Assign documents to fixed-length training sequences by contiguous
+    concatenation in ``id_col`` order (the standard pretraining packing:
+    concatenate the token stream, cut every ``seq_len`` tokens).
+
+    Adds ``start_pos`` (global token offset of the doc's first token),
+    ``seq_first``/``seq_last`` (sequence indices the doc lands in; docs
+    may straddle a boundary) and ``seq_offset`` (position within
+    ``seq_first``). Built on the two-phase prefix sum — no
+    single-partition window over the corpus (operators/prefix.py).
+    """
+    cum = global_running_sum(
+        df, id_col, n_tokens_col, out_col="__cum", bucket_size=bucket_size
+    )
+    start = F.col("__cum") - F.col(n_tokens_col)
+    return (
+        cum.withColumn("start_pos", start.cast("bigint"))
+        .withColumn("seq_first", F.floor(start / seq_len).cast("bigint"))
+        .withColumn("seq_offset", (start % seq_len).cast("bigint"))
+        .withColumn(
+            "seq_last",
+            F.floor((F.col("__cum") - 1) / seq_len).cast("bigint"),
+        )
+        .drop("__cum")
+    )
+
+
+def rebalance_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weights_bp: dict[str, int],
+) -> DataFrame:
+    """Deterministic target-mix rebalancing: downsample each group to
+    ``total * weight_bp // 10000`` documents (capped at the group's
+    actual size), selecting members by content-hash order so the sample
+    is reproducible across engines and layouts (same device as
+    llm_stratified_sample; the domain-reweighting step of corpus
+    assembly).
+
+    Weights are integer basis points, and the quota is exact integer
+    arithmetic — ``floor(0.12 * total)`` in binary doubles lands one ulp
+    below the decimal-exact product and floors to quota-1, so float
+    weights are a cross-engine divergence trap.
+
+    Returns the kept rows. ``weights_bp`` groups absent from the data
+    are ignored; groups absent from ``weights_bp`` are dropped.
+    """
+    total = df.count()  # tiny scalar action; at 100 TB read from table stats
+    quota = F.lit(None).cast("long")
+    for g, bp in sorted(weights_bp.items()):
+        quota = F.when(F.col(group_col) == g, F.lit(total * int(bp) // 10000)).otherwise(quota)
+    w_g = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__quota", quota)
+        .filter(F.col("__quota").isNotNull())
+        .withColumn("__rn", F.row_number().over(w_g))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__quota", "__rn")
+    )

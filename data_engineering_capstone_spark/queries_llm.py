@@ -635,6 +635,183 @@ def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS t
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), tok_stats AS (
+      SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_c, COUNT(*) AS n_distinct
+      FROM tc GROUP BY 1
+    ), tk AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])) AS b
+      FROM tk WHERE len(t) >= 2
+    ), bc AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    ), big_stats AS (
+      SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bc FROM bc GROUP BY 1
+    ), m AS (
+      SELECT ts.doc_id,
+             CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+             ROUND(ts.top_c / ts.n_tokens, 6) AS top_token_frac,
+             ROUND(1 - ts.n_distinct / ts.n_tokens, 6) AS dup_token_frac,
+             ROUND(COALESCE(bs.top_bc / bs.n_bigrams, 0), 6) AS top_bigram_frac
+      FROM tok_stats ts LEFT JOIN big_stats bs USING (doc_id)
+    )
+    SELECT *,
+           (top_token_frac <= 0.15 AND dup_token_frac <= 0.55
+            AND top_bigram_frac <= 0.05) AS passes
+    FROM m ORDER BY doc_id
+    """,
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: per-doc top-token fraction,
+    duplicate-token fraction, and top-bigram fraction, with the pass/
+    fail gate attached (llm/curation.py). Two explode → hash-aggregate
+    stages; the shuffles carry (doc_id, term) counts, never text — the
+    boilerplate/spam pre-filter of corpus pipelines.
+    """
+    from .llm.curation import repetition_gate, repetition_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_gate(repetition_metrics(d, "text", "doc_id")).orderBy("doc_id")
+
+
+@query(
+    "llm_decontamination",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 4),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+      FROM tk WHERE len(t) >= 5
+    ), bench AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % 10 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hit_shingles,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.s = b.s
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 10th doc plays the held-out eval
+    set; corpus docs sharing any 5-gram shingle with it are flagged with
+    hit counts (llm/curation.py). The benchmark shingle set is broadcast
+    — the corpus side never shuffles, the scale shape of the test-set-
+    overlap scrub.
+    """
+    from .llm.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate(corpus, bench, "text", "doc_id", ngram_n=5).orderBy("doc_id")
+
+
+@query(
+    "llm_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_pos,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset,
+           CAST((cum - 1) // 512 AS BIGINT) AS seq_last
+    FROM c WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate the token stream in
+    doc_id order, cut every 512 tokens; each doc gets its global token
+    offset and first/last sequence index. The running total is the
+    TWO-PHASE prefix sum (operators/prefix.py) — per-bucket partials,
+    a bucket-level cumsum over ~N/64 tiny rows, then parallel
+    intra-bucket windows — because a bare ``SUM OVER (ORDER BY)`` plans
+    a single-partition sort that cannot survive 100 TB. The oracle IS
+    that naive window (safe at DuckDB's scale), pinning equivalence.
+    """
+    from .llm.curation import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", token_count("text").cast("bigint").alias("n_tokens"))
+    packed = pack_sequences(d, "doc_id", "n_tokens", seq_len=512, bucket_size=64)
+    return (
+        packed.filter(F.col("doc_id") < 300)
+        .select("doc_id", "n_tokens", "start_pos", "seq_first", "seq_offset", "seq_last")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_mix_rebalance",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS total FROM documents),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    ), kept AS (
+      SELECT r.* FROM ranked r, n
+      WHERE rn <= (total * (CASE lang WHEN 'en' THEN 2500 ELSE 1200 END)) // 10000
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(n_lang) AS BIGINT) AS n_total,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           MIN(md5(CAST(doc_id AS VARCHAR))) AS first_hash
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mix rebalancing: downsample each language to a target
+    share of the corpus (en 25%, others 12% — integer basis points, so
+    the quota arithmetic is engine-exact), members chosen by content-
+    hash order (llm/curation.py). Membership-sensitive digests in the
+    output catch quota-boundary divergence, not just counts.
+    """
+    from .llm.curation import rebalance_mix
+
+    d = _t(spark, sf_dir, "documents")
+    kept = rebalance_mix(
+        d, "lang", "doc_id",
+        {"de": 1200, "en": 2500, "es": 1200, "fr": 1200, "zh": 1200},
+    )
+    n_lang = _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min(F.md5(F.col("doc_id").cast("string"))).alias("first_hash"),
+        )
+        .join(F.broadcast(n_lang), "lang")
+        .select("lang", "n_kept", "n_total", "id_sum", "first_hash")
+        .orderBy("lang")
+    )
+
+
+@query(
     "llm_prep_pipeline_e2e",
     oracle="""
     WITH base AS (

@@ -1,0 +1,99 @@
+"""Tests for corpus-curation operators: two-phase prefix sum vs the
+naive window, packing invariants, repetition gating, decontamination,
+and deterministic mix rebalancing (BASELINE.json extension surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_spark.llm.curation import (
+    decontaminate,
+    pack_sequences,
+    rebalance_mix,
+    repetition_gate,
+    repetition_metrics,
+)
+from data_engineering_capstone_spark.operators.prefix import global_running_sum
+
+
+@pytest.fixture(scope="module")
+def sized_docs(spark):
+    # 40 docs, ids with gaps, varying token counts 1..12
+    rows = [(i * 3 + (i % 2), (i % 12) + 1) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, n_tok long")
+
+
+def test_prefix_sum_matches_naive_window(spark, sized_docs):
+    two_phase = global_running_sum(
+        sized_docs.repartition(7), "doc_id", "n_tok", out_col="rs", bucket_size=16
+    )
+    naive = sized_docs.withColumn(
+        "rs",
+        F.sum("n_tok").over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    a = {r["doc_id"]: r["rs"] for r in two_phase.collect()}
+    b = {r["doc_id"]: r["rs"] for r in naive.collect()}
+    assert a == b
+
+
+def test_pack_sequences_invariants(spark, sized_docs):
+    packed = pack_sequences(sized_docs, "doc_id", "n_tok", seq_len=10, bucket_size=16)
+    rows = sorted(packed.collect(), key=lambda r: r["doc_id"])
+    # contiguity: each doc starts where the previous ended
+    pos = 0
+    for r in rows:
+        assert r["start_pos"] == pos
+        assert r["seq_first"] == pos // 10
+        assert r["seq_offset"] == pos % 10
+        assert r["seq_last"] == (pos + r["n_tok"] - 1) // 10
+        # straddling docs span consecutive sequences
+        assert r["seq_last"] >= r["seq_first"]
+        pos += r["n_tok"]
+    # some doc must straddle a boundary with seq_len=10 and sizes 1..12
+    assert any(r["seq_last"] > r["seq_first"] for r in rows)
+
+
+def test_repetition_gate_planted(spark):
+    spam = "buy now " * 25                       # one bigram dominates
+    diverse = " ".join(f"tok{i}" for i in range(50))
+    df = spark.createDataFrame([(1, spam), (2, diverse)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_gate(repetition_metrics(df, "text", "doc_id")).collect()}
+    assert not out[1]["passes"]
+    assert out[2]["passes"]
+    assert out[1]["top_bigram_frac"] > 0.4
+    assert out[2]["dup_token_frac"] == 0.0
+
+
+def test_decontaminate_planted(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words alpha beta gamma delta epsilon suffix"),  # shares 5-gram
+            (2, "totally unrelated content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r for r in decontaminate(corpus, bench, "text", "doc_id", ngram_n=5).collect()}
+    assert 1 in hits and 2 not in hits
+    assert hits[1]["n_bench_docs"] == 1
+
+
+def test_rebalance_mix_quota_and_determinism(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)]  # 60 en, 30 de
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = rebalance_mix(df, "lang", "doc_id", {"en": 5000, "de": 1000})
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 45, "de": 9}  # 90*0.5, 90*0.1
+    # deterministic under different layouts
+    kept2 = rebalance_mix(df.repartition(13), "lang", "doc_id", {"en": 5000, "de": 1000})
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in kept2.collect()
+    )
+    # group absent from weights is dropped
+    assert kept.filter(~F.col("lang").isin("en", "de")).count() == 0
