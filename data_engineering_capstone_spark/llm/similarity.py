@@ -223,3 +223,64 @@ def ivf_ann_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), F.col("rk").cast("int").alias("rk"))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    num_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embeddings with a seeded k-means coarse quantizer, then compare
+    pairs ONLY within each cluster; a document is a duplicate if a
+    lower-id member of its cluster sits above the cosine threshold.
+
+    Returns flagged duplicates: (id, cell, dup_of = lowest matching
+    keeper id, cos_sim to it). Precision is exact (every flagged pair
+    really clears the threshold); recall is bounded by the clustering —
+    cross-cluster near-dups are missed by design, which is the trade
+    that makes the pass linear-ish: the pairwise stage is quadratic only
+    within cells of ~N/num_centroids rows, an equi-join on the cell id
+    rather than an all-pairs product. The exact quadratic twin
+    (:func:`embedding_near_dup_pairs`) is the verification baseline in
+    tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    train = corpus.select(F.col(id_col), array_to_vector(dbl).alias("features"))
+    model = KMeans(k=num_centroids, seed=seed, maxIter=20).fit(train)
+    assigned = model.transform(train).select(
+        F.col(id_col), vector_to_array("features").alias("__vec"), F.col("prediction").alias("cell")
+    )
+
+    a = assigned.select(
+        F.col(id_col).alias("__id_a"), F.col("__vec").alias("__vec_a"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__id_b"), F.col("__vec").alias("__vec_b"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .select("cell", "__id_a", "__id_b", cosine(F.col("__vec_a"), F.col("__vec_b")).alias("__sim"))
+        .filter(F.col("__sim") >= threshold)
+    )
+    return (
+        pairs.groupBy("__id_b")
+        .agg(
+            F.min("cell").alias("cell"),
+            F.min("__id_a").alias("dup_of"),
+            F.max("__sim").alias("__best"),
+        )
+        .select(
+            F.col("__id_b").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            "dup_of",
+            F.round("__best", 6).alias("cos_sim"),
+        )
+    )

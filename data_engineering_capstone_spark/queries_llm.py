@@ -361,6 +361,20 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(e, q, k=5).orderBy("q_id", "rk")
 
 
+@query("llm_semantic_dedup", oracle=None)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: seeded k-means cells over the
+    embeddings, within-cell cosine >= 0.42 flags the higher id as a
+    duplicate of the lowest matching keeper (llm/similarity.py). Rows-
+    only (k-means cell boundaries are model-internal); precision/recall
+    vs the exact quadratic pair set is asserted in tests/test_llm.py.
+    """
+    from .llm.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.42, num_centroids=8).orderBy("vec_id")
+
+
 @query(
     "llm_stratified_sample",
     oracle="""

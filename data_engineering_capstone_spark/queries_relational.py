@@ -278,6 +278,41 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           quantile_cont(l_quantity, 0.25) AS qty_p25,
+           median(l_quantity) AS qty_med,
+           quantile_cont(l_quantity, 0.75) AS qty_p75,
+           quantile_cont(l_quantity, 0.9) AS qty_p90,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (linear interpolation, percentile_cont
+    semantics) — the precise cousin of the approx sketch above. Exact
+    percentile sorts within each group; safe when group counts are
+    bounded, whereas the sketch is the 100 TB default. l_quantity holds
+    integer values, so interpolated quartiles are exact binary fractions
+    and both engines agree bit-for-bit.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("qty_p25"),
+            F.median("l_quantity").alias("qty_med"),
+            F.percentile("l_quantity", 0.75).alias("qty_p75"),
+            F.percentile("l_quantity", 0.9).alias("qty_p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
     "rollup_returnflag_status",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -198,3 +198,32 @@ def test_chunking_covers_every_token_and_overlaps(spark):
 
     assert rows[(2, 0)].n_tokens == 3 and (2, 1) not in rows
     assert not any(k[0] == 3 for k in rows)
+
+
+def test_semantic_dedup_precision_and_planted_recall(spark, sf_dir):
+    """Every flagged dup must clear the threshold against its keeper
+    (exact precision); a planted near-identical pair must be caught."""
+    from data_engineering_capstone_spark.llm.similarity import cosine, semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # plant a near-identical copy of vec 0 with a fresh id
+    planted = e.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(planted)
+    dups = semantic_dedup(corpus, threshold=0.42, num_centroids=8)
+    rows = dups.collect()
+    # planted twin flagged, attributed to a keeper above threshold
+    twin = [r for r in rows if r["vec_id"] == 100000]
+    assert twin and twin[0]["dup_of"] == 0
+    # precision: re-verify every (dup_of, vec_id) pair exactly
+    a = corpus.select(F.col("vec_id").alias("dup_of"), F.col("embedding").alias("__ea"))
+    b = corpus.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("__eb"))
+    verified = (
+        dups.join(a, "dup_of").join(b, "vec_id")
+        .select(cosine(F.col("__ea"), F.col("__eb")).alias("sim"))
+        .collect()
+    )
+    assert len(verified) == len(rows)
+    assert all(r["sim"] >= 0.42 - 1e-9 for r in verified)

@@ -24,6 +24,7 @@ from data_engineering_capstone_spark.session import get_spark
 from data_engineering_capstone_spark.sources.testdata import TABLES
 
 FLOAT_ATOL = 1e-6
+FLOAT_RTOL = 1e-9
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -63,9 +64,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av_f = pd.to_numeric(av, errors="coerce").astype(float)
             bv_f = pd.to_numeric(bv, errors="coerce").astype(float)
-            if not np.allclose(av_f, bv_f, atol=FLOAT_ATOL, rtol=1e-9, equal_nan=True):
-                bad = (~np.isclose(av_f, bv_f, atol=FLOAT_ATOL, rtol=1e-9, equal_nan=True)).sum()
-                problems.append(f"col {c}: {bad} float mismatches (e.g. {av_f[~np.isclose(av_f, bv_f, atol=FLOAT_ATOL, rtol=1e-9, equal_nan=True)].head(3).tolist()} vs duck)")
+            if not np.allclose(av_f, bv_f, atol=FLOAT_ATOL, rtol=FLOAT_RTOL, equal_nan=True):
+                bad = (~np.isclose(av_f, bv_f, atol=FLOAT_ATOL, rtol=FLOAT_RTOL, equal_nan=True)).sum()
+                problems.append(f"col {c}: {bad} float mismatches (e.g. {av_f[~np.isclose(av_f, bv_f, atol=FLOAT_ATOL, rtol=FLOAT_RTOL, equal_nan=True)].head(3).tolist()} vs duck)")
         else:
             eq = (av.fillna("\0NULL") == bv.fillna("\0NULL")) if av.dtype == object else (av.isna() & bv.isna()) | (av == bv)
             if not eq.all():
@@ -75,7 +76,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
+    global FLOAT_ATOL, FLOAT_RTOL
     args = sys.argv[1:]
+    if "--exact" in args:
+        # bit-exact float compare — the driver hashes values, so a 1e-7
+        # drift that parity's tolerance forgives still fails the gate
+        FLOAT_ATOL = 0.0
+        FLOAT_RTOL = 0.0
+        args = [a for a in args if a != "--exact"]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     if args and os.path.isdir(args[0]):
         args = args[1:]
