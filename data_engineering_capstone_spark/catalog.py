@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
         queries_etl,
         queries_llm,
         queries_streaming,
+        queries_timeseries,
         queries_udf,
         queries_sources,
         queries_sql,

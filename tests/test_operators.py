@@ -97,3 +97,39 @@ def test_pivot_pinned_values(spark):
     assert wide.columns == ["city", "A", "B", "C"]
     row = {r["city"]: (r["A"], r["B"], r["C"]) for r in wide.collect()}
     assert row == {"c1": (1, 2, None), "c2": (3, None, None)}
+
+
+def test_forward_fill_carries_last_non_null(spark):
+    from data_engineering_capstone_spark.operators.timeseries import forward_fill
+
+    rows = [(1, 1, None), (1, 2, 10.0), (1, 3, None), (1, 4, None), (1, 5, 20.0), (2, 1, None)]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    out = {(r["k"], r["t"]): r["v_ffill"] for r in forward_fill(df, "k", "t", ["v"]).collect()}
+    assert out[(1, 1)] is None          # nothing to carry yet
+    assert out[(1, 3)] == 10.0 and out[(1, 4)] == 10.0
+    assert out[(1, 5)] == 20.0
+    assert out[(2, 1)] is None          # fill never crosses partitions
+
+
+def test_dense_grid_complete_and_rollup_reaggregates(spark):
+    from data_engineering_capstone_spark.operators.timeseries import dense_grid, time_bucket
+    from pyspark.sql import functions as F
+
+    ents = spark.createDataFrame([(1,), (2,), (3,)], "user_id int")
+    grid = dense_grid(ents, spark, "2024-01-01", "2024-01-02", "1 HOUR")
+    assert grid.count() == 3 * 24
+    # hierarchical rollup: day-from-hour equals day-from-raw
+    rows = [(i, f"2024-01-01 {i % 24:02d}:{(i * 7) % 60:02d}:00", float(i)) for i in range(100)]
+    ev = spark.createDataFrame(rows, "id int, ts_s string, v double").select(
+        "id", F.to_timestamp("ts_s").alias("ts"), "v"
+    )
+    hourly = ev.groupBy(time_bucket("ts", "1 hour").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast("decimal(12,2)")).alias("s")
+    )
+    day_from_hour = hourly.groupBy(F.date_trunc("day", "h").alias("d")).agg(
+        F.sum("n").alias("n"), F.sum("s").cast("double").alias("s")
+    )
+    day_direct = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast("decimal(12,2)")).cast("double").alias("s")
+    )
+    assert sorted(day_from_hour.collect()) == sorted(day_direct.collect())
