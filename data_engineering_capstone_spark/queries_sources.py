@@ -104,6 +104,23 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(spark, sf_dir, back)
 
 
+@query("scan_xml_roundtrip", oracle=_NATION_AGG)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-scan: XML round trip through the built-in Spark 4 XML source
+    (rowTag records, explicit schema — no inference pass). The
+    slow-but-everywhere interchange format; correctness-critical because
+    every value crosses a text boundary.
+    """
+    from .sources.readers import read_xml
+
+    c = _t(spark, sf_dir, "customer")
+    path = _tmp(sf_dir, "customer_xml")
+    shutil.rmtree(path, ignore_errors=True)
+    c.write.mode("overwrite").option("rowTag", "customer").format("xml").save(path)
+    back = read_xml(spark, path, row_tag="customer", schema=CUSTOMER_SCHEMA)
+    return _roundtrip_agg(spark, sf_dir, back)
+
+
 @query("scan_orc_roundtrip", oracle=_NATION_AGG)
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C-scan: ORC round trip — the other columnar format (predicate

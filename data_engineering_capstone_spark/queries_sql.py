@@ -116,3 +116,42 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Expand node, one aggregate pass over all three groupings.
     """
     return _sql(spark, sf_dir, _GROUPING_SETS_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+WHERE c.c_custkey < 100
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+@query(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    WHERE c.c_custkey < 100
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with per-row ORDER BY/LIMIT —
+    top-2 orders per customer. Catalyst decorrelates the lateral into a
+    ranked window over a join (same physical shape as the explicit
+    row_number form in window_rank_customers), so the per-row "run a
+    subquery" reading never executes as N scans.
+    """
+    return _sql(spark, sf_dir, _LATERAL_SQL)

@@ -71,6 +71,21 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """XML scan (built-in data source since Spark 4.0). Explicit schema
+    as elsewhere — XML inference is an extra pass and type-unstable."""
+    reader = spark.read.format("xml").option("rowTag", row_tag).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_sas(spark: SparkSession, path: str) -> DataFrame:
     """SAS7BDAT scan (reference: notebook cell-5, dags/libs/lib.py:139).
 

@@ -181,3 +181,29 @@ def test_scd2_invariants(spark, change_rows):
                 assert a["valid_to"] == b["valid_from"]
         else:
             assert currents[0]["seg"] == "orig"
+
+
+# ---------------------------------------------------------------------------
+# Two-phase global prefix sum == sequential cumsum (any sizes, any buckets)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=60),
+    bucket_size=st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_sum_property(spark, vals, bucket_size):
+    from data_engineering_capstone_spark.operators.prefix import global_running_sum
+
+    # non-contiguous keys exercise bucket-boundary alignment
+    rows = [(i * 7 + 3, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(5)
+    got = {
+        r["k"]: r["rs"]
+        for r in global_running_sum(df, "k", "v", out_col="rs", bucket_size=bucket_size).collect()
+    }
+    acc = 0
+    for i, v in enumerate(vals):
+        acc += v
+        assert got[i * 7 + 3] == acc
