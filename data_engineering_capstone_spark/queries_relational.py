@@ -634,6 +634,76 @@ def pivot_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_conditional_family",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_large,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.05) AS any_big_discount,
+           (MAX(struct_pack(p := l_extendedprice, k := l_orderkey))).k AS max_price_orderkey,
+           (MAX(struct_pack(p := l_extendedprice, k := l_orderkey))).p AS max_price
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_conditional_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family: count_if (FILTER clause),
+    bool_and / bool_or, and a DETERMINISTIC argmax — max over a
+    (measure, tiebreak-key) struct compares lexicographically, so ties
+    on the measure resolve by key instead of by partition arrival order
+    (the trap in max_by/arg_max at scale: re-planning changes the
+    answer). One hash aggregate, all JVM-side.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    argmax = F.max(
+        F.struct(F.col("l_extendedprice").alias("p"), F.col("l_orderkey").alias("k"))
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_large"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+            F.bool_or(F.col("l_discount") > 0.05).alias("any_big_discount"),
+            argmax.getField("k").alias("max_price_orderkey"),
+            argmax.getField("p").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "unpivot_year_status",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def unpivot_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide year × status table from pivot_year_
+    status back to long form via ``DataFrame.unpivot`` — the wide→long
+    reshape (B9's inverse). Round-tripping through the pivot proves the
+    pair is lossless; zero-count cells (pivot fills 0) are dropped to
+    match the long form, where absent combinations have no row.
+    """
+    from .operators.pivot import pivot_wide
+
+    o = _t(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate").cast("int"))
+    wide = pivot_wide(o, ["order_year"], "o_orderstatus", ["O", "F", "P"], "o_orderkey", agg="count")
+    filled = wide.select(
+        "order_year",
+        *[F.coalesce(F.col(f"`{s}`"), F.lit(0)).alias(s) for s in ("O", "F", "P")],
+    )
+    return (
+        filled.unpivot("order_year", ["O", "F", "P"], "o_orderstatus", "n_orders")
+        .filter(F.col("n_orders") > 0)
+        .orderBy("order_year", "o_orderstatus")
+    )
+
+
+@query(
     "skew_salted_agg",
     oracle="""
     SELECT l_suppkey,
