@@ -295,6 +295,49 @@ def etl_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "etl_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    """,
+)
+def etl_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline metrics via ``Observation``/``df.observe``:
+    quality counters (row count, predicate count, exact decimal total)
+    ride the SAME job that writes the sink — no second scan, which is
+    the difference between quality checks that cost 0% and ones that
+    re-read 100 TB (reference: the stubbed DataQualityOperator,
+    plugins/operators/data_quality.py:5-13, re-specified at scale).
+    The observed values are returned as a one-row DataFrame; the oracle
+    recomputes them directly from the table.
+    """
+    from pyspark.sql import Observation
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    obs = Observation("qc")
+    observed = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("total_price"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), "dec_spark_sink", os.path.basename(sf_dir.rstrip("/")), "observed"
+    )
+    write_parquet(observed, out)  # the one action; metrics piggyback on it
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_discounted"]), float(m["total_price"]))],
+        "n_rows bigint, n_discounted bigint, total_price double",
+    )
+
+
+@query(
     "etl_upsert_orders",
     oracle="""
     WITH base AS (

@@ -165,6 +165,45 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_variant_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS INT) AS max_k,
+           CAST(COUNT(JSON_EXTRACT_STRING(props, '$.absent')) AS BIGINT) AS n_absent,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): ``parse_json`` once into
+    a variant column, then typed path extraction with ``variant_get`` /
+    ``try_variant_get`` — the open-schema alternative to repeated
+    ``get_json_object`` string re-parses (each of which re-tokenizes the
+    JSON; variant parses once and stores a binary-encoded tree). Missing
+    paths yield NULL, counted to pin that semantic.
+    """
+    e = _t(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    return (
+        v.select(
+            "event_type",
+            F.variant_get("v", "$.k", "int").alias("k"),
+            F.try_variant_get("v", "$.absent", "string").alias("absent"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.count("absent").alias("n_absent"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "array_embedding_stats",
     oracle="""
     SELECT vec_id, label,
