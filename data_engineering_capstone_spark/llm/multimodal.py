@@ -204,3 +204,52 @@ def resize_images(
 
     par = df.sparkSession.sparkContext.defaultParallelism
     return df.select(id_col, payload_col).repartition(par).mapInPandas(run, RESIZE_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_window_energy(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window_samples: int = 32,
+) -> DataFrame:
+    """Windowed RMS energy for "audio" payloads: the body bytes stand in
+    for PCM samples (real deployment: soundfile/librosa decode to int16
+    inside the same mapInPandas), windowed into fixed frames with one
+    RMS per window — the VAD/segmentation primitive of audio pipelines.
+
+    Arithmetic is exact-by-construction so SQL oracles can reproduce it:
+    the sum of squares accumulates in Python ints, and the only float
+    ops are one IEEE division and one correctly-rounded sqrt.
+    Non-audio payloads are filtered out before Python sees them.
+    """
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, raw in zip(pdf[id_col], pdf[payload_col]):
+                _, _, _, body = decode_payload(bytes(raw))
+                for w in range(0, len(body), window_samples):
+                    seg = body[w : w + window_samples]
+                    sum_sq = sum(b * b for b in seg)
+                    rms = round(math.sqrt(sum_sq / len(seg)), 6) if seg else 0.0
+                    out.append((int(doc_id), w // window_samples, len(seg), rms))
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_ENERGY_SCHEMA.fields])
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.filter(F.substring(F.col(payload_col), 1, 4) == F.lit(MAGICS["audio"]))
+        .select(id_col, payload_col)
+        .repartition(par)
+        .mapInPandas(run, AUDIO_ENERGY_SCHEMA)
+    )

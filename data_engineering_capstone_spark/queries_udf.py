@@ -17,7 +17,13 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from .catalog import query
-from .llm.multimodal import extract_features, extract_metadata, sample_frames, synthesize_payload
+from .llm.multimodal import (
+    audio_window_energy,
+    extract_features,
+    extract_metadata,
+    sample_frames,
+    synthesize_payload,
+)
 from .session import prep
 from .sources.testdata import load_table
 
@@ -189,6 +195,36 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 8), 6).alias("f7"),
         F.size("features").alias("n_features"),
     ).orderBy("doc_id")
+
+
+@query(
+    "mm_audio_energy",
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id, text FROM documents WHERE lang IN ('fr', 'es')
+    ), chars AS (
+      SELECT doc_id, i, ascii(substr(text, CAST(i AS INT), 1)) AS v
+      FROM audio, UNNEST(range(1, LENGTH(text) + 1)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST((i - 1) // 32 AS INT) AS window_idx,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           ROUND(SQRT(AVG(v * v * 1.0)), 6) AS rms
+    FROM chars GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over "audio" payloads (32-sample windows) via
+    Arrow-batched mapInPandas — the audio leg of the multimodal triad
+    (image resize / video frame-sample / audio energy). The stub "PCM"
+    is the body bytes, so the oracle recomputes identical energies from
+    the characters; all-ASCII corpus keeps char codes == body bytes.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isin("fr", "es"))
+    with_bin = d.select(
+        "doc_id", "text", F.lit("audio").alias("media_type")
+    ).withColumn("payload", synthesize_payload("text", "media_type"))
+    return audio_window_energy(with_bin).orderBy("doc_id", "window_idx")
 
 
 @query(

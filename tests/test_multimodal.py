@@ -117,3 +117,28 @@ def test_resize_images_rewrites_dims_and_passes_through_other_media(spark, sf_di
     # deterministic: second run byte-identical
     again = {r["doc_id"]: bytes(r["payload"]) for r in resize_images(payloads, 224, 224).collect()}
     assert all(bytes(r["payload"]) == again[r["doc_id"]] for r in rows)
+
+
+def test_audio_energy_windows_cover_body(spark):
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_spark.llm.multimodal import (
+        audio_window_energy,
+        synthesize_payload,
+    )
+
+    rows = [(1, "a" * 70, "audio"), (2, "bc", "audio"), (3, "zzz", "image")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, media_type string").withColumn(
+        "payload", synthesize_payload("text", "media_type")
+    )
+    out = audio_window_energy(df, window_samples=32).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc                       # non-audio filtered out
+    # windows tile the body exactly: 70 bytes -> 32 + 32 + 6
+    d1 = sorted(by_doc[1], key=lambda r: r["window_idx"])
+    assert [r["n_samples"] for r in d1] == [32, 32, 6]
+    # constant signal: rms == sample value exactly
+    assert all(abs(r["rms"] - float(ord("a"))) < 1e-9 for r in d1)
+    assert by_doc[2][0]["n_samples"] == 2
