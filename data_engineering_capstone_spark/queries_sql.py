@@ -155,3 +155,35 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery" reading never executes as N scans.
     """
     return _sql(spark, sf_dir, _LATERAL_SQL)
+
+
+_LISTAGG_SQL = """
+SELECT r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@query(
+    "sql_listagg_group",
+    oracle="""
+    SELECT r.r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def sql_listagg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg WITHIN GROUP — Spark 4): the
+    collect-into-delimited-string aggregate, with an explicit intra-group
+    sort so the output is deterministic under any partitioning (an
+    unordered listagg/collect_list concatenates in arrival order, which
+    re-planning changes). Flattens to a scalar string at the boundary —
+    no array-typed output column for the driver hash to choke on.
+    """
+    return _sql(spark, sf_dir, _LISTAGG_SQL)
