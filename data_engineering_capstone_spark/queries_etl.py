@@ -295,6 +295,66 @@ def etl_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "etl_cdc_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders
+    ), b AS (
+      SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN p + 10 ELSE p END AS p
+      FROM a WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, p FROM a WHERE o_orderkey % 5 = 0
+    ), j AS (
+      SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+             a.p AS old_p, b.p AS new_p,
+             CASE WHEN b.o_orderkey IS NULL THEN 'D'
+                  WHEN a.o_orderkey IS NULL THEN 'I'
+                  WHEN a.p IS DISTINCT FROM b.p THEN 'U' END AS op
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT op, o_orderkey,
+           CAST(old_p AS DOUBLE) AS old_o_totalprice,
+           CAST(new_p AS DOUBLE) AS new_o_totalprice
+    FROM j WHERE op IS NOT NULL
+    ORDER BY o_orderkey, op
+    """,
+)
+def etl_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changeset EXTRACTION (operators/cdc.py — the inverse of the
+    upsert/SCD2 appliers): diff today's snapshot against yesterday's
+    into I/U/D rows via one null-safe full outer join, dropping the
+    unchanged majority before materialization. Snapshot B is derived
+    deterministically (every 13th key deleted, every 7th repriced in
+    exact decimal, every 5th re-inserted under a shifted key), so both
+    engines reconstruct the identical changeset.
+    """
+    from .operators.cdc import snapshot_diff
+
+    a = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("p")
+    )
+    b = (
+        a.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "p",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("p") + 10).otherwise(F.col("p")),
+        )
+        .unionByName(
+            a.filter(F.col("o_orderkey") % 5 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"), "p"
+            )
+        )
+    )
+    diff = snapshot_diff(a, b, ["o_orderkey"], ["p"])
+    return diff.select(
+        "op",
+        "o_orderkey",
+        F.col("old_p").cast("double").alias("old_o_totalprice"),
+        F.col("new_p").cast("double").alias("new_o_totalprice"),
+    ).orderBy("o_orderkey", "op")
+
+
+@query(
     "etl_observed_metrics",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -133,3 +133,21 @@ def test_dense_grid_complete_and_rollup_reaggregates(spark):
         F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast("decimal(12,2)")).cast("double").alias("s")
     )
     assert sorted(day_from_hour.collect()) == sorted(day_direct.collect())
+
+
+def test_snapshot_diff_ops_and_null_safety(spark):
+    from data_engineering_capstone_spark.operators.cdc import snapshot_diff
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (5, 50.0)], "k long, v double"
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert 1 not in rows                       # unchanged dropped
+    assert rows[2]["op"] == "U"                # NULL -> value is an update
+    assert rows[3]["op"] == "U"                # value -> NULL is an update
+    assert rows[4]["op"] == "D" and rows[4]["new_v"] is None
+    assert rows[5]["op"] == "I" and rows[5]["old_v"] is None
