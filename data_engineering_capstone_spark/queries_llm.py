@@ -361,6 +361,22 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(e, q, k=5).orderBy("q_id", "rk")
 
 
+@query("llm_bpe_merges", oracle=None)
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: the first 12 BPE merges learned from the
+    corpus word-frequency table (Sennrich-style, end-of-word marker,
+    deterministic tie-break) — llm/bpe.py. Iterative: each round is one
+    pair-count aggregate over the VOCABULARY table (never the corpus)
+    plus an Arrow-batched merge map, lineage truncated per round.
+    Rows-only (iterative, not SQL-expressible); differential-tested
+    against a sequential reference implementation in tests/test_llm.py.
+    """
+    from .llm.bpe import learn_bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    return learn_bpe_merges(d, "text", num_merges=12).orderBy("rank")
+
+
 @query("llm_semantic_dedup", oracle=None)
 def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: seeded k-means cells over the

@@ -227,3 +227,26 @@ def test_semantic_dedup_precision_and_planted_recall(spark, sf_dir):
     )
     assert len(verified) == len(rows)
     assert all(r["sim"] >= 0.42 - 1e-9 for r in verified)
+
+
+def test_bpe_merges_match_sequential_reference(spark, sf_dir):
+    """Distributed BPE == the sequential reference on the same corpus."""
+    from data_engineering_capstone_spark.llm.bpe import learn_bpe_merges, reference_bpe
+    from data_engineering_capstone_spark.functions.strings import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    wf = {
+        r["w"]: r["f"]
+        for r in d.select(F.explode(_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .collect()
+    }
+    expected = reference_bpe(wf, 8)
+    got = [
+        (r["left"], r["right"], r["pair_freq"])
+        for r in learn_bpe_merges(d, "text", num_merges=8).orderBy("rank").collect()
+    ]
+    assert got == expected
+    # merged symbols really are concatenations of earlier symbols
+    assert all(l + r for l, r, _ in got)
