@@ -27,19 +27,32 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    vectorized reader rejects; read it as int64 nanos
-    (``nanosAsLong``) and convert to a micro-precision timestamp
-    column-side — stays fully distributed, matches DuckDB's own
-    ns→us truncation.
+    ``events.ts`` has shipped as either TIMESTAMP(NANOS) parquet (which
+    Spark's vectorized reader rejects — read as int64 via ``nanosAsLong``
+    and convert column-side) or native timestamp[us] (read directly).
+    Branch on the decoded dtype so both generations of testdata work.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer division: double division rounds at ~1.7e18 ns (2024
-        # epoch values) and shifts timestamps by ±1 µs
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """int64-nanos ``ts`` → micro-precision timestamp; timestamps pass through.
+
+    Integer division, not double: double division rounds at ~1.7e18 ns
+    (2024 epoch values) and shifts timestamps by ±1 µs.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype == "timestamp_ntz":
+        # Streaming watermarks require TIMESTAMP_LTZ; session tz is pinned
+        # to UTC (session.py) so this cast preserves the wall-clock value.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

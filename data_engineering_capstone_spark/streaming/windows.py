@@ -49,8 +49,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copyfile(path, link)
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(stage)
-    # integer division — see sources.testdata.load_table
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # dtype-aware ts normalization — see sources.testdata._normalize_event_ts
+    from ..sources.testdata import _normalize_event_ts
+
+    return _normalize_event_ts(raw)
 
 
 def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
