@@ -47,6 +47,40 @@ def forward_fill(
     return out
 
 
+def sessionize(
+    df: DataFrame,
+    part_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_cols: list[str] | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts when the time
+    since the previous event in the partition exceeds ``gap_seconds``.
+
+    Two window functions over ONE (part, ts, tiebreak) sort — Catalyst
+    reuses the sort for both the lag and the running sum, so the whole
+    operator is a single shuffle on ``part_col`` plus a partition-local
+    sort. At 100 TB this parallelizes across entities; no global sort.
+
+    The gap test compares microsecond epochs (``unix_micros``) — casting
+    to seconds would truncate sub-second gaps and drift from engines that
+    compare full-precision intervals.
+    """
+    order = [ts_col] + list(order_cols or [])
+    w = Window.partitionBy(part_col).orderBy(*order)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    is_new = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_seconds * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(part_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(session_col, F.sum(is_new).over(running))
+
+
 def dense_grid(
     entities: DataFrame,
     spark: SparkSession,

@@ -7,7 +7,7 @@ UDFs in any of these paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import query
@@ -299,4 +299,95 @@ def map_funcs_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("pm"), "missing").isNull().alias("missing_absent"),
         )
         .orderBy("event_id")
+    )
+
+
+@query(
+    "window_group_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))
+                      * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           (e.value - s.s / s.n)
+             / sqrt(s.s2 / s.n - (s.s / s.n) * (s.s / s.n)) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE e.user_id < 20
+    ORDER BY e.event_id
+    """,
+)
+def window_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score normalization (feature standardization over a
+    training corpus). Moments are computed as exact DECIMAL sums in ONE
+    pass (sum, sum-of-squares — Welford-free, associative, map-side
+    partial), then joined back broadcast; the per-row arithmetic is
+    identical IEEE double expressions on both engines, so results are
+    bit-exact. Avoids the window-function form (avg OVER, stddev OVER)
+    which would re-sort the fact table; the stats table is group-sized.
+    """
+    e = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(14,2)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    return (
+        e.filter(F.col("user_id") < 20)
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            ((F.col("value") - mean) / std).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "agg_mode_by_group",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) AS rn
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+    FROM ranked WHERE rn = 1 ORDER BY o_orderstatus
+    """,
+)
+def agg_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: Spark's built-in ``mode()`` breaks
+    ties arbitrarily, so the portable form is count-then-argmax with an
+    explicit tiebreak (highest count, then lexicographically smallest
+    value). The heavy aggregation collapses the fact table to
+    (group × value) cardinality before the window touches anything —
+    the ranking runs over a tiny intermediate.
+    """
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus")
     )

@@ -9,7 +9,7 @@ against exact baselines (tests/test_llm.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import query
@@ -892,4 +892,48 @@ def llm_prep_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "llm_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE rn <= 30) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) FILTER (WHERE rn <= 30) AS BIGINT) AS kept_id_sum
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def llm_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document capping (web-crawl curation: bound any one
+    domain's contribution to the corpus). Docs are ranked inside each
+    source by a content-independent deterministic hash order
+    (md5(doc_id), doc_id tiebreak) — an unbiased "random but
+    reproducible" sample — and only the first 30 survive. One window
+    sort per source partition, then one aggregate; at 100 TB both steps
+    shard by source with no global sort. kept_id_sum pins membership,
+    not just counts.
+    """
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= 30
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id"))).alias("kept_id_sum"),
+        )
+        .orderBy("source")
     )

@@ -1215,3 +1215,75 @@ def window_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, o_orderdate, o_orderkey
         """
     )
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH promos(promo, p_start, p_end) AS (
+      VALUES ('W96',  DATE '1996-03-01', DATE '1996-04-15'),
+             ('W97',  DATE '1997-06-10', DATE '1997-07-10'),
+             ('W98',  DATE '1998-01-01', DATE '1998-02-01'),
+             ('W99',  DATE '1999-09-15', DATE '1999-10-15')
+    ), li AS (
+      SELECT l_extendedprice,
+             CAST(l_shipdate AS DATE) AS t_start,
+             CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS t_end
+      FROM lineitem
+    )
+    SELECT pr.promo,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS overlap_revenue
+    FROM li
+    JOIN promos pr
+      ON li.t_start <= pr.p_end AND li.t_end >= pr.p_start
+    GROUP BY pr.promo ORDER BY pr.promo
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: each lineitem's transit window
+    [shipdate, shipdate + quantity days] matched against a promo
+    calendar where the two ranges intersect (start1 <= end2 AND
+    end1 >= start2). The calendar side is dimension-sized -> broadcast
+    nested-loop is the RIGHT plan here (4 rows x fact scan, no
+    shuffle); at 100 TB the fact side streams through executors once.
+    For interval x interval at fact scale on BOTH sides, bucketize time
+    into chunks and equi-join on chunk id (operators/rangejoin.py
+    pattern) instead.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        F.col("l_shipdate").cast("date").alias("t_start"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"), F.col("l_quantity").cast("int")
+        ).alias("t_end"),
+    )
+    promos = spark.createDataFrame(
+        [
+            ("W96", "1996-03-01", "1996-04-15"),
+            ("W97", "1997-06-10", "1997-07-10"),
+            ("W98", "1998-01-01", "1998-02-01"),
+            ("W99", "1999-09-15", "1999-10-15"),
+        ],
+        "promo string, p_start string, p_end string",
+    ).select(
+        "promo",
+        F.col("p_start").cast("date"),
+        F.col("p_end").cast("date"),
+    )
+    joined = li.join(
+        F.broadcast(promos),
+        (F.col("t_start") <= F.col("p_end"))
+        & (F.col("t_end") >= F.col("p_start")),
+    )
+    return (
+        joined.groupBy("promo")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("overlap_revenue"),
+        )
+        .orderBy("promo")
+    )

@@ -8,11 +8,11 @@ decimal sums are exact in both engines (SCALE.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import query
-from .operators.timeseries import dense_grid, forward_fill, time_bucket
+from .operators.timeseries import dense_grid, forward_fill, sessionize, time_bucket
 from .session import prep
 from .sources.testdata import load_table
 
@@ -128,3 +128,144 @@ def ts_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return daily.orderBy("event_type", "day_ts")
+
+
+@query(
+    "ts_sessionize_batch",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE user_id < 50
+    ), flag AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flag
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (operators/timeseries.sessionize):
+    a 30-minute inactivity gap closes a session; sessions are numbered
+    per user by a lag-flag + running sum over one (user, ts) sort, then
+    aggregated to per-session rows. The whole operator is a single
+    shuffle on user_id; the session aggregation reuses the same
+    partitioning. Batch twin of ``stream_session_windows``.
+    """
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    s = sessionize(ev, "user_id", "ts", 30 * 60, order_cols=["event_id"])
+    return (
+        s.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar_ts,
+           first(value ORDER BY ts, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation: open/close are order-dependent aggregates —
+    ``min_by``/``max_by`` on a (ts, event_id) struct picks the earliest/
+    latest event per bar without any window sort, so the whole query is
+    one hash aggregate (partial + final, no shuffle beyond the group-by).
+    The event_id tiebreak makes equal-timestamp bars deterministic.
+    """
+    ev = _events(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    )
+    key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("event_type", time_bucket("ts", "1 hour").alias("bar_ts"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("event_type", "bar_ts")
+    )
+
+
+@query(
+    "ts_weighted_moving_avg",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE user_id < 10
+    ), lagged AS (
+      SELECT user_id, ts, value,
+             lag(value, 1) OVER w AS v1,
+             lag(value, 2) OVER w AS v2,
+             lag(value, 3) OVER w AS v3
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts, value,
+           (4 * value + COALESCE(3 * v1, 0) + COALESCE(2 * v2, 0)
+              + COALESCE(v3, 0))
+             / (4 + CASE WHEN v1 IS NULL THEN 0 ELSE 3 END
+                  + CASE WHEN v2 IS NULL THEN 0 ELSE 2 END
+                  + CASE WHEN v3 IS NULL THEN 0 ELSE 1 END) AS wma
+    FROM lagged ORDER BY user_id, ts
+    """,
+)
+def ts_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted moving average over the last 4 events per user,
+    expressed as three lags over ONE shared window sort (no per-row list
+    materialization — the frame is unrolled into lag columns, which stays
+    inside whole-stage codegen). Partial windows renormalize the weight
+    sum so the first rows of each series are well-defined. Arithmetic is
+    identical double expressions on both sides — deterministic IEEE ops
+    on identical inputs.
+    """
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v1, v2, v3 = (F.lag("value", i).over(w) for i in (1, 2, 3))
+    num = (
+        F.lit(4) * F.col("value")
+        + F.coalesce(F.lit(3) * v1, F.lit(0.0))
+        + F.coalesce(F.lit(2) * v2, F.lit(0.0))
+        + F.coalesce(v3, F.lit(0.0))
+    )
+    den = (
+        F.lit(4)
+        + F.when(v1.isNull(), F.lit(0)).otherwise(F.lit(3))
+        + F.when(v2.isNull(), F.lit(0)).otherwise(F.lit(2))
+        + F.when(v3.isNull(), F.lit(0)).otherwise(F.lit(1))
+    )
+    return (
+        ev.select("user_id", "ts", "value", (num / den).alias("wma"))
+        .orderBy("user_id", "ts")
+    )

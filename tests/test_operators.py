@@ -151,3 +151,38 @@ def test_snapshot_diff_ops_and_null_safety(spark):
     assert rows[3]["op"] == "U"                # value -> NULL is an update
     assert rows[4]["op"] == "D" and rows[4]["new_v"] is None
     assert rows[5]["op"] == "I" and rows[5]["old_v"] is None
+
+
+def test_sessionize_gap_boundaries(spark):
+    from data_engineering_capstone_spark.operators.timeseries import sessionize
+
+    rows = [
+        # user 1: gap exactly == 60s stays in-session; 60.000001s splits
+        (1, "2024-01-01 00:00:00.000000", 1),
+        (1, "2024-01-01 00:01:00.000000", 2),   # gap == 60s -> same session
+        (1, "2024-01-01 00:02:00.000001", 3),   # gap > 60s by 1 us -> new
+        # user 2: single event
+        (2, "2024-01-01 05:00:00.000000", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_id int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(df, "user_id", "ts", 60, order_cols=["event_id"])
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_equal_ts_tiebreak_deterministic(spark):
+    from data_engineering_capstone_spark.operators.timeseries import sessionize
+
+    # two events at the identical timestamp: tiebreak on event_id keeps
+    # the numbering stable across shuffles/retries
+    rows = [(1, "2024-01-01 00:00:00", 2), (1, "2024-01-01 00:00:00", 1)]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts string, event_id int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(df, "user_id", "ts", 60, order_cols=["event_id"])
+    assert sorted((r["event_id"], r["session_id"]) for r in out.collect()) == [
+        (1, 1),
+        (2, 1),
+    ]
