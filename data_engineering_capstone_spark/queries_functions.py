@@ -391,3 +391,106 @@ def agg_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS s
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT nation,
+           CAST(s AS DOUBLE) AS revenue,
+           CAST(s AS DOUBLE) / CAST(SUM(s) OVER () AS DOUBLE) AS revenue_share
+    FROM rev ORDER BY nation
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (percent of total): per-nation revenue divided by
+    the grand total via an empty-frame window over the AGGREGATED table
+    — the window touches 25 rows, never the fact table. Decimal sums
+    make numerator and denominator exact, so the share division is
+    bit-identical across engines. The unpartitioned window is safe ONLY
+    because it runs post-aggregation (group-count-sized input); on raw
+    data it would serialize onto one task.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "nation",
+        F.col("s").cast("double").alias("revenue"),
+        (F.col("s").cast("double") / F.sum("s").over(w).cast("double")).alias(
+            "revenue_share"
+        ),
+    ).orderBy("nation")
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))
+                      * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                      * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))
+                      * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxy / n - (sx / n) * (sy / n)) AS covar_pop,
+           (sxy / n - (sx / n) * (sy / n))
+             / (sqrt(sxx / n - (sx / n) * (sx / n))
+                * sqrt(syy / n - (sy / n) * (sy / n))) AS corr
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance per group from ONE pass of exact decimal
+    co-moments (n, Σx, Σy, Σx², Σy², Σxy — all associative, map-side
+    partial), assembled into covar_pop and Pearson r with identical
+    double expressions on both engines. The built-in ``corr()``/
+    ``covar_pop()`` aggregates use engine-specific streaming update
+    orders and drift in the last ulps across engines and partitionings —
+    the moment form is deterministic AND one shuffle for all six stats.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(14,2)")
+    y = F.col("l_extendedprice").cast("decimal(14,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    covar = F.col("sxy") / n - (sx / n) * (sy / n)
+    corr = covar / (
+        F.sqrt(F.col("sxx") / n - (sx / n) * (sx / n))
+        * F.sqrt(F.col("syy") / n - (sy / n) * (sy / n))
+    )
+    return m.select(
+        "l_returnflag", "n", covar.alias("covar_pop"), corr.alias("corr")
+    ).orderBy("l_returnflag")

@@ -269,3 +269,111 @@ def ts_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "ts", "value", (num / den).alias("wma"))
         .orderBy("user_id", "ts")
     )
+
+
+@query(
+    "ts_rolling_active_users",
+    oracle="""
+    WITH days AS (
+      SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                    INTERVAL 1 DAY))::DATE AS day
+    )
+    SELECT d.day,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users_7d,
+           CAST(COUNT(*) AS BIGINT) AS events_7d
+    FROM days d
+    JOIN events e
+      ON CAST(e.ts AS DATE) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+)
+def ts_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the windowed COUNT(DISTINCT)
+    that plain window frames can't express. Exact form: a day-grid range
+    join (each event lands in <= 7 day buckets) then distinct-count per
+    day. The join explodes events x7, which is fine when the window/step
+    ratio is small; at 100 TB with wide windows, switch to per-day HLL
+    sketches merged over the window (approx_count_distinct partials) —
+    same plan shape, sketch-sized state.
+    """
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").cast("date").alias("eday"), "user_id"
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    joined = ev.join(
+        F.broadcast(days),
+        (F.col("eday") >= F.date_sub(F.col("day"), 6))
+        & (F.col("eday") <= F.col("day")),
+    )
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("active_users_7d"),
+            F.count(F.lit(1)).alias("events_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "ts_rolling_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER fr AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))
+                      * CAST(value AS DECIMAL(14,2))) OVER fr AS DOUBLE) AS s2,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS n
+      FROM events
+      WHERE user_id < 20
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, ts, value,
+           (value - s / n) / sqrt(s2 / n - (s / n) * (s / n)) AS z
+    FROM w
+    WHERE n >= 4
+      AND s2 / n - (s / n) * (s / n) > 0
+      AND abs((value - s / n) / sqrt(s2 / n - (s / n) * (s / n))) > 2
+    ORDER BY user_id, ts
+    """,
+)
+def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: each event scored against the
+    trailing 7 events' mean/std (frame excludes the current row — no
+    self-contamination). Moments come from exact DECIMAL window sums, so
+    the double arithmetic is identical on both engines; rows with fewer
+    than 4 trailing points or zero variance are unscored. One window
+    sort per user partition, flagged rows only at the boundary.
+    """
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, -1)
+    )
+    dec = F.col("value").cast("decimal(14,2)")
+    w = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(dec).over(fr).cast("double").alias("s"),
+        F.sum(dec * dec).over(fr).cast("double").alias("s2"),
+        F.count(F.lit(1)).over(fr).alias("n"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        w.filter((F.col("n") >= 4) & (var > 0) & (F.abs(z) > 2))
+        .select("user_id", "ts", "value", z.alias("z"))
+        .orderBy("user_id", "ts")
+    )

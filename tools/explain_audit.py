@@ -37,6 +37,10 @@ INTENTIONAL_CROSS = {
                     # cell assignment); candidate join itself is equi
     "ts_gapfill_ffill",  # entity-dim x exploded bucket sequence: the
                          # dense grid is tiny-by-construction (documented)
+    "interval_overlap_join",  # fact x 4-row broadcast promo calendar;
+                              # overlap predicate can't equi-join (documented)
+    "ts_rolling_active_users",  # fact x 30-row broadcast day grid range
+                                # join (windowed COUNT DISTINCT; documented)
 }
 
 # Streaming queries execute through the streaming runner; the batch
