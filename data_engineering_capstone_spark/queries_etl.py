@@ -22,7 +22,7 @@ from .operators.pivot import pivot_wide
 from .operators.relational import code_to_name
 from .session import prep
 from .sources.testdata import load_table
-from .sources.writers import write_parquet
+from .sources.writers import write_parquet, write_zordered
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -793,4 +793,44 @@ def etl_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
         .orderBy("bucket")
+    )
+
+
+@query(
+    "etl_zorder_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
+    """,
+)
+def etl_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered layout (sources/writers.write_zordered): lineitem
+    rewritten sorted by the Morton value of (l_partkey, l_suppkey), read
+    back, and probed with a predicate on BOTH keys. Because every output
+    file covers a small rectangle of the (partkey, suppkey) space, the
+    parquet footer min/max stats prune most files for this query — a
+    plain sort would only prune on its leading column. The oracle runs
+    the probe on the ORIGINAL table: the layout must be a pure reorder.
+    Tightness of the per-file ranges is asserted in
+    tests/test_scale_ops.py.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "dec_spark_sink",
+        os.path.basename(sf_dir.rstrip("/")),
+        "lineitem_zorder",
+    )
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], n_files=16)
+    back = spark.read.parquet(out)
+    probed = back.filter(
+        F.col("l_partkey").between(100, 300) & F.col("l_suppkey").between(10, 40)
+    )
+    return probed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("revenue"),
     )

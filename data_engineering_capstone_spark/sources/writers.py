@@ -77,3 +77,69 @@ def compact_parquet(
     out = spark.read.parquet(dst_dir)
     assert out.count() == n, "compaction must preserve row count"
     return n_files
+
+
+def zorder_value(cols: Sequence, mins: Sequence[int], maxs: Sequence[int], bits: int = 16):
+    """Z-order (Morton) curve value for N integer columns as a pure
+    Column expression: each column is scaled into ``bits`` buckets over
+    its [min, max] range, then the bucket bits are interleaved.
+
+    Rows close on the curve are close in EVERY keyed dimension, so
+    sorting by this value gives tight per-file min/max ranges on all the
+    z-columns at once — parquet row-group stats then prune multi-column
+    predicates, which a plain sort only achieves for its leading column.
+    """
+    from pyspark.sql import functions as F
+
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        col = F.col(c) if isinstance(c, str) else c
+        span = max(1, hi - lo)
+        b = ((col - F.lit(lo)).cast("long") * F.lit((1 << bits) - 1) / F.lit(span)).cast(
+            "long"
+        )
+        scaled.append(b)
+    z = F.lit(0).cast("long")
+    # MSB-first interleave: bit i of column j lands at position
+    # (i * n_cols + j) counted from the top
+    n = len(scaled)
+    for i in range(bits - 1, -1, -1):
+        for j, b in enumerate(scaled):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = F.shiftleft(z, 1).bitwiseOR(bit)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: Sequence[str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet sink: range-partition + sort by the
+    Morton value of ``zcols`` so every output file covers a small
+    rectangle of the key space. One extra stats pass (min/max per
+    z-column — a single tiny aggregate) plus one range shuffle; reads
+    filtered on ANY z-column then skip most files/row-groups on
+    footer stats alone. The scale alternative to hive-partitioning by
+    high-cardinality keys (which would explode the file count).
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).cast("long").alias(f"lo_{i}") for i, c in enumerate(zcols)],
+        *[F.max(c).cast("long").alias(f"hi_{i}") for i, c in enumerate(zcols)],
+    ).collect()[0]
+    mins = [stats[f"lo_{i}"] for i in range(len(zcols))]
+    maxs = [stats[f"hi_{i}"] for i in range(len(zcols))]
+    z = zorder_value(list(zcols), mins, maxs, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -147,3 +147,47 @@ def test_merge_schema_reads_evolved_partitions(spark, sf_dir):
         .collect()
     }
     assert per_batch[1] == 100 and per_batch[2] == 0
+
+
+def test_zorder_layout_tightens_file_ranges(spark, sf_dir, tmp_path):
+    """Z-ordered files must each cover a small rectangle of the key
+    space: the summed fractional (partkey x suppkey) footer-stat area
+    across files should be far below n_files (a random layout puts every
+    file at ~full range, summing to ~n_files)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_engineering_capstone_spark.sources.writers import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "li_z")
+    n_files = 8
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], n_files=n_files)
+
+    g = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    span_p = max(1, g[1] - g[0])
+    span_s = max(1, g[3] - g[2])
+
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == n_files
+    area = 0.0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        pmin, pmax = 10**18, -(10**18)
+        smin, smax = 10**18, -(10**18)
+        for rg in range(md.num_row_groups):
+            sp = md.row_group(rg).column(cols["l_partkey"]).statistics
+            ss = md.row_group(rg).column(cols["l_suppkey"]).statistics
+            pmin, pmax = min(pmin, sp.min), max(pmax, sp.max)
+            smin, smax = min(smin, ss.min), max(smax, ss.max)
+        area += ((pmax - pmin) / span_p) * ((smax - smin) / span_s)
+    # perfect tiling sums to ~1; allow generous slack, but far under n_files
+    assert area < n_files / 2, f"z-order file ranges too wide: {area:.2f}"
+
+    # and the layout is a pure reorder
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
