@@ -834,3 +834,80 @@ def etl_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "etl_time_travel_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders
+    ), b AS (
+      SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN p + 10 ELSE p END AS p
+      FROM a WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, p FROM a WHERE o_orderkey % 5 = 0
+    ), j AS (
+      SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+             a.p AS old_p, b.p AS new_p,
+             CASE WHEN b.o_orderkey IS NULL THEN 'D'
+                  WHEN a.o_orderkey IS NULL THEN 'I'
+                  WHEN a.p IS DISTINCT FROM b.p THEN 'U' END AS op
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT op,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(old_p) AS DOUBLE) AS sum_old,
+           CAST(SUM(new_p) AS DOUBLE) AS sum_new
+    FROM j WHERE op IS NOT NULL
+    GROUP BY op ORDER BY op
+    """,
+)
+def etl_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table time travel (operators/versioned.py): v1 and v2 of
+    an orders snapshot are committed as immutable ``v=N`` parquet
+    directories, both read back as pinned snapshots, and the changeset
+    between them recovered with the CDC snapshot diff — the jar-free
+    core of Delta/Iceberg reads (snapshot isolation, rollback, diff).
+    The oracle reconstructs the same deterministic v1→v2 edit script
+    directly. Summary is per-op counts + exact decimal sums.
+    """
+    import shutil
+
+    from .operators.versioned import diff_versions, write_version
+
+    a = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("p")
+    )
+    b = (
+        a.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "p",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("p") + 10).otherwise(F.col("p")),
+        )
+        .unionByName(
+            a.filter(F.col("o_orderkey") % 5 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"), "p"
+            )
+        )
+    )
+    table_dir = os.path.join(
+        tempfile.gettempdir(),
+        "dec_spark_sink",
+        os.path.basename(sf_dir.rstrip("/")),
+        "orders_versioned",
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    assert write_version(a, table_dir) == 1
+    assert write_version(b, table_dir) == 2
+    diff = diff_versions(
+        spark, table_dir, 1, 2, ["o_orderkey"], ["p"]
+    )
+    return (
+        diff.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("old_p").cast("double").alias("sum_old"),
+            F.sum("new_p").cast("double").alias("sum_new"),
+        )
+        .orderBy("op")
+    )

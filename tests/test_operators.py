@@ -186,3 +186,30 @@ def test_sessionize_equal_ts_tiebreak_deterministic(spark):
         (1, 1),
         (2, 1),
     ]
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    import pytest
+
+    from data_engineering_capstone_spark.operators.versioned import (
+        diff_versions,
+        list_versions,
+        read_version,
+        write_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    v2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "k int, v string")
+    assert list_versions(t) == []
+    assert write_version(v1, t) == 1
+    assert write_version(v2, t) == 2
+    assert list_versions(t) == [1, 2]
+    # pinned snapshot (time travel) vs latest
+    assert sorted(r["v"] for r in read_version(spark, t, 1).collect()) == ["a", "b"]
+    assert read_version(spark, t).count() == 3
+    # changeset between versions
+    ops = {r["k"]: r["op"] for r in diff_versions(spark, t, 1, 2, ["k"], ["v"]).collect()}
+    assert ops == {2: "U", 3: "I"}
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, t, 99)
