@@ -937,3 +937,67 @@ def llm_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "llm_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t FROM vocab
+    ), lp AS (
+      SELECT tok,
+             CAST(ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                  AS DECIMAL(18,9)) AS lp
+      FROM vocab, tot
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           -CAST(SUM(l.lp) AS DOUBLE) / COUNT(*) AS avg_neg_logprob
+    FROM toks d JOIN lp l USING (tok)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring: every document scored by the average
+    negative log-probability of its tokens under the corpus's own
+    unigram model — the cheap perplexity proxy used to rank/filter
+    training text. Two aggregations (vocab counts, per-doc score) and
+    one broadcast-back of the vocab; ln() is bit-identical across
+    engines (verified) and per-token logps are summed as DECIMAL so the
+    per-doc total is order-independent — float sums would drift across
+    partitionings. At 100 TB the vocab table is Zipf-small and
+    broadcastable; the token explode is partition-local.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("t"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.log(F.col("n").cast("double") / F.col("t").cast("double"))
+        .cast("decimal(18,9)")
+        .alias("lp"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("lp").cast("double") / F.count(F.lit(1))).alias(
+                "avg_neg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

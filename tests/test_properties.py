@@ -207,3 +207,54 @@ def test_prefix_sum_property(spark, vals, bucket_size):
     for i, v in enumerate(vals):
         acc += v
         assert got[i * 7 + 3] == acc
+
+
+# ---------------------------------------------------------------------------
+# Gap sessionization == sequential per-user scan (any gaps, any ordering)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # user
+            st.integers(min_value=0, max_value=10_000),  # offset seconds
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    gap_s=st.integers(min_value=1, max_value=600),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sessionize_matches_sequential_property(spark, evs, gap_s):
+    import datetime as dt
+
+    from data_engineering_capstone_spark.operators.timeseries import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=off), i)
+        for i, (u, off) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int"
+    ).repartition(4)
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, "user_id", "ts", gap_s, order_cols=["event_id"]).collect()
+    }
+
+    # sequential reference: sort each user's events by (ts, event_id)
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ts, eid in rows:
+        by_user[u].append((ts, eid))
+    for u, lst in by_user.items():
+        lst.sort()
+        sid, prev = 0, None
+        for ts, eid in lst:
+            if prev is None or (ts - prev).total_seconds() > gap_s:
+                sid += 1
+            prev = ts
+            assert got[eid] == sid, (u, eid, got[eid], sid)
