@@ -182,3 +182,44 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query("scan_jdbc_roundtrip", oracle=_NATION_AGG)
+def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-scan: JDBC round trip against an embedded Derby database (the
+    JDBC driver that ships with Spark's own jars). customer is written
+    through the JDBC sink, then read back with partition-column bounds —
+    ``numPartitions`` bounded range queries in parallel, the only JDBC
+    read form that scales (a boundless read funnels the table through
+    ONE connection). Embedded Derby is single-JVM; a fresh per-process
+    directory avoids cross-process lock contention.
+    """
+    from .sources.readers import read_jdbc
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    db_dir = _tmp(sf_dir, f"jdbc_{os.getpid()}")
+    shutil.rmtree(db_dir, ignore_errors=True)
+    url = f"jdbc:derby:{db_dir}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    (
+        c.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    hi = c.agg(F.max("c_custkey")).collect()[0][0]
+    back = read_jdbc(
+        spark,
+        url,
+        "customer",
+        partition_column="c_custkey",
+        lower_bound=0,
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+        driver=driver,
+    )
+    return _roundtrip_agg(spark, sf_dir, back)

@@ -120,11 +120,11 @@ def read_jdbc(
     num_partitions: int | None = None,
     **options: str,
 ) -> DataFrame:
-    """JDBC scan (SURVEY.md §2 C-scan). Untested here — no database or
-    driver jar ships in this container — but the contract matters: WITHOUT
-    the partition-column bounds Spark reads the whole table through ONE
-    connection; with them it issues ``num_partitions`` bounded range
-    queries in parallel, which is the only scalable form.
+    """JDBC scan (SURVEY.md §2 C-scan), integration-tested against the
+    embedded Derby that ships in Spark's jars (scan_jdbc_roundtrip).
+    WITHOUT the partition-column bounds Spark reads the whole table
+    through ONE connection; with them it issues ``num_partitions``
+    bounded range queries in parallel, which is the only scalable form.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
