@@ -223,3 +223,45 @@ def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         driver=driver,
     )
     return _roundtrip_agg(spark, sf_dir, back)
+
+
+@query("scan_sas_roundtrip", oracle=_NATION_AGG)
+def scan_sas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: SAS scan, exercised end-to-end. customer is serialized as SAS
+    XPORT v5 (sources/xport.py — card records, big-endian NAMESTR, IBM
+    hex-float numerics; every IEEE double converts exactly) and read
+    back through :func:`read_sas`'s pandas fallback — two independent
+    codecs, so a single flipped bit breaks parity. Field widths keep the
+    record at 80 bytes (card-aligned). The writer collects to the driver
+    by design: SAS interchange files are dimension-scale; a 100 TB fact
+    gets converted to parquet once (reference: notebook cell-6) and
+    never re-read as SAS.
+    """
+    from .sources.readers import read_sas
+    from .sources.xport import write_xport
+
+    c = _t(spark, sf_dir, "customer")
+    rows = [
+        (float(r["c_custkey"]), r["c_name"], float(r["c_nationkey"]),
+         float(r["c_acctbal"]), r["c_mktsegment"])
+        for r in c.collect()
+    ]
+    cols = [
+        ("CUSTKEY", "num", 8),
+        ("NAME", "char", 48),
+        ("NATKEY", "num", 8),
+        ("ACCTBAL", "num", 8),
+        ("MKTSEG", "char", 16),
+    ]
+    path = _tmp(sf_dir, "customer_xpt")
+    os.makedirs(path, exist_ok=True)
+    fp = os.path.join(path, "customer.xpt")
+    write_xport(fp, cols, rows, dsname="CUSTOMER")
+    back = read_sas(spark, fp).select(
+        F.col("CUSTKEY").cast("long").alias("c_custkey"),
+        F.trim(F.col("NAME")).alias("c_name"),
+        F.col("NATKEY").cast("int").alias("c_nationkey"),
+        F.col("ACCTBAL").alias("c_acctbal"),
+        F.trim(F.col("MKTSEG")).alias("c_mktsegment"),
+    )
+    return _roundtrip_agg(spark, sf_dir, back)

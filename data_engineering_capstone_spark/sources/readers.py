@@ -107,6 +107,15 @@ def read_sas(spark: SparkSession, path: str) -> DataFrame:
     for col in pdf.columns:
         if pdf[col].dtype == object:
             pdf[col] = pdf[col].apply(lambda v: v.decode("latin-1") if isinstance(v, bytes) else v)
+    if str(path).lower().endswith((".xpt", ".xport")):
+        # pandas' XPORT IBM-float decoder doesn't special-case zero: the
+        # all-zero-bytes encoding of 0.0 comes back as exactly ±2^-260
+        # (below IBM hex-float's smallest normal 16^-64, so the value is
+        # unreachable from real data). Snap it back.
+        bug = 2.0**-260
+        for col in pdf.columns:
+            if pdf[col].dtype == "float64":
+                pdf[col] = pdf[col].mask(pdf[col].abs() == bug, 0.0)
     return spark.createDataFrame(pdf)
 
 

@@ -1,0 +1,71 @@
+"""XPORT writer ↔ pandas reader differential tests (A2 SAS scan)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_engineering_capstone_spark.sources.xport import (
+    ibm_to_ieee,
+    ieee_to_ibm,
+    write_xport,
+)
+
+
+@given(
+    st.floats(
+        allow_nan=False,
+        allow_infinity=False,
+        min_value=-1e60,
+        max_value=1e60,
+    )
+)
+@settings(max_examples=300)
+def test_ibm_float_codec_exact_roundtrip(x):
+    # subnormal-small magnitudes fall below IBM's 16^-64 floor; skip
+    if x != 0.0 and abs(x) < 1e-70:
+        return
+    assert ibm_to_ieee(ieee_to_ibm(x)) == x
+
+
+def test_ibm_float_rejects_nonfinite():
+    for bad in (math.inf, -math.inf, math.nan):
+        with pytest.raises(ValueError):
+            ieee_to_ibm(bad)
+
+
+def test_xport_pandas_differential(tmp_path):
+    """Our writer, pandas' independent reader — including the zero whose
+    all-zero IBM encoding pandas mis-decodes (shimmed in read_sas)."""
+    cols = [("ID", "num", 8), ("VAL", "num", 8), ("TAG", "char", 72)]
+    rows = [
+        (1.0, 0.0, "zero"),
+        (2.0, -123.456, "neg"),
+        (3.0, 3.141592653589793, "pi"),
+        (4.0, 2.0**-30, "tiny"),
+    ]
+    fp = str(tmp_path / "t.xpt")
+    write_xport(fp, cols, rows, dsname="T")
+    pdf = pd.read_sas(fp)
+    assert len(pdf) == 4
+    assert list(pdf["ID"]) == [1.0, 2.0, 3.0, 4.0]
+    got = list(pdf["VAL"])
+    # pandas' zero-decode quirk: exactly ±2^-260
+    assert got[0] == 2.0**-260
+    assert got[1:] == [-123.456, 3.141592653589793, 2.0**-30]
+    assert [t.decode().strip() for t in pdf["TAG"]] == ["zero", "neg", "pi", "tiny"]
+
+
+def test_read_sas_snaps_zero_quirk(spark, tmp_path):
+    from data_engineering_capstone_spark.sources.readers import read_sas
+
+    cols = [("K", "num", 8), ("V", "num", 8), ("PAD", "char", 72)]
+    rows = [(1.0, 0.0, "a"), (2.0, 5.5, "b")]
+    fp = str(tmp_path / "z.xpt")
+    write_xport(fp, cols, rows, dsname="Z")
+    got = {int(r["K"]): r["V"] for r in read_sas(spark, fp).collect()}
+    assert got == {1: 0.0, 2: 5.5}
