@@ -494,3 +494,74 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag", "n", covar.alias("covar_pop"), corr.alias("corr")
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM t GROUP BY decile ORDER BY decile
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram via ntile — the
+    distribution sketch optimizers build, dual of the equi-width
+    `etl_price_histogram`. The global-order requirement makes this a
+    single-sort operation; ntile's remainder rule (first buckets get the
+    extra row) matches across engines given a total order, which the
+    (price, key) tiebreak guarantees. At scale, swap for
+    approx-quantile boundaries + a partition-local bucket assignment —
+    one pass, no global sort.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    return (
+        t.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.90) AS p90,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (PERCENTILE_DISC WITHIN GROUP): returns an
+    actual data value (no interpolation), so results are exact and
+    engine-portable even on doubles — the complement of the
+    interpolating `agg_exact_percentiles`. SQL form exercises the
+    ordered-set aggregate parser path.
+    """
+    prep(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pd")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+               COUNT(*) AS n
+        FROM orders_pd GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
