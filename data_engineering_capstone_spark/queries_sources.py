@@ -265,3 +265,54 @@ def scan_sas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.col("MKTSEG")).alias("c_mktsegment"),
     )
     return _roundtrip_agg(spark, sf_dir, back)
+
+
+@query("scan_xport_distributed", oracle=_NATION_AGG)
+def scan_xport_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 DataSource API): the SAS XPORT
+    file from scan_sas_roundtrip's writer read back DISTRIBUTED — the
+    driver parses only the header for the schema; executors decode
+    record-aligned byte ranges in parallel with the pure-Python IBM
+    codec (sources/pyds.py). Contrast with read_sas's pandas fallback,
+    which funnels the whole file through the driver. rowsPerPartition
+    forces >1 partition even at sf0.001, so the parallel path is what
+    parity checks.
+    """
+    from .sources.pyds import XportDataSource
+    from .sources.xport import write_xport
+
+    c = _t(spark, sf_dir, "customer")
+    rows = [
+        (float(r["c_custkey"]), r["c_name"], float(r["c_nationkey"]),
+         float(r["c_acctbal"]), r["c_mktsegment"])
+        for r in c.collect()
+    ]
+    cols = [
+        ("CUSTKEY", "num", 8),
+        ("NAME", "char", 48),
+        ("NATKEY", "num", 8),
+        ("ACCTBAL", "num", 8),
+        ("MKTSEG", "char", 16),
+    ]
+    path = _tmp(sf_dir, "customer_xpt_ds")
+    os.makedirs(path, exist_ok=True)
+    fp = os.path.join(path, "customer.xpt")
+    write_xport(fp, cols, rows, dsname="CUSTOMER")
+    try:
+        spark.dataSource.register(XportDataSource)
+    except Exception:
+        pass  # already registered in this session
+    back = (
+        spark.read.format("xport")
+        .option("path", fp)
+        .option("rowsPerPartition", "128")
+        .load()
+        .select(
+            F.col("CUSTKEY").cast("long").alias("c_custkey"),
+            F.col("NAME").alias("c_name"),
+            F.col("NATKEY").cast("int").alias("c_nationkey"),
+            F.col("ACCTBAL").alias("c_acctbal"),
+            F.col("MKTSEG").alias("c_mktsegment"),
+        )
+    )
+    return _roundtrip_agg(spark, sf_dir, back)

@@ -152,3 +152,56 @@ def write_xport(
         data += b" " * (_REC - len(data) % _REC)
     with open(path, "wb") as f:
         f.write(body + bytes(data))
+
+
+def parse_xport_header(path: str):
+    """Parse an XPORT v5 member header: returns (columns, data_start,
+    reclen, nobs) where columns is [(name, kind, width, pos)].
+
+    Mirrors :func:`write_xport`'s layout; used by the distributed Python
+    data source (sources/pyds.py) so executors can decode observation
+    byte ranges without pandas.
+    """
+    import os as _os
+
+    with open(path, "rb") as f:
+        head = f.read(8 * _REC)
+        nam_hdr = head[7 * _REC : 8 * _REC].decode("ascii", "replace")
+        if "NAMESTR HEADER" not in nam_hdr:
+            raise ValueError("not a single-member XPORT v5 file")
+        nvars = int(nam_hdr[54:58])
+        nam_bytes = nvars * 140
+        nam_padded = nam_bytes + (-nam_bytes % _REC)
+        namestrs = f.read(nam_padded)
+        obs_hdr = f.read(_REC).decode("ascii", "replace")
+        if "OBS     HEADER" not in obs_hdr:
+            raise ValueError("missing OBS header record")
+        data_start = f.tell()
+        size = _os.fstat(f.fileno()).st_size
+    cols = []
+    reclen = 0
+    for i in range(nvars):
+        ns = namestrs[i * 140 : (i + 1) * 140]
+        ntype, _, nlng, _ = struct.unpack(">hhhh", ns[:8])
+        name = ns[8:16].decode("ascii").strip()
+        (npos,) = struct.unpack(">l", ns[84:88])
+        cols.append((name, "num" if ntype == 1 else "char", nlng, npos))
+        reclen += nlng
+    total = size - data_start
+    nobs = total // reclen
+    # trailing card padding is < one record for reclen > 80; for
+    # card-sized records trust exact division (writer pads with blanks)
+    return cols, data_start, reclen, nobs
+
+
+def decode_obs(buf: bytes, cols) -> tuple:
+    """Decode one observation record using the column specs from
+    :func:`parse_xport_header`."""
+    out = []
+    for _name, kind, width, pos in cols:
+        field = buf[pos : pos + width]
+        if kind == "num":
+            out.append(ibm_to_ieee(field))
+        else:
+            out.append(field.decode("latin-1").rstrip())
+    return tuple(out)

@@ -69,3 +69,29 @@ def test_read_sas_snaps_zero_quirk(spark, tmp_path):
     write_xport(fp, cols, rows, dsname="Z")
     got = {int(r["K"]): r["V"] for r in read_sas(spark, fp).collect()}
     assert got == {1: 0.0, 2: 5.5}
+
+
+def test_pyds_distributed_read_matches_writer(spark, tmp_path):
+    """Custom DataSource: multiple record-aligned partitions, zero
+    handled by OUR codec (no pandas quirk), exact values."""
+    from data_engineering_capstone_spark.sources.pyds import XportDataSource
+
+    cols = [("ID", "num", 8), ("VAL", "num", 8), ("TAG", "char", 72)]
+    rows = [(float(i), (0.0 if i == 0 else i * 0.25), f"t{i}") for i in range(500)]
+    fp = str(tmp_path / "d.xpt")
+    write_xport(fp, cols, rows, dsname="D")
+    try:
+        spark.dataSource.register(XportDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("xport")
+        .option("path", fp)
+        .option("rowsPerPartition", "100")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    got = {int(r["ID"]): (r["VAL"], r["TAG"]) for r in df.collect()}
+    assert len(got) == 500
+    assert got[0] == (0.0, "t0")
+    assert got[7] == (1.75, "t7")
