@@ -1,0 +1,54 @@
+"""Sketch-partial aggregation (Datasketches HLL / theta, built into
+Spark 4): the scale path for distinct-count rollups.
+
+Exact windowed COUNT(DISTINCT) (ts_rolling_active_users) explodes each
+event into every window it belongs to — fine when window/step is small,
+quadratic pain when it isn't. The sketch form aggregates each base
+bucket ONCE into a mergeable sketch (a few KB), then any window/rollup
+re-aggregates sketches, never raw rows — the continuous-aggregate
+pattern for COUNT DISTINCT, and the only form that survives 100 TB
+(per-day state is sketch-sized, not user-set-sized).
+
+HLL and theta sketches are order-insensitive (register-max / k-smallest
+-hash structures), so estimates are deterministic for a given input set
+regardless of partitioning — rows-only-checkable, with accuracy bounds
+pinned by tests against the exact form (tests/test_scale_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def daily_distinct_sketches(
+    events: DataFrame, ts_col: str = "ts", key_col: str = "user_id", lg_k: int = 14
+) -> DataFrame:
+    """One HLL sketch per day over ``key_col`` — the base rollup. Raw
+    rows are touched exactly once; everything downstream merges these."""
+    return events.groupBy(F.col(ts_col).cast("date").alias("day")).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def rolling_distinct_estimate(
+    daily: DataFrame, days, window_days: int = 7
+) -> DataFrame:
+    """Rolling distinct estimate by merging per-day sketches over the
+    trailing window. The join is (days × window) over SKETCH rows —
+    grid-sized, independent of raw-event volume."""
+    joined = daily.join(
+        F.broadcast(days),
+        (F.col("day") >= F.date_sub(F.col("d"), window_days - 1))
+        & (F.col("day") <= F.col("d")),
+    )
+    return (
+        joined.groupBy(F.col("d").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(
+                "active_estimate"
+            ),
+            F.sum("n_events").alias("events_7d"),
+        )
+    )

@@ -377,3 +377,38 @@ def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "value", z.alias("z"))
         .orderBy("user_id", "ts")
     )
+
+
+@query("ts_rolling_active_users_hll", oracle=None)
+def ts_rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-partial form of ts_rolling_active_users: per-day HLL
+    sketches merged over the trailing 7 days (operators/sketches.py).
+    Raw events are aggregated ONCE; the window join runs over 30 sketch
+    rows. HLL is order-insensitive, so the estimate is deterministic —
+    rows-only checked here; tests pin the estimate within 2% of the
+    exact count and the merge-equals-whole invariant. This is the form
+    that survives 100 TB: per-day state is a few KB regardless of user
+    cardinality.
+    """
+    ev = _events(spark, sf_dir)
+    from .operators.sketches import daily_distinct_sketches, rolling_distinct_estimate
+
+    daily = daily_distinct_sketches(ev)
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    return (
+        rolling_distinct_estimate(daily, days, 7)
+        .select(
+            "day",
+            F.col("active_estimate").cast("bigint").alias("active_estimate"),
+            "events_7d",
+        )
+        .orderBy("day")
+    )

@@ -191,3 +191,44 @@ def test_zorder_layout_tightens_file_ranges(spark, sf_dir, tmp_path):
     # and the layout is a pure reorder
     back = spark.read.parquet(out)
     assert back.count() == li.count()
+
+
+def test_hll_rolling_matches_exact_within_bound(spark, sf_dir):
+    """Sketch-partial rolling distinct vs exact: within HLL(lg_k=14)
+    error (<1% typical; assert 2%), and the mergeability invariant —
+    union of per-day sketches == sketch of the union."""
+    from data_engineering_capstone_spark.operators.sketches import (
+        daily_distinct_sketches,
+        rolling_distinct_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = daily_distinct_sketches(ev)
+    days = ev.select(F.col("ts").cast("date").alias("d")).distinct()
+    est = {
+        r["day"]: r["active_estimate"]
+        for r in rolling_distinct_estimate(daily, days, 7).collect()
+    }
+
+    exact_rows = (
+        ev.select(F.col("ts").cast("date").alias("eday"), "user_id")
+        .join(
+            days,
+            (F.col("eday") >= F.date_sub(F.col("d"), 6)) & (F.col("eday") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    )
+    for r in exact_rows:
+        got, want = est[r["d"]], r["n"]
+        assert abs(got - want) <= max(2, 0.02 * want), (r["d"], got, want)
+
+    # mergeability: union of daily sketches == one global sketch
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("e")
+    ).collect()[0]["e"]
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("e")
+    ).collect()[0]["e"]
+    assert merged == whole
