@@ -252,3 +252,69 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@query(
+    "stream_custom_source_replay",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_custom_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows over a CUSTOM Python streaming source
+    (streaming/pysource.py): the events table replayed as a
+    deterministic chunked bus through Spark 4's
+    SimpleDataSourceStreamReader contract, drained with
+    processAllAvailable. The replay is finite and ordered, so the final
+    complete-mode state equals the batch aggregation — the oracle is
+    the SAME SQL as stream_tumbling_counts, proving the custom-source
+    path end to end (offsets, recovery range reads, micro-batch
+    boundaries included).
+    """
+    from .streaming.pysource import EventsReplayDataSource
+
+    prep(spark)
+    try:
+        spark.dataSource.register(EventsReplayDataSource)
+    except Exception:
+        pass
+    raw = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("rowsPerBatch", "5000")
+        .load()
+    )
+    agg = (
+        raw.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), 8)))
+    name = "stream_custom_replay_result"
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    out = spark.table(name)
+    snap = spark.createDataFrame(out.collect(), out.schema)
+    return snap.orderBy("window_start", "event_type")
