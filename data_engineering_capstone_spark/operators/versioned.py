@@ -89,3 +89,20 @@ def diff_versions(
         key_cols,
         compare_cols,
     )
+
+
+def vacuum_versions(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` committed
+    versions; returns the versions removed. The time-travel window shrinks to
+    what retention keeps — same contract as Delta's VACUUM (readers of
+    dropped snapshots fail fast via read_version's existence check).
+    """
+    import shutil
+
+    vs = list_versions(table_dir)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    drop = vs[:-keep_last] if len(vs) > keep_last else []
+    for v in drop:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+    return drop

@@ -378,3 +378,58 @@ def mm_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media_type", "dim_a", "dim_b",
         F.length("payload").cast("bigint").alias("n_bytes"),
     ).orderBy("doc_id")
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+             AS l2_norm
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch hop below pandas UDFs — the
+    function receives raw ``pyarrow.RecordBatch``es, so numpy works on
+    Arrow buffers without a pandas materialization (the right tier for
+    tight numeric kernels over array columns at 100 TB: one
+    serialization boundary, vectorized end to end). Computes per-vector
+    L2 norms over the embedding column; the oracle recomputes them with
+    list lambdas. Rounded to 6 dp — float32→float64 accumulation order
+    inside one vector is fixed (sequential), so the rounded values are
+    engine-stable.
+    """
+    import pyarrow as pa
+
+    prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            embs = batch.column("embedding")
+            out_dim, out_norm = [], []
+            for i in range(batch.num_rows):
+                v = np.asarray(embs[i].as_py(), dtype=np.float64)
+                out_dim.append(len(v))
+                # match the oracle's reduction order: square then
+                # sequential sum (np.sum pairwise differs in last ulp,
+                # so accumulate with math.fsum-free plain Python order)
+                acc = 0.0
+                for x in v:
+                    acc += x * x
+                out_norm.append(round(float(acc) ** 0.5, 6))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out_dim, pa.int32()), pa.array(out_norm, pa.float64())],
+                names=["vec_id", "dim", "l2_norm"],
+            )
+
+    return emb.mapInArrow(
+        norms, "vec_id bigint, dim int, l2_norm double"
+    ).orderBy("vec_id")

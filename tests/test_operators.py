@@ -213,3 +213,25 @@ def test_versioned_table_time_travel(spark, tmp_path):
     assert ops == {2: "U", 3: "I"}
     with pytest.raises(FileNotFoundError):
         read_version(spark, t, 99)
+
+
+def test_versioned_vacuum_retention(spark, tmp_path):
+    import pytest
+
+    from data_engineering_capstone_spark.operators.versioned import (
+        list_versions,
+        read_version,
+        vacuum_versions,
+        write_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        write_version(spark.createDataFrame([(i,)], "k int"), t)
+    assert vacuum_versions(t, keep_last=2) == [1, 2]
+    assert list_versions(t) == [3, 4]
+    # dropped snapshots fail fast; kept ones read fine; next write = v5
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, t, 1)
+    assert read_version(spark, t, 3).collect()[0]["k"] == 2
+    assert write_version(spark.createDataFrame([(9,)], "k int"), t) == 5
