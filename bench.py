@@ -39,11 +39,13 @@ HEADLINE = [
     "stream_tumbling_counts",
 ]
 
-# Everything runs best-of-2: periodic external load (the round driver's
-# own probes) produces 2-7x transient spikes, and the warm second run is
-# cheap — without this, one unlucky query (observed: the streaming drain
-# at 71s vs 7s isolated) dominates the recorded total.
+# Everything runs best-of-3: external load outside this VM produces
+# 2-7x transient spikes across EVERY query (observed loadavg ~12 with
+# no local process running), and warm repeats are cheap — without this,
+# one unlucky query (observed: the streaming drain at 71s vs 7s
+# isolated) dominates the recorded total.
 SINGLE_RUN: set[str] = set()
+REPS = 3
 
 
 def run_one(fn, spark, sf_dir: str) -> float:
@@ -67,7 +69,8 @@ def main() -> int:
     for name in names:
         best = run_one(catalog[name].fn, spark, sf_dir)
         if name not in SINGLE_RUN:
-            best = min(best, run_one(catalog[name].fn, spark, sf_dir))
+            for _ in range(REPS - 1):
+                best = min(best, run_one(catalog[name].fn, spark, sf_dir))
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
