@@ -565,3 +565,149 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_pd GROUP BY o_orderstatus ORDER BY o_orderstatus
         """
     )
+
+
+@query(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           REVERSE(p_brand)                          AS brand_rev,
+           TRANSLATE(p_name, 'aeiou', '.....')       AS name_devoweled,
+           REPEAT(p_brand, 2)                        AS brand_twice,
+           LEFT(p_name, 6)                           AS name_left,
+           RIGHT(p_type, 4)                          AS type_right,
+           CAST(ASCII(p_brand) AS INT)               AS brand_first_code,
+           CHR(65 + CAST(p_size % 26 AS INT))        AS size_letter,
+           RPAD(p_brand, 12, '*')                    AS brand_rpad,
+           CASE WHEN starts_with(p_type, 'ECONOMY') THEN 'eco' ELSE 'std' END
+                                                     AS type_class,
+           CAST(contains(p_name, 'a') AS BOOLEAN)    AS has_a
+    FROM part ORDER BY p_partkey
+    """,
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family II: reverse, translate, repeat,
+    left/right, ascii/chr, rpad, starts_with/contains predicates — all
+    JVM-side codegen expressions."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_brand").alias("brand_rev"),
+        F.translate(F.col("p_name"), "aeiou", ".....").alias("name_devoweled"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        F.substring("p_name", 1, 6).alias("name_left"),
+        F.expr("right(p_type, 4)").alias("type_right"),
+        F.ascii("p_brand").cast("int").alias("brand_first_code"),
+        F.chr(F.lit(65) + (F.col("p_size") % 26).cast("int")).alias("size_letter"),
+        F.rpad(F.col("p_brand"), 12, "*").alias("brand_rpad"),
+        F.when(F.startswith(F.col("p_type"), F.lit("ECONOMY")), "eco")
+        .otherwise("std")
+        .alias("type_class"),
+        F.contains(F.col("p_name"), F.lit("a")).alias("has_a"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT)          AS low_byte,
+           CAST(o_orderkey | 15 AS BIGINT)           AS or15,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+           CAST(o_orderkey << 2 AS BIGINT)           AS shl2,
+           CAST(o_orderkey >> 3 AS BIGINT)           AS shr3,
+           CAST(bit_count(o_orderkey) AS INT)        AS popcount,
+           CAST(~o_orderkey AS BIGINT)               AS flipped
+    FROM orders WHERE o_orderkey < 4096 ORDER BY o_orderkey
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family: and/or/xor, shifts, popcount,
+    complement — the hash/partitioning primitives (Z-order, salting,
+    bloom filters are all built from these)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4096)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).cast("bigint").alias("or15"),
+        k.bitwiseXOR(F.col("o_custkey")).cast("bigint").alias("key_xor"),
+        F.shiftleft(k, 2).cast("bigint").alias("shl2"),
+        F.shiftright(k, 3).cast("bigint").alias("shr3"),
+        F.bit_count(k).cast("int").alias("popcount"),
+        F.bitwise_not(k).cast("bigint").alias("flipped"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_conditional_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_discount, 0.0)                    AS disc_or_null,
+           GREATEST(l_quantity, 25.0)                 AS qty_floor25,
+           LEAST(l_quantity, 25.0)                    AS qty_cap25,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'kept') AS flag_defaulted,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE l_extendedprice / l_quantity END AS unit_price,
+           IF(l_discount > 0.05, 'deep', 'shallow')   AS disc_class
+    FROM lineitem WHERE l_orderkey < 1000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null family II: nullif, greatest/least, nested
+    coalesce-nullif defaulting, guarded division (the ANSI-safe form of
+    try_divide), two-armed IF."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_or_null"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_floor25"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_cap25"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("kept")).alias(
+            "flag_defaulted"
+        ),
+        F.when(F.col("l_quantity") == 0, F.lit(None)).otherwise(
+            F.col("l_extendedprice") / F.col("l_quantity")
+        ).alias("unit_price"),
+        F.when(F.col("l_discount") > 0.05, "deep").otherwise("shallow").alias(
+            "disc_class"
+        ),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "scalar_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           last_day(CAST(o_orderdate AS DATE))                   AS month_end,
+           CAST(o_orderdate AS DATE) - CAST(dayofmonth(o_orderdate) - 1 AS INT)
+                                                                 AS month_start,
+           make_date(CAST(YEAR(o_orderdate) AS INT), 12, 25)     AS holiday,
+           CAST(dayname(o_orderdate) AS VARCHAR)                 AS weekday_name,
+           CAST(QUARTER(o_orderdate) AS INT)                     AS q,
+           CAST(DAYOFYEAR(o_orderdate) AS INT)                   AS doy,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          make_date(CAST(YEAR(o_orderdate) AS INT), 12, 25)) AS INT)
+                                                                 AS days_to_holiday
+    FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+    """,
+)
+def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date function family II: last_day, month-start arithmetic,
+    make_date constructor, day names, quarter/day-of-year parts, and
+    date_diff to a constructed date."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate").cast("date")
+    holiday = F.make_date(F.year(d), F.lit(12), F.lit(25))
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.date_sub(d, F.dayofmonth(d) - 1).alias("month_start"),
+        holiday.alias("holiday"),
+        F.date_format(d, "EEEE").alias("weekday_name"),
+        F.quarter(d).cast("int").alias("q"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.datediff(holiday, d).cast("int").alias("days_to_holiday"),
+    ).orderBy("o_orderkey")
