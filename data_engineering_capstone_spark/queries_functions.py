@@ -711,3 +711,65 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear(d).cast("int").alias("doy"),
         F.datediff(holiday, d).cast("int").alias("days_to_holiday"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_array_funcs2",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             embedding[1:4]  AS head4,
+             embedding[5:8]  AS next4
+      FROM embeddings WHERE vec_id < 200
+    )
+    SELECT vec_id,
+           array_to_string(list_sort(list_transform(head4,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))), ',')
+             AS head_sorted_milli,
+           ROUND(list_sum(list_transform(
+                 list_zip(head4, next4),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 5)
+             AS dot4,
+           CAST(list_has_any(list_transform(head4, x -> x > 0),
+                             [true]) AS BOOLEAN)  AS any_pos,
+           CAST(NOT list_has_any(list_transform(head4, x -> x <= 0),
+                                 [true]) AS BOOLEAN) AS all_pos,
+           ROUND(CAST(list_max(flatten([head4, next4])) AS DOUBLE), 3)
+             AS max8
+    FROM base ORDER BY vec_id
+    """,
+)
+def scalar_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order family II: slice, sort_array over a
+    transformed copy, zip_with dot product, exists/forall predicates,
+    flatten + array_max. The array-valued result is flattened to an
+    int-scaled joined string at the boundary — the driver's hash
+    canonicalization cannot sort list cells (round-1 ADVICE), so arrays
+    never cross the output boundary.
+    """
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    head4 = F.slice(F.col("embedding"), 1, 4)
+    next4 = F.slice(F.col("embedding"), 5, 4)
+    dot = F.aggregate(
+        F.zip_with(head4, next4, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    head4,
+                    lambda x: F.round(x.cast("double") * 1000).cast("bigint"),
+                )
+            ).cast("array<string>"),
+            ",",
+        ).alias("head_sorted_milli"),
+        F.round(dot, 5).alias("dot4"),
+        F.exists(head4, lambda x: x > 0).alias("any_pos"),
+        F.forall(head4, lambda x: x > 0).alias("all_pos"),
+        F.round(F.array_max(F.flatten(F.array(head4, next4))).cast("double"), 3).alias(
+            "max8"
+        ),
+    ).orderBy("vec_id")
