@@ -316,3 +316,77 @@ def scan_xport_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _roundtrip_agg(spark, sf_dir, back)
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 100)
+    SELECT 'dropmalformed' AS mode,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 10 <> 0) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM base
+    UNION ALL
+    SELECT 'permissive',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT)
+    FROM base
+    ORDER BY mode
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record policy on CSV ingest: rows whose numeric field
+    is garbage under PERMISSIVE (kept, nulled, captured in
+    ``_corrupt_record``) vs DROPMALFORMED (silently dropped) — the
+    dirty-data contract every 100 TB ingest needs pinned, and the
+    scaled-up answer to the reference's infer-and-hope read
+    (reference: dags/transform/airport.py:5). FAILFAST is the third
+    mode; tests assert it raises. Corruption is injected
+    deterministically (every 10th key) so the oracle derives the same
+    counts relationally.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    keys = [r["o_orderkey"] for r in o.select("o_orderkey").collect()]
+    lines = ["k,price"] + [
+        f"{k},{'NOT_A_NUMBER' if k % 10 == 0 else '1.5'}" for k in sorted(keys)
+    ]
+    path = _tmp(sf_dir, "malformed_csv")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "data.csv"), "w") as f:
+        f.write("\n".join(lines))
+
+    schema = "k bigint, price double, _corrupt_record string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        # Spark refuses aggregates that reference ONLY the corrupt
+        # column over a raw scan; materialize the tiny parsed frame
+        # (localCheckpoint, not cache — cache pollutes plan
+        # canonicalization session-wide, see llm/dedup.py)
+        .localCheckpoint(eager=True)
+    )
+    perm_stats = permissive.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+    ).select(F.lit("permissive").alias("mode"), "n_rows", "n_corrupt")
+    dropped = (
+        spark.read.schema("k bigint, price double")
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    # CSV column pruning skips unreferenced fields, so a count that
+    # touches no columns never even PARSES price — and nothing is
+    # malformed. Count the fragile column itself: the parse is forced
+    # and every surviving DROPMALFORMED row has it non-null.
+    drop_stats = dropped.select(
+        F.count("price").alias("n_rows"),
+    ).select(
+        F.lit("dropmalformed").alias("mode"),
+        "n_rows",
+        F.lit(0).cast("bigint").alias("n_corrupt"),
+    )
+    return drop_stats.unionByName(perm_stats).orderBy("mode")

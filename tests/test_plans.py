@@ -1,0 +1,51 @@
+"""Physical-plan pinning tests (SURVEY.md §4): the same logical join
+lands on each of the three strategies under explicit control, and the
+assertion helper catches regressions."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_capstone_spark.plans.strategies import (
+    assert_join_strategy,
+    broadcast_join,
+    merge_join,
+    physical_plan,
+    shuffle_hash_join,
+)
+from data_engineering_capstone_spark.sources.testdata import load_table
+
+
+def test_three_join_strategies_pinned(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    b = broadcast_join(li, o, li.l_orderkey == o.o_orderkey)
+    assert_join_strategy(b, "broadcast")
+
+    m = merge_join(li, o, li.l_orderkey == o.o_orderkey)
+    assert_join_strategy(m, "merge")
+
+    sh = shuffle_hash_join(li, o, li.l_orderkey == o.o_orderkey)
+    assert_join_strategy(sh, "shuffle_hash")
+
+    # all three compute the same thing
+    counts = {x.count() for x in (b, m, sh)}
+    assert len(counts) == 1
+
+
+def test_assert_join_strategy_catches_wrong_pick(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    m = merge_join(li, o, li.l_orderkey == o.o_orderkey)
+    with pytest.raises(AssertionError):
+        assert_join_strategy(m, "broadcast")
+
+
+def test_autobroadcast_picks_dim_join(spark, sf_dir):
+    """With default thresholds, a dimension-sized build side must come
+    out broadcast without any hint — statistics do the right thing."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(n, c.c_nationkey == n.n_nationkey)
+    assert "BroadcastHashJoin" in physical_plan(j)

@@ -95,3 +95,20 @@ def test_pyds_distributed_read_matches_writer(spark, tmp_path):
     assert len(got) == 500
     assert got[0] == (0.0, "t0")
     assert got[7] == (1.75, "t7")
+
+
+def test_csv_failfast_raises_on_malformed(spark, tmp_path):
+    import pytest
+
+    p = tmp_path / "bad.csv"
+    p.write_text("k,price\n1,2.5\n2,GARBAGE\n")
+    df = (
+        spark.read.schema("k bigint, price double")
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(str(p))
+    )
+    with pytest.raises(Exception) as ei:
+        # force a full parse of the fragile column
+        df.select("price").collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)

@@ -136,3 +136,47 @@ def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir):
     got = {tuple(r) for r in streamed.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """File-source -> file-sink with an explicit checkpoint: a second
+    drain from the same checkpoint processes ONLY files that arrived
+    after the first — no reprocessing, no duplicates (the exactly-once
+    contract recovery relies on)."""
+    import os
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    part1 = ev.filter(F.col("event_id") % 2 == 0)
+    part2 = ev.filter(F.col("event_id") % 2 == 1)
+    n1, n2 = part1.count(), part2.count()
+    part1.coalesce(1).write.parquet(str(src / "batch1"))
+
+    schema = ev.schema
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(sink).count() == n1
+
+    part2.coalesce(1).write.parquet(str(src / "batch2"))
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == n1 + n2
+    # no duplicates: every event_id exactly once
+    assert got.select("event_id").distinct().count() == n1 + n2
