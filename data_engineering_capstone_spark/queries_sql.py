@@ -12,6 +12,7 @@ grouping sets to Expand — same physical operators, same scale behavior.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import query
 from .session import prep
@@ -187,3 +188,104 @@ def sql_listagg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     no array-typed output column for the driver hash to choke on.
     """
     return _sql(spark, sf_dir, _LISTAGG_SQL)
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc(k, node, depth, path_sum) AS (
+      SELECT o_orderkey, o_orderkey, 0, o_orderkey
+      FROM orders WHERE o_orderkey < 128
+      UNION ALL
+      SELECT k, node // 2, depth + 1, path_sum + node // 2
+      FROM anc WHERE node > 1
+    )
+    SELECT k,
+           CAST(MAX(depth) AS INT) AS depth_to_root,
+           CAST(MAX(path_sum) AS BIGINT) AS ancestor_sum
+    FROM anc GROUP BY k ORDER BY k
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): every orderkey < 128 walks its
+    binary-tree ancestry (parent = k div 2) to the root, accumulating
+    depth and the ancestor-key sum — the linear-recursion shape behind
+    hierarchy flattening and path aggregation. Spark executes it as an
+    iterative union-loop; per-round state is the frontier only. For the
+    iterative patterns that predate engine support (and for unbounded
+    depth with lineage control) see llm/clustering.py's label
+    propagation.
+    """
+    prep(spark)
+    from .sources.testdata import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(k, node, depth, path_sum) AS (
+          SELECT o_orderkey, o_orderkey, 0, o_orderkey
+          FROM orders_rc WHERE o_orderkey < 128
+          UNION ALL
+          SELECT k, CAST(node / 2 AS BIGINT), depth + 1,
+                 path_sum + CAST(node / 2 AS BIGINT)
+          FROM anc WHERE node > 1
+        )
+        SELECT k,
+               CAST(MAX(depth) AS INT) AS depth_to_root,
+               MAX(path_sum) AS ancestor_sum
+        FROM anc GROUP BY k ORDER BY k
+        """
+    )
+
+
+@query(
+    "sql_collation_group",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_brand) ELSE p_brand END
+               AS brand_mixed,
+             p_retailprice
+      FROM part
+    )
+    SELECT lower(brand_mixed) AS brand_ci,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM mixed GROUP BY 1 ORDER BY 1
+    """,
+)
+def sql_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated comparison semantics (new in Spark 4): a case-mixed
+    brand column grouped under UTF8_LCASE collation — equality, hashing
+    and therefore GROUP BY become case-insensitive WITHOUT rewriting
+    values, which at scale beats wrapping every comparison in lower()
+    (the collation rides the column type; one normalization at the
+    boundary). The oracle lower()s explicitly. Output keys are
+    lower()ed on both sides so the representative value is pinned.
+    """
+    from .sources.testdata import load_table
+
+    prep(spark)
+    p = load_table(spark, sf_dir, "part")
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.lower("p_brand"))
+        .otherwise(F.col("p_brand"))
+        .alias("brand_mixed"),
+        "p_retailprice",
+    )
+    ci = mixed.select(
+        F.collate(F.col("brand_mixed"), "UTF8_LCASE").alias("brand_ci"),
+        "p_retailprice",
+    )
+    return (
+        ci.groupBy("brand_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.lower(F.col("brand_ci")).cast("string").alias("brand_ci"), "n", "total"
+        )
+        .orderBy("brand_ci")
+    )
