@@ -390,3 +390,43 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint").alias("n_corrupt"),
     )
     return drop_stats.unionByName(perm_stats).orderBy("mode")
+
+
+@query(
+    "scan_parquet_codecs",
+    oracle="""
+    SELECT c.codec,
+           CAST((SELECT COUNT(*) FROM supplier) AS BIGINT) AS n,
+           CAST((SELECT SUM(CAST(s_acctbal AS DECIMAL(12,2))) FROM supplier)
+                AS DOUBLE) AS total_bal
+    FROM (VALUES ('lz4'), ('snappy'), ('zstd')) c(codec)
+    ORDER BY c.codec
+    """,
+)
+def scan_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression codec matrix: supplier written and read back under
+    snappy / zstd / lz4 — identical values regardless of codec (what
+    the oracle pins). Codec choice is a pure storage/CPU trade at
+    100 TB: zstd ~30-50% smaller than snappy at slightly higher CPU —
+    the modern cold-data default; snappy/lz4 for hot paths. Sizes per
+    codec are asserted in tests.
+    """
+    s = _t(spark, sf_dir, "supplier")
+    outs = []
+    for codec in ["lz4", "snappy", "zstd"]:
+        path = _tmp(sf_dir, f"supplier_{codec}")
+        shutil.rmtree(path, ignore_errors=True)
+        s.write.option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        outs.append(
+            back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("s_acctbal").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("total_bal"),
+            ).select(F.lit(codec).alias("codec"), "n", "total_bal")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("codec")

@@ -289,3 +289,36 @@ def sql_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_ci")
     )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 50000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers): values bind as
+    literals AFTER parsing, so user input can't splice syntax — the
+    injection-safe form of templated queries, and Catalyst still
+    constant-folds/pushes the bound literal into the scan like any
+    other predicate.
+    """
+    prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"min_price": 50000.0, "status": "O"},
+    )

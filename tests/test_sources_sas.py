@@ -112,3 +112,23 @@ def test_csv_failfast_raises_on_malformed(spark, tmp_path):
         # force a full parse of the fragile column
         df.select("price").collect()
     assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+
+
+def test_parquet_codec_sizes(spark, tmp_path):
+    """zstd should compress no worse than snappy on repetitive columns;
+    all three codecs must round-trip identically."""
+    import glob
+    import os
+
+    df = spark.range(50_000).selectExpr(
+        "id", "concat('prefix_', CAST(id % 50 AS STRING)) AS tag", "id * 1.5 AS v"
+    )
+    sizes = {}
+    for codec in ["snappy", "zstd", "lz4"]:
+        p = str(tmp_path / codec)
+        df.coalesce(1).write.option("compression", codec).parquet(p)
+        sizes[codec] = sum(
+            os.path.getsize(f) for f in glob.glob(p + "/part-*.parquet")
+        )
+        assert spark.read.parquet(p).count() == 50_000
+    assert sizes["zstd"] <= sizes["snappy"]
