@@ -911,3 +911,49 @@ def etl_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+@query(
+    "etl_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey, o_totalprice,
+             LEAST(1.0, o_totalprice / 300000.0) AS wt,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT
+                  AS DOUBLE) / 16777216.0 AS u
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE u < wt) AS BIGINT) AS n_sampled,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (WHERE u < wt)
+                AS DOUBLE) AS sampled_value,
+           CAST(SUM(o_orderkey) FILTER (WHERE u < wt) AS BIGINT) AS sampled_id_sum
+    FROM w
+    """,
+)
+def etl_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling, reproducible: each order is kept
+    with probability proportional to its value (capped at 1) by
+    comparing a per-key uniform draw — the first 24 bits of
+    md5(key), engine-portable — against the weight. Deterministic
+    across runs/engines/partitionings (no RNG state), trivially
+    distributed (pure per-row projection), and the standard trick for
+    value-weighted corpus subsampling at 100 TB. sampled_id_sum pins
+    exact membership, not just counts.
+    """
+    o = _t(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6), 16, 10)
+        .cast("double")
+        / F.lit(16777216.0)
+    )
+    wt = F.least(F.lit(1.0), F.col("o_totalprice") / F.lit(300000.0))
+    keep = u < wt
+    return o.select(
+        F.count(F.when(keep, 1)).alias("n_sampled"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(keep, F.col("o_totalprice").cast("decimal(12,2)")))
+        .cast("double")
+        .alias("sampled_value"),
+        F.sum(F.when(keep, F.col("o_orderkey"))).alias("sampled_id_sum"),
+    )
