@@ -52,3 +52,37 @@ def rolling_distinct_estimate(
             F.sum("n_events").alias("events_7d"),
         )
     )
+
+
+def distinct_overlap_estimate(
+    events: DataFrame,
+    type_a: str,
+    type_b: str,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Theta-sketch set algebra: estimated |keys(A)|, |keys(B)|, and
+    |keys(A) ∩ keys(B)| in ONE pass over the fact table.
+
+    HLL only unions; theta sketches (k-smallest-hash samples) support
+    intersection/difference — the audience-overlap query. Exact
+    COUNT(DISTINCT) intersection needs a self-join or two-pass distinct;
+    the sketch form is one scan + constant-size state per side, which is
+    the 100 TB answer. Deterministic for a given input set.
+    """
+    both = events.filter(F.col(type_col).isin(type_a, type_b))
+    agg = both.agg(
+        F.theta_sketch_agg(
+            F.when(F.col(type_col) == type_a, F.col(key_col))
+        ).alias("sk_a"),
+        F.theta_sketch_agg(
+            F.when(F.col(type_col) == type_b, F.col(key_col))
+        ).alias("sk_b"),
+    )
+    return agg.select(
+        F.theta_sketch_estimate(F.col("sk_a")).alias("est_a"),
+        F.theta_sketch_estimate(F.col("sk_b")).alias("est_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_overlap"),
+    )

@@ -412,3 +412,21 @@ def ts_rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query("ts_theta_overlap", oracle=None)
+def ts_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via theta-sketch set algebra
+    (operators/sketches.distinct_overlap_estimate): estimated distinct
+    clickers, purchasers, and their intersection in one scan — the set
+    operation HLL cannot do. Deterministic (k-smallest-hash), so
+    rows-only; tests pin the estimates against exact counts.
+    """
+    from .operators.sketches import distinct_overlap_estimate
+
+    ev = _events(spark, sf_dir)
+    return distinct_overlap_estimate(ev, "click", "purchase").select(
+        F.col("est_a").cast("bigint").alias("est_clickers"),
+        F.col("est_b").cast("bigint").alias("est_purchasers"),
+        F.col("est_overlap").cast("bigint").alias("est_both"),
+    )

@@ -232,3 +232,19 @@ def test_hll_rolling_matches_exact_within_bound(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("e")
     ).collect()[0]["e"]
     assert merged == whole
+
+
+def test_theta_overlap_matches_exact_within_bound(spark, sf_dir):
+    from data_engineering_capstone_spark.operators.sketches import (
+        distinct_overlap_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    got = distinct_overlap_estimate(ev, "click", "purchase").collect()[0]
+
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    a, b = clickers.count(), purchasers.count()
+    inter = clickers.intersect(purchasers).count()
+    for est, exact in ((got["est_a"], a), (got["est_b"], b), (got["est_overlap"], inter)):
+        assert abs(est - exact) <= max(2, 0.05 * exact), (est, exact)

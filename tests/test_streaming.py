@@ -180,3 +180,76 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     assert got.count() == n1 + n2
     # no duplicates: every event_id exactly once
     assert got.select("event_id").distinct().count() == n1 + n2
+
+
+def test_streaming_incremental_upsert_versioned(spark, sf_dir, tmp_path):
+    """End-to-end incremental pipeline: stream drains in two
+    checkpointed runs; each foreachBatch aggregates its micro-batch and
+    UPSERTS into a versioned table (operators/merge + versioned). The
+    final version equals the one-shot batch aggregate — incremental ==
+    batch, the invariant every incremental pipeline owes its users."""
+    import os
+
+    from data_engineering_capstone_spark.operators.merge import upsert
+    from data_engineering_capstone_spark.operators.versioned import (
+        read_version,
+        write_version,
+    )
+
+    src = tmp_path / "src"
+    tbl = str(tmp_path / "agg_table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    part1 = ev.filter(F.col("event_id") % 2 == 0)
+    part2 = ev.filter(F.col("event_id") % 2 == 1)
+    part1.coalesce(1).write.parquet(str(src / "b1"))
+
+    schema = ev.schema
+
+    def on_batch(batch_df, batch_id):
+        inc = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("uid_sum")
+        )
+        try:
+            cur = read_version(spark, tbl)
+            # re-aggregate only the keys this batch touched, then upsert
+            touched = (
+                cur.join(inc, "event_type", "left_semi")
+                .unionByName(inc)
+                .groupBy("event_type")
+                .agg(F.sum("n").alias("n"), F.sum("uid_sum").alias("uid_sum"))
+            )
+            merged = upsert(cur, touched, ["event_type"])
+        except FileNotFoundError:
+            merged = inc
+        write_version(merged.localCheckpoint(eager=True), tbl)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    part2.coalesce(1).write.parquet(str(src / "b2"))
+    drain()
+
+    got = {
+        r["event_type"]: (r["n"], r["uid_sum"])
+        for r in read_version(spark, tbl).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["uid_sum"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("uid_sum"))
+        .collect()
+    }
+    assert got == want
