@@ -1001,3 +1001,49 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_corpus_report",
+    oracle="""
+    WITH d AS (
+      SELECT lang, source,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')) AS n_tok,
+             n_chars
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(quantile_cont(n_tok, 0.5) AS DOUBLE) AS tok_p50,
+           CAST(quantile_cont(n_tok, 0.95) AS DOUBLE) AS tok_p95,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM d GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report — the first table anyone building a
+    training mix asks for: per (language × source) document/token
+    volumes with exact token-length percentiles and char bounds. One
+    aggregation pass; token counts ride the scan projection. At 100 TB
+    this is the job you schedule after every crawl snapshot, and the
+    grain (lang × source) is exactly what mix rebalancing
+    (llm_mix_rebalance) consumes downstream.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = token_count("text")
+    return (
+        d.select("lang", "source", toks.alias("n_tok"), "n_chars")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.percentile(F.col("n_tok"), F.lit(0.5)).alias("tok_p50"),
+            F.percentile(F.col("n_tok"), F.lit(0.95)).alias("tok_p95"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
