@@ -1287,3 +1287,50 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("promo")
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k
+      FROM events WHERE event_id < 2000
+    ), b AS (
+      SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_type
+      FROM events GROUP BY 1
+    )
+    SELECT a.k AS event_key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(b.n_type) AS group_size
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k ORDER BY a.k NULLS FIRST
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension
+    lookups need when "unknown" is itself a category. Still hash-
+    joinable (null-safe equality is an equi-key to Catalyst), unlike
+    the OR-of-IS-NULL rewrite which degrades to nested-loop.
+    """
+    ev = _t(spark, sf_dir, "events")
+    key = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    a = ev.filter(F.col("event_id") < 2000).select(
+        "event_id", "user_id", key.alias("k")
+    )
+    b = ev.select(key.alias("kb")).groupBy("kb").agg(
+        F.count(F.lit(1)).alias("n_type")
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["kb"]))
+        .groupBy(F.col("k").alias("event_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("n_type").alias("group_size"),
+        )
+        .orderBy(F.col("event_key").asc_nulls_first())
+    )

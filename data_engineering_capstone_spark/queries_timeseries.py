@@ -430,3 +430,38 @@ def ts_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_b").cast("bigint").alias("est_purchasers"),
         F.col("est_overlap").cast("bigint").alias("est_both"),
     )
+
+
+@query(
+    "ts_rolling_median",
+    oracle="""
+    SELECT user_id, ts, value,
+           quantile_disc(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+    FROM events WHERE user_id < 10
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-event median smoothing (robust to outliers where the
+    moving average isn't). Spark has no percentile window aggregate, so
+    the frame is collected per row, sorted, and indexed at the lower
+    median — O(k log k) per row for frame width k, partition-local, one
+    sort per user. quantile_disc picks an actual data value, so both
+    engines return identical doubles. For wide frames at scale, swap in
+    a KLL sketch per frame chunk.
+    """
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10)
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    vals = F.array_sort(F.collect_list("value").over(fr))
+    # lower median = element at ceil(n/2), 1-indexed (quantile_disc 0.5)
+    med = F.element_at(vals, F.ceil(F.size(vals) / 2).cast("int"))
+    return (
+        ev.select("user_id", "ts", "value", med.alias("med7"))
+        .orderBy("user_id", "ts")
+    )
