@@ -1047,3 +1047,79 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "llm_dedup_canonical",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS s
+      FROM toks WHERE len(t) >= 2
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+    ), raw_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM raw_pairs
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.2
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(a, b) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+    ), comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a
+    ), ranked AS (
+      SELECT c.component, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS canonical_doc,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+             AS canonical_chars
+    FROM ranked GROUP BY component ORDER BY component
+    """,
+)
+def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster — the step
+    after cluster formation in every dedup pipeline: one representative
+    survives, the rest are dropped. Clusters come from the iterative
+    min-label propagation (llm/clustering.py); the representative is a
+    deterministic argmax (longest doc, then lowest id) via max_by on a
+    (n_chars, -doc_id) struct — no window over the corpus, just a
+    cluster-count-sized aggregate. The oracle rebuilds components with
+    a recursive CTE and ranks inside each.
+    """
+    from .llm.clustering import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, shingle_n=2)
+    cl = dedup_clusters(pairs)
+    joined = cl.join(d.select("doc_id", "n_chars"), "doc_id")
+    pick = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    return (
+        joined.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by("doc_id", pick).alias("canonical_doc"),
+            F.max_by("n_chars", pick).alias("canonical_chars"),
+        )
+        .orderBy("component")
+    )
