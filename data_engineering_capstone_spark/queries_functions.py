@@ -773,3 +773,75 @@ def scalar_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max8"
         ),
     ).orderBy("vec_id")
+
+
+@query(
+    "agg_two_phase_distinct",
+    oracle="""
+    WITH dedup AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(user_id) AS BIGINT) AS user_id_sum
+    FROM dedup GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via explicit two-phase aggregation:
+    dedup on (group, key) first, then count — the shape that scales
+    when several distinct aggregates would otherwise trigger Expand
+    (one input replica per DISTINCT clause). Both shuffles are
+    key-partial; the second input is already distinct-sized. The
+    id-sum over the deduped set pins membership.
+    """
+    ev = _t(spark, sf_dir, "events")
+    dedup = ev.select("event_type", "user_id").distinct()
+    return (
+        dedup.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("user_id").alias("user_id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "window_gap_islands",
+    oracle="""
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderkey < 3000
+    ), grp AS (
+      SELECT key,
+             key - row_number() OVER (ORDER BY key) AS island
+      FROM k
+    )
+    SELECT MIN(key) AS island_start,
+           MAX(key) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS island_len
+    FROM grp GROUP BY island ORDER BY island_start
+    """,
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive keys found by the
+    key-minus-row_number trick (constant within a run, jumps at every
+    gap) — sequence-integrity auditing for id columns. One global sort
+    over the DISTINCT key set (not the fact table); at 100 TB,
+    range-partition the keys and stitch boundary islands in a
+    second cluster-count-sized pass.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    k = o.select(F.col("o_orderkey").alias("key")).distinct()
+    w = Window.orderBy("key")
+    grp = k.select("key", (F.col("key") - F.row_number().over(w)).alias("island"))
+    return (
+        grp.groupBy("island")
+        .agg(
+            F.min("key").alias("island_start"),
+            F.max("key").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("island")
+        .orderBy("island_start")
+    )
