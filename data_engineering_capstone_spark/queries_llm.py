@@ -1123,3 +1123,54 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@query(
+    "llm_url_parse_cap",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' ||
+               CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             regexp_extract(url, '^https?://[^/?]+(/[^?]*)', 1) AS path,
+             regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param
+      FROM urls
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang_param) AS BIGINT) AS n_langs,
+           MIN(path) AS first_path
+    FROM parsed GROUP BY host ORDER BY host
+    """,
+)
+def llm_url_parse_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition for crawl curation (per-host statistics —
+    the prerequisite of per-domain capping): built-in ``parse_url``
+    extracts HOST / PATH / QUERY(lang) JVM-side; the oracle replicates
+    with regexes. Per-host doc counts and language spread drive crawl
+    frontier and cap policy; llm_source_cap applies the cap itself.
+    """
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    parsed = d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang_param").alias("n_langs"),
+            F.min("path").alias("first_path"),
+        )
+        .orderBy("host")
+    )
