@@ -322,3 +322,43 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 50000.0, "status": "O"},
     )
+
+
+@query(
+    "sql_managed_table_dml",
+    oracle="""
+    WITH all_rows AS (
+      SELECT n_nationkey, n_name FROM nation
+      UNION ALL
+      SELECT 900, 'ATLANTIS' UNION ALL SELECT 901, 'ELBONIA'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           MIN(n_name) AS first_name
+    FROM all_rows
+    """,
+)
+def sql_managed_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-catalog DML: CREATE TABLE ... USING parquet from a
+    query, INSERT INTO appends, aggregate the result — the
+    metastore-backed table lifecycle (as opposed to path-based reads
+    everywhere else). Each run recreates the table, so the query is
+    idempotent; the catalog entry itself lives in the session's
+    warehouse dir.
+    """
+    prep(spark)
+    register_views(spark, sf_dir)
+    tbl = "dec_spark_nations_dml"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} USING parquet AS SELECT n_nationkey, n_name FROM nation"
+    )
+    spark.sql(f"INSERT INTO {tbl} VALUES (900, 'ATLANTIS'), (901, 'ELBONIA')")
+    return spark.sql(
+        f"""
+        SELECT COUNT(*) AS n,
+               SUM(n_nationkey) AS key_sum,
+               MIN(n_name) AS first_name
+        FROM {tbl}
+        """
+    )

@@ -49,3 +49,18 @@ def test_autobroadcast_picks_dim_join(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     j = c.join(n, c.c_nationkey == n.n_nationkey)
     assert "BroadcastHashJoin" in physical_plan(j)
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
+    """ANALYZE TABLE COMPUTE STATISTICS must surface rowCount to the
+    optimizer — the input the cost-based join reorderer needs."""
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").saveAsTable(
+        "dec_stats_supplier"
+    )
+    spark.sql("ANALYZE TABLE dec_stats_supplier COMPUTE STATISTICS")
+    row = spark.sql("DESCRIBE TABLE EXTENDED dec_stats_supplier").filter(
+        "col_name = 'Statistics'"
+    ).collect()
+    assert row and "rows" in row[0]["data_type"], row
+    expected = spark.table("dec_stats_supplier").count()
+    assert f"{expected} rows" in row[0]["data_type"]

@@ -253,3 +253,60 @@ def test_streaming_incremental_upsert_versioned(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data_deterministically(spark, tmp_path):
+    """Three files drained one-per-micro-batch. Spark's late-data drop
+    is best-effort while a window is still in state (a late row may
+    merge right up until eviction); once the watermark has EVICTED the
+    window, the state store refuses re-insertion — that hard guarantee
+    is what this pins. File order (lexicographic path) makes the batch
+    sequence, the eviction point, and therefore the drop deterministic."""
+    import os
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    base = "2024-01-01 {:02d}:00:00"
+    # batch a: hours 0-3 + 10 (advances watermark to 08:00 after batch)
+    rows1 = [(i, base.format(h)) for i, h in enumerate([0, 1, 2, 3, 10])]
+    # batch b: on-time rows; processing this batch evicts+emits all
+    # windows ending <= 08:00 (hour 3 included, with count 1)
+    rows2 = [(50, base.format(9)), (51, base.format(11))]
+    # batch c: replay of hour 3 AFTER its window was evicted -> refused
+    rows3 = [(100, base.format(3)), (101, base.format(12))]
+
+    def write(rows, name):
+        df = spark.createDataFrame(rows, "event_id int, ts_s string").selectExpr(
+            "event_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        )
+        df.coalesce(1).write.parquet(str(src / name))
+
+    write(rows1, "a_batch1")
+    write(rows2, "b_batch2")
+    write(rows3, "c_batch3")
+
+    agg = (
+        spark.readStream.schema("event_id int, ts timestamp")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_t")
+        .outputMode("append")  # append emits only finalized windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("late_drop_t").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["w"]["start"].hour, []).append(r["n"])
+    # hour 3 emitted exactly ONCE, with only the original event — the
+    # post-eviction replay was refused (no duplicate emission either)
+    assert out.get(3) == [1], out
+    assert out.get(0) == [1] and out.get(1) == [1] and out.get(2) == [1]
