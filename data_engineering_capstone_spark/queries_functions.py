@@ -845,3 +845,51 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("island")
         .orderBy("island_start")
     )
+
+
+@query(
+    "scalar_try_funcs",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN 'oops'
+                  ELSE CAST(value AS VARCHAR) END AS v_str,
+             value,
+             CAST(event_id % 5 AS DOUBLE) AS denom
+      FROM events WHERE event_id < 3000
+    )
+    SELECT event_id,
+           TRY_CAST(v_str AS DOUBLE) AS v_parsed,
+           (TRY_CAST(v_str AS DOUBLE) IS NULL) AS parse_failed,
+           CASE WHEN denom = 0 THEN NULL ELSE value / denom END AS ratio,
+           TRY_CAST(CASE WHEN event_id % 7 = 0 THEN '9e999' ELSE '1.5' END
+                    AS DOUBLE) AS overflow_guard
+    FROM raw ORDER BY event_id
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-handling family: with ANSI mode ON (the engine
+    default — matches DuckDB and the SQL standard), bad casts and
+    division by zero RAISE unless routed through try_cast/try_divide,
+    which return NULL instead — per-row fault isolation without
+    flipping the whole session to silent-corruption mode. DuckDB's
+    infinity-parse of '9e999' differs from Spark's NULL, so the
+    overflow probe double-guards with try_cast on both sides via the
+    CASE construction.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    v_str = F.when(F.col("event_type") == "error", F.lit("oops")).otherwise(
+        F.col("value").cast("string")
+    )
+    denom = (F.col("event_id") % 5).cast("double")
+    parsed = v_str.try_cast("double")
+    return e.select(
+        "event_id",
+        parsed.alias("v_parsed"),
+        parsed.isNull().alias("parse_failed"),
+        F.try_divide(F.col("value"), denom).alias("ratio"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("9e999"))
+        .otherwise(F.lit("1.5"))
+        .try_cast("double")
+        .alias("overflow_guard"),
+    ).orderBy("event_id")
