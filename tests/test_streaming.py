@@ -310,3 +310,39 @@ def test_watermark_drops_late_data_deterministically(spark, tmp_path):
     # post-eviction replay was refused (no duplicate emission either)
     assert out.get(3) == [1], out
     assert out.get(0) == [1] and out.get(1) == [1] and out.get(2) == [1]
+
+
+def test_rocksdb_state_store_matches_default(spark, sf_dir):
+    """Stateful aggregation under the RocksDB state-store provider —
+    the large-state scale path (state spills off-heap/disk instead of
+    living on the JVM heap) — must produce exactly the default
+    provider's results."""
+    from data_engineering_capstone_spark.streaming.windows import (
+        run_available_now,
+        stream_events,
+        tumbling_counts,
+    )
+
+    def run():
+        return {
+            (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in run_available_now(
+                tumbling_counts(stream_events(spark, sf_dir)), "complete"
+            ).collect()
+        }
+
+    base = run()
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov, None)
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = run()
+    finally:
+        if old:
+            spark.conf.set(prov, old)
+        else:
+            spark.conf.unset(prov)
+    assert rocks == base and len(base) > 0
