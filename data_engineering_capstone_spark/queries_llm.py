@@ -1174,3 +1174,46 @@ def llm_url_parse_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+@query(
+    "llm_feature_hashing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), bucketed AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(tok), 1, 4))::BIGINT % 8 AS INT) AS bucket
+      FROM toks
+    )
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+)
+def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: tokens land in a fixed number of
+    buckets via a portable hash (md5 prefix mod 8 here; xxhash64 JVM-
+    side in production) — unbounded vocabulary becomes a fixed-width
+    feature space with NO vocabulary table, no fit step, and no shuffle
+    beyond the final count. The per-(lang, bucket) mass is the
+    bag-of-hashed-words profile a linear classifier consumes.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("bigint") % 8
+    ).cast("int")
+    return (
+        toks.select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .orderBy("lang", "bucket")
+    )

@@ -348,8 +348,14 @@ def sql_managed_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     register_views(spark, sf_dir)
+    import shutil
+
     tbl = "dec_spark_nations_dml"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # the on-disk location outlives the in-memory catalog across
+    # processes; clear it or CREATE refuses the name
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
     spark.sql(
         f"CREATE TABLE {tbl} USING parquet AS SELECT n_nationkey, n_name FROM nation"
     )

@@ -5,6 +5,7 @@ assertion helper catches regressions."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_engineering_capstone_spark.plans.strategies import (
     assert_join_strategy,
@@ -54,6 +55,13 @@ def test_autobroadcast_picks_dim_join(spark, sf_dir):
 def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
     """ANALYZE TABLE COMPUTE STATISTICS must surface rowCount to the
     optimizer — the input the cost-based join reorderer needs."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS dec_stats_supplier")
+    # a previous session's on-disk location survives the in-memory
+    # catalog; clear it or the CREATE refuses the name
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/dec_stats_supplier", ignore_errors=True)
     load_table(spark, sf_dir, "supplier").write.mode("overwrite").saveAsTable(
         "dec_stats_supplier"
     )
@@ -64,3 +72,25 @@ def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
     assert row and "rows" in row[0]["data_type"], row
     expected = spark.table("dec_stats_supplier").count()
     assert f"{expected} rows" in row[0]["data_type"]
+
+
+def test_exchange_reuse_across_same_key_aggregates(spark, sf_dir):
+    """Two aggregates over the SAME shuffled child must reuse one
+    exchange (ReusedExchange) instead of shuffling twice — the plan
+    property that keeps multi-output pipelines one-shuffle at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("n")
+    )
+    # identical projections in both branches — otherwise column pruning
+    # specializes each exchange and nothing is reusable
+    a = base.filter(F.col("q") > 100)
+    b = base.filter(F.col("n") > 3)
+    # AQE's pre-execution plan is an unexpanded shell; the ReuseExchange
+    # rule is visible in the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = physical_plan(a.unionByName(b))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan, plan
