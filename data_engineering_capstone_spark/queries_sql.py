@@ -11,6 +11,8 @@ grouping sets to Expand — same physical operators, same scale behavior.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -349,15 +351,19 @@ def sql_managed_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     register_views(spark, sf_dir)
     import shutil
+    import tempfile
 
     tbl = "dec_spark_nations_dml"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    # the on-disk location outlives the in-memory catalog across
-    # processes; clear it or CREATE refuses the name
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    # explicit /tmp location: the default warehouse lives under the
+    # driver process CWD (unknown/possibly read-only in the harness),
+    # and on-disk locations outlive the in-memory catalog across
+    # processes — clear before CREATE
+    loc = os.path.join(tempfile.gettempdir(), "dec_spark_warehouse", tbl)
+    shutil.rmtree(loc, ignore_errors=True)
     spark.sql(
-        f"CREATE TABLE {tbl} USING parquet AS SELECT n_nationkey, n_name FROM nation"
+        f"CREATE TABLE {tbl} USING parquet LOCATION '{loc}' "
+        "AS SELECT n_nationkey, n_name FROM nation"
     )
     spark.sql(f"INSERT INTO {tbl} VALUES (900, 'ATLANTIS'), (901, 'ELBONIA')")
     return spark.sql(
