@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import query
@@ -956,4 +956,46 @@ def etl_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sampled_value"),
         F.sum(F.when(keep, F.col("o_orderkey"))).alias("sampled_id_sum"),
+    )
+
+
+@query(
+    "etl_surrogate_keys",
+    oracle="""
+    WITH dim AS (
+      SELECT o_orderpriority,
+             row_number() OVER (ORDER BY o_orderpriority) AS priority_sk
+      FROM (SELECT DISTINCT o_orderpriority FROM orders)
+    )
+    SELECT d.priority_sk,
+           d.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN dim d USING (o_orderpriority)
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key assignment — the DW pattern
+    ``monotonically_increasing_id`` gets WRONG (its values depend on
+    partition layout, so every rewrite renumbers the dimension): dense
+    keys from row_number over a stable natural order, assigned on the
+    distinct-value dimension (tiny), then broadcast back onto the fact.
+    For fact-scale key assignment where even the distinct set is huge,
+    use the two-phase global prefix sum (operators/prefix.py) instead
+    of a single-partition window.
+    """
+    o = _t(spark, sf_dir, "orders")
+    dim = (
+        o.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "priority_sk",
+            F.row_number().over(Window.orderBy("o_orderpriority")),
+        )
+    )
+    return (
+        o.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("priority_sk", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("priority_sk")
     )
