@@ -1217,3 +1217,60 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_tokens"))
         .orderBy("lang", "bucket")
     )
+
+
+@query(
+    "llm_dedup_graph_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS s
+      FROM toks WHERE len(t) >= 2
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+    ), raw_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM raw_pairs
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.2
+    ), deg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT id_a AS doc_id FROM pairs
+        UNION ALL SELECT id_b FROM pairs
+      ) GROUP BY doc_id
+    )
+    SELECT degree,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def llm_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup similarity graph — the
+    diagnostic run BEFORE clustering: a heavy tail here means template
+    spam (one page duplicated thousands of times), which blows up
+    candidate buckets and is exactly what LSH band-size tuning and AQE
+    skew handling have to absorb. Pairs are the same exact-Jaccard set
+    the cluster queries use; the histogram is two tiny aggregates over
+    the pair list.
+    """
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, shingle_n=2)
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )

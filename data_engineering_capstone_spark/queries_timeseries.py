@@ -465,3 +465,40 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "ts", "value", med.alias("med7"))
         .orderBy("user_id", "ts")
     )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality fingerprint: the (day-of-week × hour-of-day) load
+    matrix — the profile capacity planning and anomaly baselines key
+    off. One hash aggregate over derived calendar keys (168 groups
+    regardless of data volume); ISO day numbering matches ANSI engines.
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.dayofweek(F.date_sub(F.col("ts"), 1)).alias("dow_raw"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("dow_raw").cast("int").alias("dow"),
+            F.col("hod").cast("int").alias("hod"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("dow", "hod")
+    )
