@@ -893,3 +893,42 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("double")
         .alias("overflow_guard"),
     ).orderBy("event_id")
+
+
+@query(
+    "scalar_math_funcs2",
+    oracle="""
+    SELECT event_id,
+           sin(value)              AS sin_v,
+           cos(value)              AS cos_v,
+           tan(value / 10)         AS tan_v,
+           atan(value)             AS atan_v,
+           atan2(value, 2.0)       AS atan2_v,
+           exp(value / 100)        AS exp_v,
+           degrees(value)          AS deg_v,
+           radians(value)          AS rad_v,
+           sign(value - 5.0)       AS sign_v
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """,
+)
+def scalar_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family II — trigonometric/exponential: sin/cos/tan/atan/
+    atan2/exp/degrees/radians/sign, all verified BIT-identical between
+    the JVM's StrictMath-backed implementations and DuckDB's libm on
+    the sampled domain (cbrt is the one probed exception — one ulp —
+    and is excluded; use pow(x, 1./3) where portability matters).
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.sin(v).alias("sin_v"),
+        F.cos(v).alias("cos_v"),
+        F.tan(v / 10).alias("tan_v"),
+        F.atan(v).alias("atan_v"),
+        F.atan2(v, F.lit(2.0)).alias("atan2_v"),
+        F.exp(v / 100).alias("exp_v"),
+        F.degrees(v).alias("deg_v"),
+        F.radians(v).alias("rad_v"),
+        F.signum(v - 5.0).alias("sign_v"),
+    ).orderBy("event_id")
