@@ -932,3 +932,55 @@ def scalar_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.radians(v).alias("rad_v"),
         F.signum(v - 5.0).alias("sign_v"),
     ).orderBy("event_id")
+
+
+@query(
+    "scalar_map_funcs2",
+    oracle="""
+    WITH base AS (
+      SELECT event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id < 1500
+    )
+    SELECT event_id,
+           -- construct {'base': cents, 'double': 2*cents}, filter > 500,
+           -- add 1 to surviving values, append {'extra': 1}; emit sorted
+           -- k=v pairs (map cells can't cross the hash boundary)
+           array_to_string(
+             list_sort(list_concat(list_concat(
+               CASE WHEN cents > 500
+                    THEN ['base=' || CAST(cents + 1 AS VARCHAR)] ELSE [] END,
+               CASE WHEN 2 * cents > 500
+                    THEN ['double=' || CAST(2 * cents + 1 AS VARCHAR)] ELSE [] END),
+               ['extra=1'])), ',') AS map_repr,
+           CAST(CASE WHEN cents > 500 THEN 1 ELSE 0 END
+                + CASE WHEN 2 * cents > 500 THEN 1 ELSE 0 END + 1 AS INT)
+             AS n_entries
+    FROM base ORDER BY event_id
+    """,
+)
+def scalar_map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order family: map_from_arrays construction,
+    map_filter, transform_values, map_concat, entries flattened to a
+    sorted string at the boundary (map cells are unhashable to the
+    external harness, same rule as arrays). The oracle reproduces the
+    VALUE semantics from the underlying arithmetic — construction
+    mechanics are engine-internal.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    m = F.map_from_arrays(
+        F.array(F.lit("base"), F.lit("double")), F.array(cents, cents * 2)
+    )
+    filtered = F.map_filter(m, lambda k, v: v > 500)
+    bumped = F.transform_values(filtered, lambda k, v: v + 1)
+    final = F.map_concat(bumped, F.create_map(F.lit("extra"), F.lit(1).cast("bigint")))
+    entries = F.transform(
+        F.map_entries(final),
+        lambda kv: F.concat(kv["key"], F.lit("="), kv["value"].cast("string")),
+    )
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(entries), ",").alias("map_repr"),
+        F.size(F.map_entries(final)).cast("int").alias("n_entries"),
+    ).orderBy("event_id")
