@@ -1334,3 +1334,44 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("event_key").asc_nulls_first())
     )
+
+
+@query(
+    "window_nth_value_family",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           nth_value(s_acctbal, 2) OVER w AS second_lowest,
+           nth_value(s_acctbal, 3) OVER (
+             PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_lowest_overall,
+           lag(s_acctbal, 2, -1.0) OVER w AS lag2_or_default,
+           last_value(s_acctbal) OVER (
+             PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS max_in_nation
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def window_nth_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional analytic functions: nth_value under the default
+    running frame (NULL until the nth row arrives) vs an unbounded
+    frame (constant per partition), offset lag with an explicit
+    default, and last_value over the full partition — the frame-
+    sensitivity trap every SQL engine documents and many users hit.
+    One shared sort serves all four.
+    """
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.nth_value("s_acctbal", 2).over(w).alias("second_lowest"),
+        F.nth_value("s_acctbal", 3).over(w_full).alias("third_lowest_overall"),
+        F.lag("s_acctbal", 2, -1.0).over(w).alias("lag2_or_default"),
+        F.last("s_acctbal").over(w_full).alias("max_in_nation"),
+    ).orderBy("s_suppkey")
