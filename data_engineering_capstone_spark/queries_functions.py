@@ -984,3 +984,36 @@ def scalar_map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(entries), ",").alias("map_repr"),
         F.size(F.map_entries(final)).cast("int").alias("n_entries"),
     ).orderBy("event_id")
+
+
+@query(
+    "scalar_binary_funcs",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name)                                   AS name_md5,
+           sha256(p_name)                                AS name_sha256,
+           lower(to_hex(encode(p_brand)))                AS brand_hex,
+           to_base64(encode(p_type))                     AS type_b64,
+           decode(from_base64(to_base64(encode(p_type)))) AS type_rt,
+           CAST(octet_length(encode(p_name)) AS INT)     AS name_bytes
+    FROM part WHERE p_partkey < 500 ORDER BY p_partkey
+    """,
+)
+def scalar_binary_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding family: md5, sha-256, hex, base64 round trip,
+    byte length — the content-addressing primitives the dedup and
+    fingerprint tiers build on, verified portable at the hex/base64
+    string boundary.
+    """
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2(F.col("p_name"), 256).alias("name_sha256"),
+        F.lower(F.hex(F.col("p_brand").cast("binary"))).alias("brand_hex"),
+        F.base64(F.col("p_type").cast("binary")).alias("type_b64"),
+        F.unbase64(F.base64(F.col("p_type").cast("binary")))
+        .cast("string")
+        .alias("type_rt"),
+        F.octet_length(F.col("p_name")).cast("int").alias("name_bytes"),
+    ).orderBy("p_partkey")

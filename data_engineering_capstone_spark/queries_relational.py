@@ -1375,3 +1375,42 @@ def window_nth_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("s_acctbal", 2, -1.0).over(w).alias("lag2_or_default"),
         F.last("s_acctbal").over(w_full).alias("max_in_nation"),
     ).orderBy("s_suppkey")
+
+
+@query(
+    "set_ops_union_by_name",
+    oracle="""
+    WITH old_schema AS (
+      SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+    ), new_schema AS (
+      SELECT n_name, n_nationkey, n_regionkey FROM nation WHERE n_nationkey >= 10
+    )
+    SELECT n_nationkey, n_name, region_or_default
+    FROM (
+      SELECT n_nationkey, n_name, CAST(-1 AS INT) AS region_or_default
+      FROM old_schema
+      UNION ALL
+      SELECT n_nationkey, n_name, CAST(n_regionkey AS INT) FROM new_schema
+    ) ORDER BY n_nationkey
+    """,
+)
+def set_ops_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: ``unionByName(allowMissingColumns=True)``
+    aligns by COLUMN NAME and null-fills columns one side lacks — the
+    append path when a table gains columns mid-life (positional UNION
+    would silently misalign). The oracle spells out the name alignment
+    and default-fill explicitly.
+    """
+    n = _t(spark, sf_dir, "nation")
+    old = n.filter(F.col("n_nationkey") < 10).select("n_nationkey", "n_name")
+    new = n.filter(F.col("n_nationkey") >= 10).select(
+        "n_name", "n_nationkey", F.col("n_regionkey").cast("int").alias("region_or_default")
+    )
+    return (
+        old.unionByName(new, allowMissingColumns=True)
+        .withColumn(
+            "region_or_default",
+            F.coalesce(F.col("region_or_default"), F.lit(-1)).cast("int"),
+        )
+        .orderBy("n_nationkey")
+    )
