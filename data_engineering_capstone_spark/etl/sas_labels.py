@@ -20,9 +20,14 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-# ``value <name>`` ... ``;``  blocks; entries are  <code> = '<label>'
+# ``value <name>`` ... ``;``  blocks; entries are  <code> = '<label>'.
+# SAS escapes a quote inside a quoted literal by doubling it
+# (reference: I94_SAS_Labels_Descriptions.SAS:509  'INT''L FALLS, MN'),
+# so quoted atoms are ((?:[^']|'')*) with a post-match unescape.
 _BLOCK_RE = re.compile(r"value\s+(\$?\w+)(.*?);", re.IGNORECASE | re.DOTALL)
-_ENTRY_RE = re.compile(r"""(?:'([^']*)'|([\w.]+))\s*=\s*(?:'([^']*)'|"([^"]*)"|(\S+))""")
+_ENTRY_RE = re.compile(
+    r"""(?:'((?:[^']|'')*)'|([\w.]+))\s*=\s*(?:'((?:[^']|'')*)'|"([^"]*)"|(\S+))"""
+)
 
 
 def parse_sas_value_maps(text: str) -> dict[str, dict[str, str]]:
@@ -39,10 +44,33 @@ def parse_sas_value_maps(text: str) -> dict[str, dict[str, str]]:
         for m in _ENTRY_RE.finditer(body):
             code = m.group(1) if m.group(1) is not None else m.group(2)
             label = next(g for g in m.groups()[2:] if g is not None)
-            entries[code.strip()] = label.strip()
+            entries[code.strip().replace("''", "'")] = label.strip().replace("''", "'")
         if entries:
             maps[name.lstrip("$")] = entries
     return maps
+
+
+# Comment-encoded maps: the reference file defines I94VISA only inside a
+# comment block ("Visa codes collapsed into three categories: 1 =
+# Business ...", I94_SAS_Labels_Descriptions.SAS:1046-1050) — there is
+# no ``value`` block for it, so a faithful parse must read the comment.
+_COMMENT_RE = re.compile(r"/\*(.*?)\*/", re.DOTALL)
+_COMMENT_ENTRY_RE = re.compile(r"^\s*(\d+)\s*=\s*([^\r\n]+?)\s*$", re.MULTILINE)
+
+
+def parse_comment_value_map(text: str, var_name: str) -> dict[str, str]:
+    """Extract a ``code = label`` map from the comment block documenting
+    ``var_name`` (e.g. ``"I94VISA"``). Returns ``{}`` when the variable's
+    comment holds no such lines."""
+    for body in _COMMENT_RE.findall(text):
+        if not body.lstrip().upper().startswith(var_name.upper()):
+            continue
+        entries = {
+            code: label.strip() for code, label in _COMMENT_ENTRY_RE.findall(body)
+        }
+        if entries:
+            return entries
+    return {}
 
 
 def dim_from_map(

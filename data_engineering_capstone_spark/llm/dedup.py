@@ -78,6 +78,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 64,
     shingle_n: int = 2,
+    max_shingles_per_doc: int = 1 << 16,
 ) -> DataFrame:
     """(id, signature) via one JVM base hash + numpy affine derivation.
 
@@ -121,7 +122,20 @@ def minhash_signatures(
     sh = df.repartition(par).select(
         F.col(id_col), F.explode(shingle_set(text_col, shingle_n)).alias("s")
     )
-    base = sh.groupBy(id_col).agg(F.collect_list(F.xxhash64("s")).alias("__hs"))
+    # Per-doc memory bound: the collect_list buffer (and the Arrow row it
+    # becomes) holds one long per distinct shingle, so a pathological
+    # multi-GB document would concentrate its whole shingle set in one
+    # aggregation buffer. Cap at max_shingles_per_doc by keeping the
+    # bottom-k raw hashes (array_sort + slice): a deterministic uniform
+    # subsample of the shingle set (xxhash64 is uniform), so capped docs
+    # get an unbiased minhash over a size-k sample while docs under the
+    # cap — the entire normal corpus — are byte-identical to the uncapped
+    # output. ~64 KiB-longs ≈ 512 KiB per worst-case row.
+    base = sh.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(F.collect_set(F.xxhash64("s"))), 1, max_shingles_per_doc
+        ).alias("__hs")
+    )
     return base.select(F.col(id_col), _sig("__hs").alias("signature"))
 
 

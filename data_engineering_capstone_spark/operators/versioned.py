@@ -34,13 +34,24 @@ _V_RE = re.compile(r"^v=(\d+)$")
 
 
 def list_versions(table_dir: str) -> list[int]:
-    """Sorted committed versions (directories named ``v=<N>``)."""
+    """Sorted committed versions (directories named ``v=<N>``).
+
+    A version counts as committed only once Spark's ``_SUCCESS`` marker
+    exists — the directory itself appears at write *start*, so gating on
+    the marker is what makes the "readers of version N never see partial
+    writes" contract true for readers (and for ``write_version``'s
+    next-version computation) racing an in-flight write.
+    """
     if not os.path.isdir(table_dir):
         return []
     out = []
     for name in os.listdir(table_dir):
         m = _V_RE.match(name)
-        if m and os.path.isdir(os.path.join(table_dir, name)):
+        if (
+            m
+            and os.path.isdir(os.path.join(table_dir, name))
+            and os.path.isfile(os.path.join(table_dir, name, "_SUCCESS"))
+        ):
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -53,6 +64,11 @@ def write_version(df: DataFrame, table_dir: str) -> int:
     """
     vs = list_versions(table_dir)
     next_v = (vs[-1] + 1) if vs else 1
+    # Skip over directories left by in-flight or crashed writes (present
+    # but no _SUCCESS, so not in list_versions): mode("error") would
+    # otherwise collide with them forever.
+    while os.path.isdir(os.path.join(table_dir, f"v={next_v}")):
+        next_v += 1
     df.write.mode("error").parquet(os.path.join(table_dir, f"v={next_v}"))
     return next_v
 

@@ -91,13 +91,18 @@ def zorder_value(cols: Sequence, mins: Sequence[int], maxs: Sequence[int], bits:
     """
     from pyspark.sql import functions as F
 
+    # the interleaved value must fit a signed 64-bit long: bits * n_cols
+    # <= 63, else shiftleft pushes the leading column into the sign bit
+    bits = min(bits, 63 // max(1, len(cols)))
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         col = F.col(c) if isinstance(c, str) else c
         span = max(1, hi - lo)
-        b = ((col - F.lit(lo)).cast("long") * F.lit((1 << bits) - 1) / F.lit(span)).cast(
-            "long"
-        )
+        # scale in double space BEFORE casting: (col - lo) * 65535 as a
+        # long overflows under ANSI for spans above ~1.4e14 (epoch-micros)
+        b = (
+            (col - F.lit(lo)).cast("double") / F.lit(float(span)) * F.lit((1 << bits) - 1)
+        ).cast("long")
         scaled.append(b)
     z = F.lit(0).cast("long")
     # MSB-first interleave: bit i of column j lands at position

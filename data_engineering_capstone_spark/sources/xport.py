@@ -189,8 +189,28 @@ def parse_xport_header(path: str):
         reclen += nlng
     total = size - data_start
     nobs = total // reclen
-    # trailing card padding is < one record for reclen > 80; for
-    # card-sized records trust exact division (writer pads with blanks)
+    # Trailing card padding (up to 79 blank bytes) is < one record when
+    # reclen >= 80, so exact division is safe there. For reclen < 80 the
+    # padding can contain whole record widths, which would decode as
+    # phantom rows of blanks — drop trailing all-blank "records" but ONLY
+    # those that lie entirely within the final 80-byte card (a genuine
+    # all-blank record earlier in the file is data, not padding).
+    if reclen < _REC and nobs > 0:
+        with open(path, "rb") as f:
+            f.seek(data_start + max(0, total - _REC))
+            tail = f.read(_REC)
+        pad_floor = total - _REC  # byte offset where the final card starts
+        while nobs > 0:
+            rec_off = (nobs - 1) * reclen
+            # padding is < 80 bytes, so it starts strictly after the final
+            # card boundary — a record starting at/before pad_floor holds
+            # at least one byte of real data and is kept even if blank
+            if rec_off <= pad_floor:
+                break
+            rec = tail[rec_off - max(0, pad_floor) :][:reclen]
+            if rec.strip(b" "):
+                break
+            nobs -= 1
     return cols, data_start, reclen, nobs
 
 

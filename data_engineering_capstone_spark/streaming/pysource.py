@@ -31,34 +31,70 @@ SCHEMA = (
 )
 
 
+_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 class EventsReplayReader(SimpleDataSourceStreamReader):
+    """Driver-resident memory is O(one chunk), not O(table): only parquet
+    FOOTER metadata (row-group row counts) is held for the stream's
+    lifetime; each ``read``/``readBetweenOffsets`` materializes just the
+    row groups overlapping its [start, end) range via pyarrow
+    ``ParquetFile.read_row_group``. Re-serving a range after restart
+    re-reads the same immutable file — replayability is unchanged."""
+
     def __init__(self, options):
         self.path = options["path"]
         self.chunk = int(options.get("rowsPerBatch", 5000))
-        self._rows = None
+        self._pf = None
+        self._rg_starts = None  # cumulative first-row index per row group
+        self._nrows = None
 
-    def _load(self):
-        if self._rows is None:
+    def _file(self):
+        if self._pf is None:
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(self.path)
-            cols = [tbl.column(c).to_pylist() for c in (
-                "event_id", "ts", "user_id", "event_type", "value", "props"
-            )]
-            self._rows = list(zip(*cols))
-        return self._rows
+            self._pf = pq.ParquetFile(self.path)
+            md = self._pf.metadata
+            starts, acc = [], 0
+            for g in range(md.num_row_groups):
+                starts.append(acc)
+                acc += md.row_group(g).num_rows
+            self._rg_starts = starts
+            self._nrows = acc
+        return self._pf
+
+    def _slice(self, lo: int, hi: int):
+        """Rows [lo, hi) as tuples, reading only the overlapping row groups."""
+        pf = self._file()
+        hi = min(hi, self._nrows)
+        if lo >= hi:
+            return []
+        import bisect
+
+        g0 = bisect.bisect_right(self._rg_starts, lo) - 1
+        out = []
+        for g in range(g0, len(self._rg_starts)):
+            g_lo = self._rg_starts[g]
+            if g_lo >= hi:
+                break
+            tbl = pf.read_row_group(g, columns=list(_COLS))
+            a = max(0, lo - g_lo)
+            b = min(tbl.num_rows, hi - g_lo)
+            sl = tbl.slice(a, b - a)
+            out.extend(zip(*[sl.column(c).to_pylist() for c in _COLS]))
+        return out
 
     def initialOffset(self) -> dict:
         return {"row": 0}
 
     def read(self, start: dict):
-        rows = self._load()
+        self._file()
         lo = start["row"]
-        hi = min(lo + self.chunk, len(rows))
-        return iter(rows[lo:hi]), {"row": hi}
+        hi = max(lo, min(lo + self.chunk, self._nrows))
+        return iter(self._slice(lo, hi)), {"row": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._load()[start["row"] : end["row"]])
+        return iter(self._slice(start["row"], end["row"]))
 
 
 class EventsReplayDataSource(DataSource):

@@ -250,3 +250,29 @@ def test_bpe_merges_match_sequential_reference(spark, sf_dir):
     assert got == expected
     # merged symbols really are concatenations of earlier symbols
     assert all(l + r for l, r, _ in got)
+
+
+def test_minhash_shingle_cap_bounds_outlier_doc(spark):
+    """max_shingles_per_doc caps the per-doc aggregation buffer; docs
+    under the cap produce byte-identical signatures with or without it,
+    and a capped outlier still gets a valid bottom-k-sampled signature
+    that matches its duplicate twin."""
+    from data_engineering_capstone_spark.llm.dedup import minhash_signatures
+
+    big = " ".join(f"tok{i}" for i in range(3000))  # ~3k distinct shingles
+    rows = [(1, big), (2, big), (3, "a short normal document here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in minhash_signatures(df, "text", "doc_id").collect()
+    }
+    capped = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in minhash_signatures(
+            df, "text", "doc_id", max_shingles_per_doc=256
+        ).collect()
+    }
+    # under-cap doc identical; identical outliers stay identical capped
+    assert capped[3] == uncapped[3]
+    assert capped[1] == capped[2]
+    assert len(capped[1]) == 64

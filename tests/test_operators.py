@@ -235,3 +235,26 @@ def test_versioned_vacuum_retention(spark, tmp_path):
         read_version(spark, t, 1)
     assert read_version(spark, t, 3).collect()[0]["k"] == 2
     assert write_version(spark.createDataFrame([(9,)], "k int"), t) == 5
+
+
+def test_versioned_uncommitted_dir_is_invisible_and_skipped(spark, tmp_path):
+    """A v=N directory without _SUCCESS (in-flight or crashed write) is
+    not a committed version: readers skip it and the next writer does
+    not collide with it."""
+    import os
+
+    from data_engineering_capstone_spark.operators.versioned import (
+        list_versions,
+        read_version,
+        write_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_version(spark.createDataFrame([(1,)], "k int"), t)
+    # simulate a crashed/in-flight write of v=2: directory, no _SUCCESS
+    os.makedirs(os.path.join(t, "v=2"))
+    assert list_versions(t) == [1]
+    assert read_version(spark, t).count() == 1  # latest = committed v1
+    # next writer skips the torn v=2 instead of colliding forever
+    assert write_version(spark.createDataFrame([(2,)], "k int"), t) == 3
+    assert list_versions(t) == [1, 3]

@@ -248,3 +248,26 @@ def test_theta_overlap_matches_exact_within_bound(spark, sf_dir):
     inter = clickers.intersect(purchasers).count()
     for est, exact in ((got["est_a"], a), (got["est_b"], b), (got["est_overlap"], inter)):
         assert abs(est - exact) <= max(2, 0.05 * exact), (est, exact)
+
+
+def test_zorder_value_survives_huge_spans_and_many_cols(spark):
+    """zorder_value: double-space scaling must not ANSI-overflow on
+    epoch-micros-sized spans, and 4+ columns must cap bits so the
+    interleave fits a signed long (no sign-bit corruption)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_spark.sources.writers import zorder_value
+
+    lo, hi = 0, 1_700_000_000_000_000  # ~1.7e15 epoch-micros span
+    df = spark.range(4).select(
+        (F.col("id") * F.lit(hi // 4)).alias("a"),
+        (F.col("id") * F.lit(hi // 4)).alias("b"),
+        (F.col("id") * F.lit(hi // 4)).alias("c"),
+        (F.col("id") * F.lit(hi // 4)).alias("d"),
+    )
+    z = zorder_value(["a", "b", "c", "d"], [lo] * 4, [hi] * 4, bits=16)
+    vals = [r["z"] for r in df.select(z.alias("z")).orderBy("a").collect()]
+    # no overflow error, all non-negative (sign bit untouched), monotone
+    # along the diagonal of the key space
+    assert all(v >= 0 for v in vals)
+    assert vals == sorted(vals)

@@ -132,3 +132,35 @@ def test_parquet_codec_sizes(spark, tmp_path):
         )
         assert spark.read.parquet(p).count() == 50_000
     assert sizes["zstd"] <= sizes["snappy"]
+
+
+def test_xport_header_narrow_records_no_phantom_rows(tmp_path):
+    """reclen < 80: trailing card padding can hold whole record widths;
+    parse_xport_header must not decode them as phantom blank rows."""
+    from data_engineering_capstone_spark.sources.xport import parse_xport_header
+
+    # reclen = 16 → 3 rows occupy 48 bytes; padding to the 80-byte card
+    # boundary is 32 bytes = 2 whole phantom records if uncorrected
+    cols = [("A", "num", 8), ("B", "num", 8)]
+    rows = [(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)]
+    fp = str(tmp_path / "narrow.xpt")
+    write_xport(fp, cols, rows, dsname="N")
+    _, _, reclen, nobs = parse_xport_header(fp)
+    assert reclen == 16
+    assert nobs == 3
+
+
+def test_xport_narrow_blank_data_record_kept(tmp_path):
+    """A genuinely all-blank CHAR record inside the data (not in the
+    final card's padding zone) must survive the phantom-row trim."""
+    from data_engineering_capstone_spark.sources.xport import parse_xport_header
+
+    # reclen = 20, 9 rows = 180 bytes → rows 0-7 end before the final
+    # card (offset 160); row 4 is all-blank but lies in a full card
+    cols = [("S", "char", 20)]
+    rows = [("" if i == 4 else f"row{i}",) for i in range(9)]
+    fp = str(tmp_path / "blank.xpt")
+    write_xport(fp, cols, rows, dsname="B")
+    _, _, reclen, nobs = parse_xport_header(fp)
+    assert reclen == 20
+    assert nobs == 9
