@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         queries_udf,
         queries_sources,
         queries_sql,
+        queries_refdata,
     )
 
     return QUERIES
