@@ -94,6 +94,60 @@ def embedding_near_dup_pairs(
     )
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 12,
+    planes_per_table: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs at scale: LSH bucket candidates → exact verify.
+
+    The candidate stage buckets every vector in ``num_tables``
+    random-hyperplane tables and equi-joins on (table, bucket) — the
+    shuffle keys are bounded-size buckets, never the full cross product.
+    The verify stage computes exact cosine only on candidates and keeps
+    pairs >= ``threshold``. Same output schema as
+    :func:`embedding_near_dup_pairs`, whose quadratic all-pairs form is
+    the recall oracle in tests (tests/test_llm.py) — candidates can only
+    MISS pairs (recall < 1 for bucket-unlucky pairs), never invent them,
+    so precision is exact by construction.
+
+    At 100 TB this is the only viable plan: per-table bucket join +
+    map-side cosine; the quadratic form exists solely to verify it.
+    """
+    tables = _hyperplanes(num_tables, planes_per_table, dim, seed)
+    buckets = F.array(*[_bucket_expr(F.col(vec_col), t) for t in tables])
+    banded = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(buckets).alias("table_idx", "bucket"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        "table_idx", "bucket",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        "table_idx", "bucket",
+    )
+    cands = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "__va", "id_b", "__vb")
+        .distinct()
+    )
+    return (
+        cands.select(
+            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def _hyperplanes(num_tables: int, planes_per_table: int, dim: int, seed: int = 42) -> list[list[list[float]]]:
     """Deterministic Gaussian hyperplanes: [table][plane][dim]."""
     rng = np.random.RandomState(seed)

@@ -160,23 +160,21 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, q, k=5).orderBy("q_id", "rk")
 
 
-@query(
-    "llm_embedding_near_dup",
-    oracle="""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42
-    ORDER BY id_a, id_b
-    """,
-)
+@query("llm_embedding_near_dup", oracle=None)
 def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (>= 0.42) — the verifiable
-    baseline behind LSH candidate generation. Quadratic on purpose: this
-    is the verify stage / oracle twin; the scale path is llm_ann_lsh.
+    """Embedding-cosine near-dup pairs (>= 0.42) the way they run at
+    scale: LSH bucket candidate generation (12 tables × 4 hyperplanes,
+    seed 42) followed by exact-cosine verification — the plan is a
+    (table, bucket) equi-join, never an all-pairs product. Precision is
+    exact by construction (verify stage); recall vs the quadratic
+    all-pairs form (llm/similarity.py:embedding_near_dup_pairs, now the
+    TEST oracle only — tests/test_llm.py) is asserted there. Rows-only
+    in the driver because LSH recall is data-dependent by design.
     """
+    from .llm.similarity import lsh_near_dup_pairs
+
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, 0.42).orderBy("id_a", "id_b")
+    return lsh_near_dup_pairs(e, 0.42, dim=64).orderBy("id_a", "id_b")
 
 
 @query("llm_ann_lsh", oracle=None)
