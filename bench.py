@@ -2,24 +2,39 @@
 
 Runs the headline catalog queries at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: ``{"metric", "value", "unit", "queries", "sf"}``.
+JSON line: ``{"metric", "value", "unit", "queries", "sf", ...}``.
 
 Each query executes to completion through the ``noop`` sink — full plan
 runs on executors, nothing is shipped to the driver, so the timing
 measures scan+shuffle+compute, not result serialization.
+
+Credibility protocol (round 3 — VERDICT r2 flagged a contaminated
+BENCH_r02 recorded under external sandbox load):
+
+* **subprocess-per-query isolation**: every headline query runs in its
+  OWN fresh process + SparkSession, so a pathological query (or GC
+  debt, or streaming state) cannot bleed into its neighbors' timings.
+  JVM startup happens before the child's clock starts.
+* **best-of-3 inside the child** (first warm run excluded): absorbs
+  footer-cache warmup and transient scheduler noise.
+* **loadavg recorded per query** (1-min, sampled in the child right
+  before timing): an artifact recorded under load is visibly
+  contaminated — ``max_load1`` in the summary plus per-query values in
+  ``loadavg`` let any reader re-run and compare like for like.
+
+Set ``SPARK_GRAFT_BENCH_INPROC=1`` for the fast shared-session mode
+(iteration convenience; not for recorded artifacts).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from data_engineering_capstone_spark.catalog import load_all
-from data_engineering_capstone_spark.session import get_spark
 
 # Headline set: one per operator family, heaviest shapes first.
 HEADLINE = [
@@ -39,12 +54,6 @@ HEADLINE = [
     "stream_tumbling_counts",
 ]
 
-# Everything runs best-of-3: external load outside this VM produces
-# 2-7x transient spikes across EVERY query (observed loadavg ~12 with
-# no local process running), and warm repeats are cheap — without this,
-# one unlucky query (observed: the streaming drain at 71s vs 7s
-# isolated) dominates the recorded total.
-SINGLE_RUN: set[str] = set()
 REPS = 3
 
 
@@ -55,23 +64,67 @@ def run_one(fn, spark, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def bench_query(name: str, sf_dir: str) -> dict:
+    """Fresh-session timing of one query: warm run, then best-of-REPS."""
+    from data_engineering_capstone_spark.catalog import load_all
+    from data_engineering_capstone_spark.session import get_spark
+
+    spark = get_spark(f"bench-{name}")
+    fn = load_all()[name].fn
+    load1 = os.getloadavg()[0]
+    run_one(fn, spark, sf_dir)  # warm: JIT, footer cache, codegen
+    best = min(run_one(fn, spark, sf_dir) for _ in range(REPS))
+    return {"name": name, "best": round(best, 3), "load1": round(load1, 2)}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark("bench")
-    catalog = load_all()
-    names = [n for n in HEADLINE if n in catalog]
 
-    # Warm the JVM + parquet footer caches so timings measure the plans.
-    run_one(catalog[names[0]].fn, spark, sf_dir)
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        print("CHILD_RESULT " + json.dumps(bench_query(sys.argv[2], sf_dir)))
+        return 0
 
+    from data_engineering_capstone_spark.catalog import load_all
+
+    names = [n for n in HEADLINE if n in load_all()]
     timings: dict[str, float] = {}
-    for name in names:
-        best = run_one(catalog[name].fn, spark, sf_dir)
-        if name not in SINGLE_RUN:
-            for _ in range(REPS - 1):
-                best = min(best, run_one(catalog[name].fn, spark, sf_dir))
-        timings[name] = round(best, 3)
+    loads: dict[str, float] = {}
+
+    if os.environ.get("SPARK_GRAFT_BENCH_INPROC"):
+        from data_engineering_capstone_spark.catalog import load_all as _la
+        from data_engineering_capstone_spark.session import get_spark
+
+        spark = get_spark("bench")
+        catalog = _la()
+        run_one(catalog[names[0]].fn, spark, sf_dir)
+        for name in names:
+            loads[name] = round(os.getloadavg()[0], 2)
+            timings[name] = round(
+                min(run_one(catalog[name].fn, spark, sf_dir) for _ in range(REPS)), 3
+            )
+    else:
+        for name in names:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", name],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            )
+            line = next(
+                (l for l in proc.stdout.splitlines() if l.startswith("CHILD_RESULT ")),
+                None,
+            )
+            if proc.returncode != 0 or line is None:
+                print(
+                    f"bench child failed for {name}:\n{proc.stdout[-2000:]}\n"
+                    f"{proc.stderr[-2000:]}",
+                    file=sys.stderr,
+                )
+                return 1
+            res = json.loads(line[len("CHILD_RESULT "):])
+            timings[name] = res["best"]
+            loads[name] = res["load1"]
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -80,6 +133,9 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg": loads,
+        "max_load1": max(loads.values()) if loads else None,
+        "isolation": "inproc" if os.environ.get("SPARK_GRAFT_BENCH_INPROC") else "subprocess",
     }))
     return 0
 

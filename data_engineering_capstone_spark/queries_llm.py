@@ -378,10 +378,13 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("llm_semantic_dedup", oracle=None)
 def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: seeded k-means cells over the
-    embeddings, within-cell cosine >= 0.42 flags the higher id as a
-    duplicate of the lowest matching keeper (llm/similarity.py). Rows-
-    only (k-means cell boundaries are model-internal); precision/recall
-    vs the exact quadratic pair set is asserted in tests/test_llm.py.
+    embeddings with multi-probe assignment (each vector lands in its 2
+    nearest cells, recovering cross-cell near-dups), within-cell cosine
+    >= 0.42 flags the higher id as a duplicate of the lowest matching
+    keeper (llm/similarity.py). Rows-only (k-means cell boundaries are
+    model-internal); precision + multi-probe recall vs the exact
+    quadratic pair set asserted in tests/test_llm.py (0.556 -> 0.963
+    recall at probes 1 -> 2 on sf0.001).
     """
     from .llm.similarity import semantic_dedup
 

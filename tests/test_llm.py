@@ -217,6 +217,24 @@ def test_semantic_dedup_precision_and_planted_recall(spark, sf_dir):
     # planted twin flagged, attributed to a keeper above threshold
     twin = [r for r in rows if r["vec_id"] == 100000]
     assert twin and twin[0]["dup_of"] == 0
+    # multi-probe recall vs the exact quadratic baseline: the default
+    # probes=2 must recover cross-cell pairs that single-assignment
+    # misses (deterministic: measured 0.556 @ probes=1, 0.963 @ probes=2
+    # on sf0.001; 0.531/0.875 on sf0.01)
+    from data_engineering_capstone_spark.llm.similarity import embedding_near_dup_pairs
+
+    exact_dup_ids = {
+        r["id_b"] for r in embedding_near_dup_pairs(e, 0.42).collect()
+    }
+    flagged_p1 = {
+        r["vec_id"]
+        for r in semantic_dedup(e, 0.42, num_centroids=8, probes=1).collect()
+    }
+    flagged_p2 = {r["vec_id"] for r in rows if r["vec_id"] != 100000}
+    rec1 = len(flagged_p1 & exact_dup_ids) / len(exact_dup_ids)
+    rec2 = len(flagged_p2 & exact_dup_ids) / len(exact_dup_ids)
+    assert rec2 >= 0.9, f"multi-probe recall {rec2:.2f}"
+    assert rec2 > rec1, f"probes=2 ({rec2:.2f}) must beat probes=1 ({rec1:.2f})"
     # precision: re-verify every (dup_of, vec_id) pair exactly
     a = corpus.select(F.col("vec_id").alias("dup_of"), F.col("embedding").alias("__ea"))
     b = corpus.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("__eb"))

@@ -1,21 +1,32 @@
-"""Scale-crossover probe: Spark vs DuckDB on the same query as data grows.
+"""Scale-crossover probe: Spark vs DuckDB on the SAME queries as data grows.
 
 The sf0.1 headline timings (BENCH_r*.json) sit at Spark's per-query task
 scheduling floor (~0.3-0.5 s at local[32]) — DuckDB finishes sub-100 ms
 there, so per-query ratios at tiny scale measure the floor, not the
-plans. This script replicates lineitem N× (key-shifted, written once to
-parquet) and times the Q1 pricing-summary aggregation on BOTH engines at
-each size, printing one JSON line per size so the crossover is measured,
-not asserted.
+plans. This probe replicates the testdata N× (key-shifted so per-copy
+join semantics hold, written once to parquet) and times EVERY
+oracle-paired headline query on BOTH engines at the replicated size:
+the Spark side runs the actual catalog plan via the noop sink, the
+DuckDB side runs the actual oracle SQL over the same files — the exact
+pair the driver compares, now at a size where the floor is amortized.
 
-Usage: python tools/scale_crossover.py [--sizes 1,4,16,64]
+Replication scheme: fact-ish tables (lineitem, orders, events,
+documents, embeddings) get N key-shifted copies; dimension-ish tables
+(region, nation, customer, supplier, part) stay single-copy — which is
+precisely the 100 TB shape (facts grow, dims don't), and keeps every
+headline join's semantics intact (shifted orderkeys join within their
+copy; unshifted custkeys/partkeys fan out across copies).
+
+Usage:
+  python tools/scale_crossover.py               # full headline @ 64x
+  python tools/scale_crossover.py --mult=16
+  python tools/scale_crossover.py --q1-curve --sizes=1,4,16,64
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -28,10 +39,35 @@ from data_engineering_capstone_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = os.environ.get("SPARK_GRAFT_XOVER_DIR", "/tmp/dec_spark_xover")
 
-# Integer-cents money aggregation — the same exact-arithmetic form the
-# catalog's q1 uses (queries_relational.py): decimal sums are exact but
-# ~17x slower in Spark's hash aggregate (measured at 38M rows: 9.2s
-# decimal vs 0.59s long-cents vs 0.54s double).
+# fact tables and the key column shifted per copy (join keys that pair
+# fact-to-fact shift together; keys into single-copy dims stay put)
+SHIFTED = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPIED = ["region", "nation", "customer", "supplier", "part"]
+OFFSET = 1_000_000_000
+
+# the oracle-paired headline queries (bench.py HEADLINE minus rows-only)
+RATIO_SET = [
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "q3_top_orders",
+    "agg_distinct_by_priority",
+    "window_running_orders",
+    "asof_purchase_click",
+    "scalar_math_funcs",
+    "json_props_agg",
+    "skew_salted_agg",
+    "llm_cosine_topk",
+    "llm_text_stats",
+    "stream_tumbling_counts",
+]
+
+# Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
@@ -43,22 +79,44 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def build_replica(spark, mult: int) -> str:
-    out = os.path.join(WORK, f"lineitem_x{mult}")
-    if os.path.isdir(out):
-        return out
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+def build_replica_dir(spark, mult: int) -> str:
+    """Materialize the key-shifted N× testdata once; idempotent."""
     from pyspark.sql import functions as F
 
-    parts = [
-        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000))
-        for i in range(mult)
-    ]
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    df.repartition(32).write.mode("overwrite").parquet(out)
-    return out
+    out_dir = os.path.join(WORK, f"sf_x{mult}")
+    done = os.path.join(out_dir, "_REPLICA_DONE")
+    if os.path.isfile(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    for t, keys in SHIFTED.items():
+        src = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        parts = []
+        for i in range(mult):
+            p = src
+            for k in keys:
+                p = p.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+            parts.append(p)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    for t in COPIED:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+    open(done, "w").close()
+    return out_dir
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in list(SHIFTED) + COPIED:
+        path = f"{sf_dir}/{t}.parquet"
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
+    return con
 
 
 def time_best(fn, reps: int = 3) -> float:
@@ -70,42 +128,84 @@ def time_best(fn, reps: int = 3) -> float:
     return best
 
 
-def main() -> int:
-    sizes = [1, 4, 16, 64]
-    for a in sys.argv[1:]:
-        if a.startswith("--sizes"):
-            sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+def run_headline(mult: int) -> int:
+    from data_engineering_capstone_spark.catalog import load_all
+
     spark = get_spark("scale_crossover")
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {os.cpu_count()}")
+    replica = build_replica_dir(spark, mult)
+    con = duck_con(replica)
+    catalog = load_all()
+    rows = spark.read.parquet(f"{replica}/lineitem.parquet").count()
+    results = {}
+    for name in RATIO_SET:
+        spec = catalog[name]
+        if spec.oracle is None:
+            continue
+
+        def spark_run():
+            spec.fn(spark, replica).write.format("noop").mode("overwrite").save()
+
+        def duck_run():
+            con.execute(spec.oracle).fetchall()
+
+        spark_run()  # warm (footers, codegen)
+        s_t = time_best(spark_run)
+        d_t = time_best(duck_run)
+        results[name] = {
+            "spark_sec": round(s_t, 3),
+            "duckdb_sec": round(d_t, 3),
+            "ratio": round(s_t / d_t, 2),
+        }
+        print(json.dumps({"query": name, "mult": mult, **results[name]}), flush=True)
+    total_s = round(sum(r["spark_sec"] for r in results.values()), 3)
+    total_d = round(sum(r["duckdb_sec"] for r in results.values()), 3)
+    print(json.dumps({
+        "summary": "headline_crossover",
+        "mult": mult,
+        "lineitem_rows": rows,
+        "spark_total_sec": total_s,
+        "duckdb_total_sec": total_d,
+        "ratio_total": round(total_s / total_d, 2),
+        "queries_over_2x": sorted(n for n, r in results.items() if r["ratio"] > 2),
+    }))
+    return 0
+
+
+def run_q1_curve(sizes: list[int]) -> int:
+    spark = get_spark("scale_crossover")
     for mult in sizes:
-        path = build_replica(spark, mult)
-        sdf = spark.read.parquet(path)
+        replica = build_replica_dir(spark, mult)
+        con = duck_con(replica)
+        sdf = spark.read.parquet(f"{replica}/lineitem.parquet")
         sdf.createOrReplaceTempView("li_x")
         s_t = time_best(
             lambda: spark.sql(Q1_SQL.format(table="li_x"))
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
+            .write.format("noop").mode("overwrite").save()
         )
-        d_t = time_best(
-            lambda: con.execute(
-                Q1_SQL.format(table=f"'{path}/*.parquet'")
-            ).fetchall()
-        )
-        rows = mult * sdf.count() // mult  # replica rows
-        print(
-            json.dumps(
-                {
-                    "mult": mult,
-                    "rows": sdf.count(),
-                    "spark_sec": round(s_t, 3),
-                    "duckdb_sec": round(d_t, 3),
-                    "ratio_spark_over_duckdb": round(s_t / d_t, 2),
-                }
-            )
-        )
+        glob = f"{replica}/lineitem.parquet/*.parquet"
+        d_t = time_best(lambda: con.execute(Q1_SQL.format(table=f"read_parquet('{glob}')")).fetchall())
+        print(json.dumps({
+            "mult": mult,
+            "rows": sdf.count(),
+            "spark_sec": round(s_t, 3),
+            "duckdb_sec": round(d_t, 3),
+            "ratio_spark_over_duckdb": round(s_t / d_t, 2),
+        }), flush=True)
     return 0
+
+
+def main() -> int:
+    mult = 64
+    sizes = [1, 4, 16, 64]
+    q1_curve = False
+    for a in sys.argv[1:]:
+        if a.startswith("--mult"):
+            mult = int(a.split("=", 1)[1])
+        elif a.startswith("--sizes"):
+            sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a == "--q1-curve":
+            q1_curve = True
+    return run_q1_curve(sizes) if q1_curve else run_headline(mult)
 
 
 if __name__ == "__main__":
