@@ -35,6 +35,8 @@ INTENTIONAL_CROSS = {
                             # compare can't become an equi-join
     "llm_ann_ivf",  # query-set x tiny centroid table broadcast (nearest-
                     # cell assignment); candidate join itself is equi
+    "llm_semantic_dedup",  # corpus x 8-row broadcast centroid table for
+                           # multi-probe cell ranking; pair join is equi
     "ts_gapfill_ffill",  # entity-dim x exploded bucket sequence: the
                          # dense grid is tiny-by-construction (documented)
     "interval_overlap_join",  # fact x 4-row broadcast promo calendar;
