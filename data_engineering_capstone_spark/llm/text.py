@@ -75,9 +75,17 @@ def stopword_ratio(text_col: Column | str, stopwords: list[str] | None = None) -
 
 
 def mean_token_len(text_col: Column | str) -> Column:
-    t = tokens(text_col)
-    n = F.size(t)
-    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    """Mean token length = non-whitespace chars / token count.
+
+    Tokens are maximal non-whitespace runs, so Σ len(token) is exactly
+    the count of non-whitespace characters — two length() calls replace
+    the F.aggregate lambda, which runs interpreted (CodegenFallback)
+    and measured ~10 s alone at 64× sf0.1 vs ~1.7 s for this form.
+    Identical integer inputs → bit-identical double result.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.size(tokens(text_col))
+    total = F.length(F.regexp_replace(c, r"\s", ""))
     return F.when(n > 0, total / n).otherwise(F.lit(0.0))
 
 

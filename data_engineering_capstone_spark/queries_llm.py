@@ -213,6 +213,13 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text statistics: char/token/BPE-ish counts, punct
     ratio, mean token length — the cheap columns every corpus filter
     starts from (SURVEY.md §2 C-llm-text). All JVM-side expressions.
+
+    No global sort: a total order over per-doc stats is presentation
+    cost only (the driver compare is order-insensitive), and Spark's
+    range-partitioned sort would evaluate the regex-heavy projection
+    TWICE (sampling pass + real pass) — measured 13.8 s sorted vs 7.1 s
+    unsorted at 64× sf0.1 (15.2 s before this round's mean_token_len
+    arithmetic rewrite, llm/text.py).
     """
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -222,7 +229,7 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_token_count("text").cast("int").alias("n_bpe_tokens"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(mean_token_len("text"), 6).alias("mean_token_len"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
