@@ -19,7 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.strings import ngrams, tokens
@@ -188,4 +188,71 @@ def rebalance_mix(
         .withColumn("__rn", F.row_number().over(w_g))
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__quota", "__rn")
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram_n: int = 5,
+    num_bits: int = 1 << 18,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter-gated decontamination — the bounded-memory form of
+    :func:`decontaminate` for benchmark sets whose shingle inventory is
+    itself too large to broadcast verbatim.
+
+    The benchmark's n-gram shingles are folded into a Bloom filter of
+    ``num_bits`` bits / ``num_hashes`` seeded xxhash64 functions,
+    represented relationally as the distinct set of SET bit positions
+    (at most ``min(num_hashes * |bench shingles|, num_bits)`` longs —
+    bounded by the filter size no matter how big the benchmark grows).
+    Corpus shingles probe it with ``num_hashes`` consecutive BROADCAST
+    joins (one per hash function, all map-side: the corpus is never
+    shuffled); a shingle is a Bloom hit when every probe matched.
+
+    One-sided error: every truly contaminated document is flagged
+    (no false negatives — superset of :func:`decontaminate`); false
+    positives occur at the classic ``(1 - e^(-kn/m))^k`` rate and are
+    deterministic given the seed family. Returns
+    ``(id, n_bloom_hit_shingles)`` for flagged documents.
+    Not SQL-portable (xxhash64) → rows-only in the catalog; the
+    superset property and FP-rate bound are pinned in tests/test_llm.py.
+    """
+
+    def shingled(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(alias),
+            F.explode(F.array_distinct(ngrams(text_col, ngram_n))).alias("__s"),
+        )
+
+    def bit(col: Column, seed: int) -> Column:
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(num_bits))
+
+    bits = (
+        shingled(benchmark, "__bid")
+        .select(
+            F.explode(
+                F.array(*[bit(F.col("__s"), i) for i in range(num_hashes)])
+            ).alias("__bit")
+        )
+        .distinct()
+    )
+
+    probe = shingled(corpus, "__cid")
+    for i in range(num_hashes):
+        set_i = bits.select(F.col("__bit").alias(f"__b{i}"))
+        probe = probe.join(
+            F.broadcast(set_i), bit(F.col("__s"), i) == F.col(f"__b{i}")
+        ).drop(f"__b{i}")
+
+    return (
+        probe.groupBy("__cid")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hit_shingles"))
+        .select(
+            F.col("__cid").alias(id_col),
+            F.col("n_bloom_hit_shingles").cast("bigint").alias("n_bloom_hit_shingles"),
+        )
     )

@@ -1,0 +1,137 @@
+"""Duplicated-span detection — exact substring dedup at token level.
+
+The "exact substring deduplication" pass of training-data pipelines
+(Lee et al. 2022, *Deduplicating Training Data Makes Language Models
+Better*) finds verbatim runs of >= W tokens shared between documents.
+The published single-node method builds a suffix array; the
+distributable equivalent used here is W-gram seed matching + diagonal
+merge, which finds exactly the same maximal duplicated spans:
+
+1. every positioned W-token gram is hashed (16-byte md5 of the
+   space-joined gram — the shuffle key never carries text),
+2. an inverted-index self-join on the gram hash yields seed matches
+   ``(id_a, id_b, pos_a, pos_b)``,
+3. seed matches that continue each other lie on the same *diagonal*
+   ``pos_a - pos_b``; a gaps-and-islands pass per (pair, diagonal)
+   merges runs of consecutive seeds into maximal spans of length
+   ``island_size + W - 1`` tokens.
+
+Scale: the only shuffles are the gram-hash exchange and the per-pair
+islands window — both partition on high-cardinality keys. Boilerplate
+grams (site headers, license blocks) would quadratically inflate the
+seed join, so grams seen in more than ``max_doc_freq`` documents are
+dropped on both sides of the join — same hot-key guard as
+``ngram_jaccard_pairs`` (reference surface: SURVEY.md §2 C-llm-dedup;
+the reference itself has no span-level dedup — this is part of the
+training-data extension tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.strings import tokens
+
+
+def positioned_grams(
+    df: DataFrame, text_col: str, id_col: str, w: int
+) -> DataFrame:
+    """(id, pos, gram_hash) for every positioned W-token gram.
+
+    ``pos`` is 1-based token position of the gram start; the gram hash
+    is md5 of the space-joined tokens, so equality is exact gram
+    equality (collision probability negligible at 128 bits).
+    """
+    t = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(w - 1)),
+        lambda i: F.md5(F.array_join(F.slice(t, i, w), " ")),
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"), grams.alias("__g"))
+        .where(F.size("__g") > 0)
+        .select("__id", F.posexplode("__g").alias("__p0", "__h"))
+        # posexplode is 0-based; spans are reported 1-based like SQL arrays
+        .select("__id", (F.col("__p0") + 1).alias("__pos"), "__h")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Maximal duplicated token spans of length >= ``min_tokens`` between
+    distinct documents.
+
+    Returns one row per maximal span:
+    ``(id_a, id_b, start_a, start_b, span_tokens)`` with ``id_a < id_b``
+    and 1-based token start positions. A span is *maximal* on its
+    diagonal: it cannot be extended with further matching grams on
+    either side.
+    """
+    w = min_tokens
+    g = positioned_grams(df, text_col, id_col, w)
+
+    # hot-gram guard: drop grams appearing in > max_doc_freq docs
+    df_ok = (
+        g.groupBy("__h")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .where(F.col("__df") <= max_doc_freq)
+        .select("__h")
+    )
+    g = g.join(df_ok, "__h")
+
+    a = g.select(
+        F.col("__h"),
+        F.col("__id").alias("id_a"),
+        F.col("__pos").alias("pos_a"),
+    )
+    b = g.select(
+        F.col("__h"),
+        F.col("__id").alias("id_b"),
+        F.col("__pos").alias("pos_b"),
+    )
+    seeds = a.join(b, "__h").where(F.col("id_a") < F.col("id_b"))
+
+    # diagonal merge: consecutive seeds on one diagonal form an island.
+    # (id_a, id_b, diag, pos_a) is unique, so pos_a - row_number() is the
+    # standard islands group key.
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("__diag")
+    win = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pos_a")
+    islands = (
+        seeds.select("id_a", "id_b", diag, "pos_a", "pos_b")
+        .withColumn("__grp", F.col("pos_a") - F.row_number().over(win))
+    )
+    return (
+        islands.groupBy("id_a", "id_b", "__diag", "__grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(w - 1)).alias("span_tokens"),
+        )
+        .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Per-pair rollup of :func:`duplicate_spans`:
+    ``(id_a, id_b, n_spans, max_span_tokens, dup_tokens)`` where
+    ``dup_tokens`` sums span lengths over maximal spans (overlapping
+    spans on different diagonals each count — it is a *duplication
+    mass* measure, not a distinct-token count)."""
+    spans = duplicate_spans(df, text_col, id_col, min_tokens, max_doc_freq)
+    return spans.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_tokens").alias("max_span_tokens"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )

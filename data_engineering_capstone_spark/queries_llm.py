@@ -1282,3 +1282,162 @@ def llm_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("degree")
     )
+
+
+@query(
+    "llm_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), pg AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t) - 4)) AS pos,
+             unnest(list_transform(generate_series(1, len(t) - 4),
+                    i -> array_to_string(t[i:i+4], ' '))) AS g
+      FROM toks WHERE len(t) >= 5
+    ), ok AS (
+      SELECT g FROM pg GROUP BY g HAVING COUNT(DISTINCT doc_id) <= 1000
+    ), pgf AS (
+      SELECT pg.doc_id, pg.pos, pg.g FROM pg JOIN ok USING (g)
+    ), seeds AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM pgf a JOIN pgf b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a, pos_b,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM seeds
+    )
+    SELECT id_a, id_b,
+           CAST(MIN(pos_a) AS BIGINT) AS start_a,
+           CAST(MIN(pos_b) AS BIGINT) AS start_b,
+           CAST(COUNT(*) + 4 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY id_a, id_b, diag, grp
+    ORDER BY id_a, id_b, start_a, start_b
+    """,
+)
+def llm_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022 style): every
+    maximal run of >= 5 verbatim shared tokens between two documents,
+    via positioned 5-gram seed matching + diagonal gaps-and-islands
+    merge — the distributable equivalent of suffix-array substring
+    dedup (llm/spans.py). The oracle re-derives the same spans in SQL
+    from raw text. Part of the training-data extension tier (SURVEY.md
+    §2 C-llm-dedup).
+    """
+    from .llm.spans import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    spans = duplicate_spans(d, "text", "doc_id", min_tokens=5, max_doc_freq=1000)
+    return spans.select(
+        "id_a",
+        "id_b",
+        F.col("start_a").cast("bigint").alias("start_a"),
+        F.col("start_b").cast("bigint").alias("start_b"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+    ).orderBy("id_a", "id_b", "start_a", "start_b")
+
+
+@query(
+    "llm_quality_classifier",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), logits AS (
+      SELECT doc_id,
+             CASE WHEN len(t) > 0 THEN
+               list_sum(list_transform(t, x ->
+                 ((((ascii(substr(md5(x), 1, 1)) * 31 + ascii(substr(md5(x), 2, 1))) * 31
+                    + ascii(substr(md5(x), 3, 1))) * 31 + ascii(substr(md5(x), 4, 1)))
+                  % 2001 - 1000) / 1000.0)) / sqrt(len(t))
+             ELSE 0.0 END AS z
+      FROM toks
+    )
+    SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_score
+    FROM logits ORDER BY doc_id
+    """,
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (fastText-shape): token
+    -> weight-table slot -> summed logit -> sigmoid, all one scan with
+    zero shuffles (llm/scoring.py). The weight table is a deterministic
+    md5-derived stand-in so the oracle recomputes identical doubles;
+    a trained model drops in as a broadcast weight map at the same plan
+    shape. Training-data extension tier (SURVEY.md §2 C-llm-text).
+    """
+    from .llm.scoring import quality_classifier_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(quality_classifier_score("text"), 6).alias("quality_score")
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_corpus_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, k,
+             CAST(((ascii(substr(k, 1, 1)) * 31 + ascii(substr(k, 2, 1))) * 31
+                   + ascii(substr(k, 3, 1))) % 16 AS INT) AS shard
+      FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k) AS BIGINT) AS pos
+    FROM sharded ORDER BY shard, pos
+    """,
+)
+def llm_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle for training-data ordering:
+    every document gets a seeded md5 shuffle key, a shard (hash of the
+    key, 16 shards), and a dense position within its shard — the
+    reproducible shuffle+shard pass that feeds sequence packing. The
+    only shuffle is the shard exchange itself (that IS the operation);
+    per-shard windows sort locally, no global single-partition sort.
+    """
+    d = _t(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+
+    def a(i: int):
+        return F.ascii(F.substring(F.col("k"), i, 1)).cast("long")
+
+    keyed = d.select("doc_id", k.alias("k"))
+    sharded = keyed.select(
+        "doc_id",
+        "k",
+        (((a(1) * 31 + a(2)) * 31 + a(3)) % 16).cast("int").alias("shard"),
+    )
+    win = Window.partitionBy("shard").orderBy("k")
+    return (
+        sharded.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(win).cast("bigint").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+@query("llm_bloom_decontamination", oracle=None)
+def llm_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-gated decontamination: the benchmark's 5-gram set is
+    folded into a 2^18-bit / 4-hash Bloom filter and corpus shingles
+    probe it via 4 broadcast joins — bounded build memory regardless of
+    benchmark size, no corpus shuffle before the per-doc rollup
+    (llm/curation.py:bloom_decontaminate). One-sided error: flags are a
+    superset of exact decontamination (asserted in tests/test_llm.py
+    with the FP-rate bound); xxhash64 family -> rows-only here.
+    """
+    from .llm.curation import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return bloom_decontaminate(
+        corpus, bench, "text", "doc_id", ngram_n=5
+    ).orderBy("doc_id")

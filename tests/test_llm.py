@@ -318,3 +318,103 @@ def test_lsh_near_dup_recall_and_exact_precision(spark, sf_dir):
     recall = len(approx) / len(exact)
     # deterministic (fixed seed + data): measured 0.889 @ sf0.001, 0.971 @ sf0.01
     assert recall >= 0.85, f"LSH near-dup recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_duplicate_spans_planted(spark):
+    from data_engineering_capstone_spark.llm.spans import duplicate_spans
+
+    rows = [
+        (1, "a b c d e f g h x1 y1"),
+        (2, "q1 r1 a b c d e f g h z1"),
+        (3, "m1 n1 o1 e f g h p1 s1 t1 u1"),  # only 4 shared tokens with 1/2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, "text", "doc_id", min_tokens=5).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s.id_a, s.id_b, s.start_a, s.start_b, s.span_tokens) == (1, 2, 1, 3, 8)
+
+
+def test_duplicate_spans_maximal_and_stats(spark):
+    from data_engineering_capstone_spark.llm.spans import duplicate_span_stats
+
+    # two distinct shared runs: one of exactly 5 tokens, one of 6 tokens
+    run5 = "r1 r2 r3 r4 r5"
+    run6 = "s1 s2 s3 s4 s5 s6"
+    rows = [
+        (1, f"{run5} x1 x2 x3 {run6} x4"),
+        (2, f"y1 {run5} y2 y3 {run6} y4 y5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = duplicate_span_stats(df, "text", "doc_id", min_tokens=5).collect()
+    assert len(stats) == 1
+    st = stats[0]
+    # a 5-run is ONE maximal span (not several overlapping 5-gram hits),
+    # the 6-run is one span of 6
+    assert (st.n_spans, st.max_span_tokens, st.dup_tokens) == (2, 6, 11)
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    from data_engineering_capstone_spark.llm.curation import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    exact_ids = {
+        r.doc_id for r in decontaminate(corpus, bench, "text", "doc_id").collect()
+    }
+    bloom_rows = bloom_decontaminate(corpus, bench, "text", "doc_id").collect()
+    bloom_ids = {r.doc_id for r in bloom_rows}
+    # one-sided error: every truly contaminated doc is flagged
+    assert exact_ids <= bloom_ids
+    # false positives bounded: 2^18 bits / 4 hashes on a tiny benchmark
+    # -> fill ratio ~1e-2, per-gram FP ~1e-8; allow a loose margin
+    n_corpus = corpus.count()
+    assert len(bloom_ids - exact_ids) <= max(2, n_corpus // 20)
+    # deterministic across runs
+    again = {r.doc_id for r in
+             bloom_decontaminate(corpus, bench, "text", "doc_id").collect()}
+    assert again == bloom_ids
+
+
+def test_quality_classifier_bounds_and_empty(spark):
+    from data_engineering_capstone_spark.llm.scoring import quality_classifier_score
+
+    rows = [(1, "the quick brown fox"), (2, ""), (3, "   "), (4, "spark")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", quality_classifier_score("text").alias("s")).collect()
+    }
+    assert all(0.0 < v < 1.0 for v in out.values())
+    assert out[2] == pytest.approx(0.5)
+    assert out[3] == pytest.approx(0.5)
+    # single-token score is sigmoid(weight) of that token: re-run identical
+    out2 = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", quality_classifier_score("text").alias("s")).collect()
+    }
+    assert out == out2
+
+
+def test_corpus_shuffle_dense_positions(spark, sf_dir):
+    from data_engineering_capstone_spark.queries_llm import llm_corpus_shuffle
+
+    out = llm_corpus_shuffle(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+    per_shard = (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+            F.count_distinct("pos").alias("nd"),
+        )
+        .collect()
+    )
+    for r in per_shard:
+        assert (r.lo, r.hi, r.nd) == (1, r.n, r.n)
