@@ -29,6 +29,11 @@ LANG_PROFILES: dict[str, list[str]] = {
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# char-class tables for translate()-based (regex-free) counting
+_WS_CHARS = " \t\n\r\f\x0b"
+_LETTERS = "".join(chr(c) for c in list(range(65, 91)) + list(range(97, 123)))
+_DIGITS = "0123456789"
+
 
 def profile_scores(text_col: Column | str) -> dict[str, Column]:
     """Stopword-overlap score per language: |distinct tokens ∩ profile|."""
@@ -52,16 +57,36 @@ def language_id(text_col: Column | str) -> Column:
 
 
 def bpe_ish_token_count(text_col: Column | str) -> Column:
-    """Sub-word-ish token count via the BPE-style pre-tokenizer regex."""
+    """Sub-word-ish token count via the BPE-style pre-tokenizer.
+
+    Same value as ``size(regexp_extract_all(text, BPE_ISH_PATTERN))``
+    but computed as (letter runs + digit runs + punct chars) over a
+    ``translate``-canonicalized copy (letters→'a', digits→'0'), so the
+    only regexes left are the trivial single-char-class ``a+`` / ``0+``
+    — measured 0.55 s vs 2.53 s for the alternation-regex extract_all
+    at 64× sf0.1 (java.util.regex alternation was the whole cost of
+    llm_text_stats; BASELINE.md round-3 table). Diffed 0 rows against
+    the regex form on the replicated corpus.
+    """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+    canon = F.translate(c, _LETTERS + _DIGITS, "a" * 52 + "0" * 10)
+    punct_chars = F.length(F.translate(c, _LETTERS + _DIGITS + _WS_CHARS, ""))
+    return (
+        F.regexp_count(canon, F.lit("a+"))
+        + F.regexp_count(canon, F.lit("0+"))
+        + punct_chars
+    )
 
 
 def punct_ratio(text_col: Column | str) -> Column:
-    """Fraction of non-alphanumeric, non-space characters."""
+    """Fraction of non-alphanumeric, non-space characters.
+
+    ``translate`` (char-map, no regex) deletes the ASCII alnum+ws
+    classes — same value as the ``[A-Za-z0-9\\s]`` regexp_replace form,
+    ~1.5× cheaper per scan."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     total = F.length(c)
-    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    punct = F.length(F.translate(c, _LETTERS + _DIGITS + _WS_CHARS, ""))
     return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
 
 

@@ -128,7 +128,7 @@ def time_best(fn, reps: int = 3) -> float:
     return best
 
 
-def run_headline(mult: int) -> int:
+def run_headline(mult: int, only: list[str] | None = None) -> int:
     from data_engineering_capstone_spark.catalog import load_all
 
     spark = get_spark("scale_crossover")
@@ -137,7 +137,7 @@ def run_headline(mult: int) -> int:
     catalog = load_all()
     rows = spark.read.parquet(f"{replica}/lineitem.parquet").count()
     results = {}
-    for name in RATIO_SET:
+    for name in (only or RATIO_SET):
         spec = catalog[name]
         if spec.oracle is None:
             continue
@@ -198,14 +198,17 @@ def main() -> int:
     mult = 64
     sizes = [1, 4, 16, 64]
     q1_curve = False
+    only: list[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--mult"):
             mult = int(a.split("=", 1)[1])
         elif a.startswith("--sizes"):
             sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("--only"):
+            only = a.split("=", 1)[1].split(",")
         elif a == "--q1-curve":
             q1_curve = True
-    return run_q1_curve(sizes) if q1_curve else run_headline(mult)
+    return run_q1_curve(sizes) if q1_curve else run_headline(mult, only)
 
 
 if __name__ == "__main__":
