@@ -130,21 +130,29 @@ def ref_sas_labels_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     states + 3 comment-encoded visa categories = 1,011 rows). The oracle
     re-parses the same file from scratch with RE2 regexes in DuckDB SQL.
     (reference: I94_SAS_Labels_Descriptions.SAS:9-1050)"""
+    from .etl.sas_labels import parse_comment_value_map, parse_sas_value_maps
+
     prep(spark)
-    dims = _real_dims(spark)
-    parts = []
-    for name in ("country", "port", "mode", "state", "visa"):
-        out = {"mode": "travel_mode", "visa": "visa_category"}.get(name, name)
-        parts.append(
-            dims[name].select(
-                F.lit(out).alias("dim"), F.col("code"), F.col("label")
-            )
-        )
-    res = parts[0]
-    for p in parts[1:]:
-        res = res.unionByName(p)
-    # dimension-scale (1,011 rows): collapse the 5×defaultParallelism
-    # empty createDataFrame slices before the sort
+    with open(_LABELS, encoding="latin-1") as f:
+        text = f.read()
+    maps = parse_sas_value_maps(text)
+    maps["visa"] = parse_comment_value_map(text, "I94VISA")
+    out_name = {
+        "i94cntyl": "country",
+        "i94prtl": "port",
+        "i94model": "travel_mode",
+        "i94addrl": "state",
+        "visa": "visa_category",
+    }
+    # dimension-scale (1,011 rows): ONE createDataFrame for all five maps
+    # beats five small Spark jobs + a union (measured ~8 s -> ~1 s; the
+    # broadcast-join path keeps per-dim frames via _real_dims)
+    rows = [
+        (out_name[fmt], code, label)
+        for fmt in ("i94cntyl", "i94prtl", "i94model", "i94addrl", "visa")
+        for code, label in maps[fmt].items()
+    ]
+    res = spark.createDataFrame(rows, "dim string, code string, label string")
     return res.coalesce(1).orderBy("dim", "code")
 
 
