@@ -48,6 +48,11 @@ def positioned_grams(
         F.sequence(F.lit(1), F.size(t) - F.lit(w - 1)),
         lambda i: F.md5(F.array_join(F.slice(t, i, w), " ")),
     )
+    # guard: sequence(1, size-w+1) DESCENDS for docs shorter than w
+    # tokens and slice(t, 0, w) then errors — short docs have no grams
+    grams = F.when(F.size(t) >= w, grams).otherwise(
+        F.array().cast("array<string>")
+    )
     return (
         df.select(F.col(id_col).alias("__id"), grams.alias("__g"))
         .where(F.size("__g") > 0)

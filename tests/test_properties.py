@@ -258,3 +258,57 @@ def test_sessionize_matches_sequential_property(spark, evs, gap_s):
                 sid += 1
             prev = ts
             assert got[eid] == sid, (u, eid, got[eid], sid)
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span detection vs a sequential brute-force reference
+# ---------------------------------------------------------------------------
+
+def _brute_spans(docs: dict[int, list[str]], w: int):
+    """All maximal shared runs of >= w tokens between distinct docs:
+    per (pair, diagonal), extend greedy matches — O(n^2 * len^2), fine
+    for the tiny property inputs."""
+    out = set()
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = docs[ids[ai]], docs[ids[bi]]
+            for diag in range(-(len(b) - 1), len(a)):
+                i = max(0, diag)
+                j = i - diag
+                run = 0
+                start = None
+                while i <= len(a) and j <= len(b):
+                    if i < len(a) and j < len(b) and a[i] == b[j]:
+                        if run == 0:
+                            start = (i, j)
+                        run += 1
+                    else:
+                        if run >= w:
+                            out.add((ids[ai], ids[bi], start[0] + 1, start[1] + 1, run))
+                        run = 0
+                    i += 1
+                    j += 1
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=14),
+        min_size=2,
+        max_size=4,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_duplicate_spans_match_bruteforce(spark, token_lists, w):
+    from data_engineering_capstone_spark.llm.spans import duplicate_spans
+
+    docs = {i: toks for i, toks in enumerate(token_lists)}
+    rows = [(i, " ".join(toks)) for i, toks in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.span_tokens)
+        for r in duplicate_spans(df, "text", "doc_id", min_tokens=w).collect()
+    }
+    assert got == _brute_spans(docs, w)
