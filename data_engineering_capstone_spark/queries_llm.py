@@ -1441,3 +1441,69 @@ def llm_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(
         corpus, bench, "text", "doc_id", ngram_n=5
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i + 1])) AS w2
+      FROM toks WHERE len(t) >= 2
+    ), c AS (
+      SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2
+    ), tot AS (
+      SELECT w1, SUM(n) AS nt FROM c GROUP BY 1
+    ), ranked AS (
+      SELECT c.w1, c.w2, c.n, tot.nt,
+             ROW_NUMBER() OVER (PARTITION BY c.w1 ORDER BY c.n DESC, c.w2) AS r
+      FROM c JOIN tot USING (w1)
+    )
+    SELECT w1, w2, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / nt, 6) AS p,
+           CAST(r AS BIGINT) AS rank
+    FROM ranked WHERE r <= 3 ORDER BY w1, rank
+    """,
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model estimation: maximum-likelihood
+    P(w2|w1) over the corpus with the top-3 continuations per context
+    (deterministic count-desc/word-asc tie-break). Two hash aggregates
+    + a per-context window — counts shuffle, text never does; contexts
+    partition the ranking so no global sort. The n-gram-LM scoring/
+    perplexity counterpart to llm_unigram_logprob.
+    """
+    t = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    d = _t(spark, sf_dir, "documents")
+    bg = (
+        d.select(t.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("z")
+        )
+        .select(F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    )
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("w1").agg(F.sum("n").alias("nt"))
+    win = Window.partitionBy("w1").orderBy(F.col("n").desc(), F.col("w2"))
+    return (
+        c.join(tot, "w1")
+        .withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 3)
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("nt"), 6).alias("p"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("w1", "rank")
+    )

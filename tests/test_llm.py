@@ -418,3 +418,18 @@ def test_corpus_shuffle_dense_positions(spark, sf_dir):
     )
     for r in per_shard:
         assert (r.lo, r.hi, r.nd) == (1, r.n, r.n)
+
+
+def test_duplicate_spans_hot_gram_guard(spark):
+    from data_engineering_capstone_spark.llm.spans import duplicate_spans
+
+    # the same 5-token boilerplate in 4 docs: with max_doc_freq=3 the
+    # gram is dropped from the inverted index entirely -> no spans;
+    # default cap keeps all C(4,2)=6 pairs
+    bp = "b1 b2 b3 b4 b5"
+    rows = [(i, f"u{i}a u{i}b {bp} u{i}c") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = duplicate_spans(df, "text", "doc_id", min_tokens=5, max_doc_freq=3)
+    assert capped.count() == 0
+    full = duplicate_spans(df, "text", "doc_id", min_tokens=5, max_doc_freq=1000)
+    assert full.count() == 6
