@@ -256,3 +256,53 @@ def bloom_decontaminate(
             F.col("n_bloom_hit_shingles").cast("bigint").alias("n_bloom_hit_shingles"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    keep_bp: int = 5000,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture reweighting: per-group quotas
+    proportional to ``n_g ** alpha`` (alpha < 1 upsamples the tail
+    relative to its natural share — the multilingual-corpus sampling
+    rule), holding the kept total at ``total * keep_bp / 10000``.
+
+    alpha defaults to 0.5 because ``sqrt`` is IEEE-correctly-rounded in
+    every engine, which keeps ``floor(keep_total * sqrt(n)/Z)`` quota
+    arithmetic bit-identical across Spark, Python, and the DuckDB
+    oracle (fractional ``pow`` is correctly rounded on common libms but
+    not guaranteed by the standard). Selection within a group is
+    content-hash-ordered like :func:`rebalance_mix`, so membership is
+    reproducible across engines and layouts.
+
+    The group-count table is dimension-scale: quotas are computed on
+    the driver and attached as a literal CASE — at 100 TB the counts
+    come from table stats, the plan shape is unchanged.
+    """
+    import math
+
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    keep_total = total * int(keep_bp) // 10000
+    z = sum(math.sqrt(n) if alpha == 0.5 else n**alpha for n in counts.values())
+    quota = F.lit(None).cast("long")
+    for g, n in sorted(counts.items()):
+        w = math.sqrt(n) if alpha == 0.5 else n**alpha
+        quota = F.when(
+            F.col(group_col) == g, F.lit(int(math.floor(keep_total * w / z)))
+        ).otherwise(quota)
+    w_g = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__quota", quota)
+        .withColumn("__rn", F.row_number().over(w_g))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__quota", "__rn")
+    )

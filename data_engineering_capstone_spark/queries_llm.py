@@ -1507,3 +1507,70 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w1", "rank")
     )
+
+
+@query(
+    "llm_temperature_mix",
+    oracle="""
+    WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    tot AS (
+      SELECT SUM(n) AS total, SUM(sqrt(n)) AS z FROM cnt
+    ), q AS (
+      SELECT lang, n,
+             CAST(FLOOR(((total * 5000) // 10000) * sqrt(n) / z) AS BIGINT) AS quota
+      FROM cnt, tot
+    ), ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ), kept AS (
+      SELECT r.doc_id, r.lang, q.n, q.quota
+      FROM ranked r JOIN q USING (lang) WHERE r.rn <= q.quota
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(n) AS BIGINT) AS n_total,
+           CAST(MIN(quota) AS BIGINT) AS quota,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           MIN(md5(CAST(doc_id AS VARCHAR))) AS first_hash
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled corpus mix (alpha=0.5): per-language quotas
+    proportional to sqrt(n_lang), kept total pinned at 50% — the
+    tail-upsampling rule of multilingual pretraining mixes
+    (llm/curation.py:temperature_mix; sqrt is IEEE-correctly-rounded so
+    the quota floors are engine-exact). Membership-sensitive digests
+    (id_sum, first_hash) catch quota-boundary divergence.
+    """
+    from .llm.curation import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    kept = temperature_mix(d, "lang", "doc_id", keep_bp=5000, alpha=0.5)
+    n_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    import math
+
+    counts = {r.lang: r.n_total for r in n_lang.collect()}
+    total = sum(counts.values())
+    keep_total = total * 5000 // 10000
+    z = sum(math.sqrt(n) for n in counts.values())
+    quota_col = F.lit(None).cast("long")
+    for g, n in sorted(counts.items()):
+        quota_col = F.when(
+            F.col("lang") == g,
+            F.lit(int(math.floor(keep_total * math.sqrt(n) / z))),
+        ).otherwise(quota_col)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min(F.md5(F.col("doc_id").cast("string"))).alias("first_hash"),
+        )
+        .join(F.broadcast(n_lang), "lang")
+        .withColumn("quota", quota_col)
+        .select("lang", "n_kept", "n_total", "quota", "id_sum", "first_hash")
+        .orderBy("lang")
+    )

@@ -97,3 +97,22 @@ def test_rebalance_mix_quota_and_determinism(spark):
     )
     # group absent from weights is dropped
     assert kept.filter(~F.col("lang").isin("en", "de")).count() == 0
+
+
+def test_temperature_mix_upsamples_tail(spark):
+    from data_engineering_capstone_spark.llm.curation import temperature_mix
+
+    # 900 'big' vs 100 'small': natural share 90/10; sqrt share 75/25
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    kept = temperature_mix(df, "grp", "doc_id", keep_bp=5000, alpha=0.5)
+    by = {r.grp: r.n for r in kept.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total_kept = sum(by.values())
+    assert total_kept <= 500
+    # tail share must exceed its natural 10% by the sqrt rule (~25%)
+    assert by["small"] / total_kept > 0.2
+    # deterministic membership
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(r.doc_id for r in
+                  temperature_mix(df, "grp", "doc_id", keep_bp=5000, alpha=0.5).collect())
+    assert ids1 == ids2
