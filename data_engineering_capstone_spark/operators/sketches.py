@@ -86,3 +86,53 @@ def distinct_overlap_estimate(
             F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
         ).alias("est_overlap"),
     )
+
+
+def count_min_table(
+    df: DataFrame, key_col: str, width: int = 1 << 12, depth: int = 4
+) -> DataFrame:
+    """Build a count-min sketch relationally: ``depth`` seeded xxhash64
+    rows of ``width`` counters, materialized as a (row, pos, n) table of
+    at most ``depth * width`` rows — bounded memory no matter the key
+    cardinality, the frequency sketch that backs heavy-hitter/skew
+    detection when exact per-key counts would themselves be the skew
+    problem (the counters table is dimension-scale and broadcastable;
+    the input is touched once, map-side combined).
+    """
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        F.pmod(F.xxhash64(F.col(key_col), F.lit(d)), F.lit(width)).alias("pos"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("rp")
+    )
+    return rows.groupBy("rp.row", "rp.pos").agg(F.count(F.lit(1)).alias("n"))
+
+
+def count_min_estimate(
+    cms: DataFrame, keys: DataFrame, key_col: str, width: int = 1 << 12, depth: int = 4
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` against a prebuilt sketch
+    table: min over the ``depth`` counter lookups (classic CMS upper
+    bound: ``exact <= est <= exact + eps*N`` w.h.p.). ``depth``
+    broadcast equi-joins — the probe side never shuffles."""
+    out = keys
+    for d in range(depth):
+        cd = cms.where(F.col("row") == d).select(
+            F.col("pos").alias(f"__p{d}"), F.col("n").alias(f"__n{d}")
+        )
+        out = out.join(
+            F.broadcast(cd),
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(d)), F.lit(width)) == F.col(f"__p{d}"),
+            "left",
+        ).drop(f"__p{d}")
+    est = F.least(*[F.coalesce(F.col(f"__n{d}"), F.lit(0)) for d in range(depth)])
+    return out.withColumn("cms_estimate", est.cast("bigint")).drop(
+        *[f"__n{d}" for d in range(depth)]
+    )

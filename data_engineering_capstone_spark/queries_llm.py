@@ -1574,3 +1574,23 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_kept", "n_total", "quota", "id_sum", "first_hash")
         .orderBy("lang")
     )
+
+
+@query("llm_dedup_pagerank", oracle=None)
+def llm_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact-Jaccard near-dup graph: the
+    template-hub detector (a high-rank doc is the page its cluster
+    duplicates). 10 damped power-iteration rounds, one join+aggregate
+    per round with per-round lineage truncation
+    (llm/clustering.py:pagerank). Floating iteration -> rows-only;
+    values pinned against a sequential numpy power iteration in
+    tests/test_llm.py.
+    """
+    from .llm.clustering import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, shingle_n=2)
+    ranks = pagerank(pairs, "id_a", "id_b", damping=0.85, iterations=10)
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("rank", 8).alias("rank")
+    ).orderBy(F.col("rank").desc(), "doc_id").limit(20)

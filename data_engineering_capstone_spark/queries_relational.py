@@ -1424,3 +1424,30 @@ def set_ops_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@query("agg_count_min_heavy_hitters", oracle=None)
+def agg_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the exact top-10 users
+    by event volume (operators/sketches.py): the sketch table is depth 4
+    x width 4096 counters — bounded memory at any key cardinality, the
+    heavy-hitter/skew detector that decides when salted plans kick in
+    at 100 TB. Output carries exact count next to the CMS estimate;
+    `exact <= est <= exact + eps*N` is pinned in tests/test_scale_ops.py
+    (xxhash64 family -> rows-only here).
+    """
+    from .operators.sketches import count_min_estimate, count_min_table
+
+    e = _t(spark, sf_dir, "events")
+    cms = count_min_table(e, "user_id", width=1 << 12, depth=4)
+    exact_top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "user_id")
+        .limit(10)
+    )
+    return (
+        count_min_estimate(cms, exact_top, "user_id", width=1 << 12, depth=4)
+        .select("user_id", "n_exact", "cms_estimate")
+        .orderBy(F.col("n_exact").desc(), "user_id")
+    )

@@ -433,3 +433,29 @@ def test_duplicate_spans_hot_gram_guard(spark):
     assert capped.count() == 0
     full = duplicate_spans(df, "text", "doc_id", min_tokens=5, max_doc_freq=1000)
     assert full.count() == 6
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from data_engineering_capstone_spark.llm.clustering import pagerank
+
+    # two triangles bridged by one edge + a hub
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6), (1, 7)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.rank for r in pagerank(df, iterations=10).collect()}
+
+    ids = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+    deg = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = (1 - 0.85) / n + 0.85 * (A.T @ (r / deg))
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9
+    # ranks sum to ~1 on a graph with no dangling mass
+    assert abs(sum(got.values()) - 1.0) < 1e-9

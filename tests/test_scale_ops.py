@@ -271,3 +271,28 @@ def test_zorder_value_survives_huge_spans_and_many_cols(spark):
     # along the diagonal of the key space
     assert all(v >= 0 for v in vals)
     assert vals == sorted(vals)
+
+
+def test_count_min_overestimates_within_bound(spark, sf_dir):
+    import math
+
+    from data_engineering_capstone_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+    from data_engineering_capstone_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    width, depth = 1 << 12, 4
+    n_total = e.count()
+    cms = count_min_table(e, "user_id", width=width, depth=depth)
+    # sketch table is bounded by depth*width regardless of cardinality
+    assert cms.count() <= depth * width
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = count_min_estimate(cms, exact, "user_id", width=width, depth=depth)
+    rows = est.collect()
+    eps = math.e / width
+    for r in rows:
+        assert r.cms_estimate >= r.n_exact  # never undercounts
+        assert r.cms_estimate <= r.n_exact + max(1, int(3 * eps * n_total))
