@@ -152,3 +152,53 @@ def reference_bpe(word_freqs: dict[str, int], num_merges: int) -> list[tuple[str
             new_vocab[t] = new_vocab.get(t, 0) + f
         vocab = new_vocab
     return out
+
+
+def bpe_encode_lengths(
+    df: DataFrame, text_col: str, id_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a learned merge table: per-document BPE token counts.
+
+    The scale-shaped encode: each DISTINCT word is segmented once
+    (vocabulary-sized work — the merge table rides in the UDF closure,
+    broadcast with the task), then joined back to the exploded corpus
+    and re-aggregated per document. Returns
+    ``(id, n_words, n_bpe_tokens)``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = list(merges)
+
+    @pandas_udf("int")
+    def encode_len(words: pd.Series) -> pd.Series:
+        def enc(w: str) -> int:
+            syms = list(w[:-1]) + [w[-1] + END_MARK]
+            for left, right in ordered:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        return words.map(enc)
+
+    doc_words = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    vocab = doc_words.select("w").distinct().withColumn("n_sym", encode_len("w"))
+    return (
+        doc_words.join(F.broadcast(vocab), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

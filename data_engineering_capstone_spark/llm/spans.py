@@ -140,3 +140,58 @@ def duplicate_span_stats(
         F.max("span_tokens").alias("max_span_tokens"),
         F.sum("span_tokens").alias("dup_tokens"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Cut duplicated spans out of the corpus (the removal half of
+    exact substring dedup, Lee et al. 2022 §4): for every maximal
+    shared span the copy in the HIGHER-id document is deleted, keeping
+    the first occurrence canonical.
+
+    Per-doc span lists are dimension-shaped (collect_list of (start,
+    len) structs, bounded by dup mass); tokens are dropped via an
+    index-aware higher-order filter — the document table itself never
+    shuffles (the only exchanges are inside span detection and the
+    per-doc span-list aggregate). Returns every document with
+    ``text`` rebuilt from kept tokens (whitespace-normalized),
+    ``n_tokens_removed``, and ``was_deduped``.
+    """
+    spans = duplicate_spans(df, text_col, id_col, min_tokens, max_doc_freq)
+    per_doc = (
+        spans.groupBy("id_b")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("start_b").alias("s"), F.col("span_tokens").alias("n"))
+            ).alias("__spans")
+        )
+        .select(F.col("id_b").alias("__sid"), "__spans")
+    )
+    t = tokens(text_col)
+    joined = df.join(per_doc, F.col(id_col) == F.col("__sid"), "left")
+    # keep token at 1-based position p unless a span of this doc covers p
+    covered = lambda p: F.exists(  # noqa: E731
+        F.col("__spans"), lambda sp: (p >= sp["s"]) & (p < sp["s"] + sp["n"])
+    )
+    kept = F.filter(
+        F.zip_with(t, F.sequence(F.lit(1), F.size(t)), lambda tok, p: F.struct(
+            tok.alias("tok"), p.alias("p"))),
+        lambda z: ~covered(z["p"]),
+    )
+    n_toks = F.size(t)
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("__spans").isNull(), F.array_join(t, " "))
+        .otherwise(F.array_join(F.transform(kept, lambda z: z["tok"]), " "))
+        .alias("text"),
+        F.when(F.col("__spans").isNull(), F.lit(0))
+        .otherwise(n_toks - F.size(kept))
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+        F.col("__spans").isNotNull().alias("was_deduped"),
+    )

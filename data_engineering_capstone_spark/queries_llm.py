@@ -1594,3 +1594,133 @@ def llm_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("id").alias("doc_id"), F.round("rank", 8).alias("rank")
     ).orderBy(F.col("rank").desc(), "doc_id").limit(20)
+
+
+@query(
+    "llm_blocklist_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(t, x -> x IN ('merge', 'drop', 'skew'))) AS BIGINT) AS n_hits,
+           COALESCE(array_to_string(list_sort(list_intersect(list_distinct(t),
+                           ['merge', 'drop', 'skew'])), ','), '') AS hit_terms,
+           len(list_filter(t, x -> x IN ('merge', 'drop', 'skew'))) = 0 AS passes
+    FROM toks ORDER BY doc_id
+    """,
+)
+def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist corpus gate: per-document occurrence counts and matched
+    terms against a broadcast wordlist (the NSFW/spam wordlist filter
+    every corpus pipeline runs before model-based scoring). Pure Column
+    expressions over the token array — the wordlist rides in the plan
+    as a literal (at 100 TB: a broadcast join against the list for
+    wordlists too large to inline). Flattened hit_terms for the
+    driver-hash array constraint.
+    """
+    block = ["merge", "drop", "skew"]
+    d = _t(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    hits = F.filter(t, lambda x: x.isin(block))
+    return (
+        d.select(
+            "doc_id",
+            F.size(hits).cast("bigint").alias("n_hits"),
+            F.array_join(
+                F.array_sort(
+                    F.array_intersect(
+                        F.array_distinct(t), F.array(*[F.lit(w) for w in block])
+                    )
+                ),
+                ",",
+            ).alias("hit_terms"),
+            (F.size(hits) == 0).alias("passes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_span_dedup_clean",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), pg AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t) - 4)) AS pos,
+             unnest(list_transform(generate_series(1, len(t) - 4),
+                    i -> array_to_string(t[i:i+4], ' '))) AS g
+      FROM toks WHERE len(t) >= 5
+    ), ok AS (
+      SELECT g FROM pg GROUP BY g HAVING COUNT(DISTINCT doc_id) <= 1000
+    ), pgf AS (
+      SELECT pg.doc_id, pg.pos, pg.g FROM pg JOIN ok USING (g)
+    ), seeds AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM pgf a JOIN pgf b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT id_a, id_b, pos_a - pos_b AS diag, pos_a, pos_b,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM seeds
+    ), spans AS (
+      SELECT id_b, MIN(pos_b) AS start_b, COUNT(*) + 4 AS n
+      FROM isl GROUP BY id_a, id_b, diag, grp
+    ), cover AS (
+      SELECT DISTINCT id_b AS doc_id,
+             unnest(generate_series(start_b, start_b + n - 1)) AS pos
+      FROM spans
+    ), tp AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t))) AS pos,
+             unnest(t) AS tok
+      FROM toks
+    ), kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tp LEFT JOIN cover c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+      WHERE c.pos IS NULL
+    )
+    SELECT t.doc_id,
+           COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                     FROM kept k WHERE k.doc_id = t.doc_id), '') AS text,
+           CAST(len(t.t) - (SELECT COUNT(*) FROM kept k
+                            WHERE k.doc_id = t.doc_id) AS BIGINT) AS n_tokens_removed,
+           EXISTS (SELECT 1 FROM cover c WHERE c.doc_id = t.doc_id) AS was_deduped
+    FROM toks t ORDER BY t.doc_id
+    """,
+)
+def llm_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact substring dedup (Lee et al. 2022 §4):
+    every maximal >=5-token shared span is cut from its higher-id copy,
+    lower-id occurrence kept canonical; text is rebuilt from the kept
+    tokens JVM-side with an index-aware higher-order filter — the
+    document table never shuffles (llm/spans.py:remove_duplicate_spans).
+    The oracle re-derives spans AND the cleaned text independently via
+    explode + anti-join + ordered string_agg.
+    """
+    from .llm.spans import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(
+        d, "text", "doc_id", min_tokens=5, max_doc_freq=1000
+    ).orderBy("doc_id")
+
+
+@query("llm_bpe_encode", oracle=None)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: learn 10 BPE merges from the corpus, then
+    encode it — each DISTINCT word segmented once in an Arrow-batched
+    UDF (merge table rides in the closure), joined back to the exploded
+    corpus, re-aggregated per doc (llm/bpe.py:bpe_encode_lengths).
+    Rows-only (learned-state dependent); encode lengths match the
+    sequential reference in tests/test_llm.py.
+    """
+    from .llm.bpe import bpe_encode_lengths, learn_bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    merges_df = learn_bpe_merges(d, "text", num_merges=10)
+    merges = [(r.left, r.right) for r in merges_df.orderBy("rank").collect()]
+    return bpe_encode_lengths(d, "text", "doc_id", merges).orderBy("doc_id")

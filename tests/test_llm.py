@@ -459,3 +459,63 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[v] - r[idx[v]]) < 1e-9
     # ranks sum to ~1 on a graph with no dangling mass
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_bpe_encode_matches_reference(spark):
+    from data_engineering_capstone_spark.llm.bpe import (
+        END_MARK,
+        bpe_encode_lengths,
+        learn_bpe_merges,
+        reference_bpe,
+    )
+
+    rows = [(1, "low lower lowest low low"), (2, "newer newest new lower")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges_df = learn_bpe_merges(df, "text", num_merges=6)
+    merges = [(r.left, r.right) for r in merges_df.orderBy("rank").collect()]
+
+    out = {r.doc_id: r for r in bpe_encode_lengths(df, "text", "doc_id", merges).collect()}
+
+    def ref_encode_len(w: str) -> int:
+        syms = list(w[:-1]) + [w[-1] + END_MARK]
+        for left, right in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    for doc_id, text in rows:
+        words = text.split()
+        assert out[doc_id].n_words == len(words)
+        assert out[doc_id].n_bpe_tokens == sum(ref_encode_len(w) for w in words)
+    # merges actually compress: fewer symbols than raw chars+markers
+    raw = sum(len(w) + 1 for w in "low lower lowest low low".split())
+    assert out[1].n_bpe_tokens < raw
+
+
+def test_remove_duplicate_spans_planted(spark):
+    from data_engineering_capstone_spark.llm.spans import remove_duplicate_spans
+
+    shared = "s1 s2 s3 s4 s5 s6"
+    rows = [
+        (1, f"a1 a2 {shared} a3"),
+        (2, f"b1 {shared} b2 b3"),
+        (3, "c1 c2 c3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(df, "text", "doc_id", min_tokens=5).collect()}
+    # lower id keeps the span verbatim
+    assert out[1].text == f"a1 a2 {shared} a3"
+    assert out[1].n_tokens_removed == 0 and not out[1].was_deduped
+    # higher id loses exactly the shared run
+    assert out[2].text == "b1 b2 b3"
+    assert out[2].n_tokens_removed == 6 and out[2].was_deduped
+    # untouched doc passes through
+    assert out[3].text == "c1 c2 c3" and out[3].n_tokens_removed == 0
