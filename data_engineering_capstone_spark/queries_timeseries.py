@@ -502,3 +502,97 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@query(
+    "ts_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM v), 0), 6) AS conversion
+    """,
+)
+def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): per user the
+    earliest qualifying chain — each stage's timestamp must strictly
+    follow the previous stage's. Three filtered min-aggregates chained
+    by per-user joins: every stage shuffles only (user, ts) pairs and
+    the funnel narrows monotonically. The standard product-analytics
+    shape; at 100 TB each stage input is predicate-pushed to its event
+    type before the shuffle.
+    """
+    e = _events(spark, sf_dir)
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    n_v, n_c, n_p = v.count(), c.count(), p.count()
+    return spark.createDataFrame(
+        [(n_v, n_c, n_p, round(n_p / n_v, 6) if n_v else None)],
+        "n_view bigint, n_view_click bigint, n_view_click_purchase bigint, conversion double",
+    )
+
+
+@query(
+    "ts_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ), active AS (
+      SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS d
+      FROM events e
+    )
+    SELECT CAST(date_trunc('week', f.d0) AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.d0, a.d) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM active a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen week, counted
+    as active per week offset from their own first day (the triangle
+    every growth dashboard draws). First-seen is one min-aggregate;
+    activity is a distinct (user, day) projection joined back — shuffles
+    carry (user, date) pairs only. Week offsets are integer day
+    arithmetic, engine-exact.
+    """
+    e = _events(spark, sf_dir)
+    firsts = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    active = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .select(
+            F.date_trunc("week", F.col("d0")).cast("date").alias("cohort_week"),
+            F.floor(F.datediff(F.col("d"), F.col("d0")) / 7).cast("bigint").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
