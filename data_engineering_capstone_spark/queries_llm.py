@@ -1724,3 +1724,47 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges_df = learn_bpe_merges(d, "text", num_merges=10)
     merges = [(r.left, r.right) for r in merges_df.orderBy("rank").collect()]
     return bpe_encode_lengths(d, "text", "doc_id", merges).orderBy("doc_id")
+
+
+@query(
+    "llm_dataset_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ((ascii(substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) * 31
+               + ascii(substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1))) * 31
+               + ascii(substr(md5('split:' || CAST(doc_id AS VARCHAR)), 3, 1))) % 100 AS b
+      FROM documents
+    )
+    SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM h GROUP BY 1 ORDER BY 1
+    """,
+)
+def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by seeded
+    content-hash bucket — stable under reshuffling, re-ingestion and
+    engine choice (the split must never depend on row order or
+    partition count). Pure projection + one tiny aggregate; the
+    membership-sensitive id_sum digest catches boundary divergence.
+    """
+    d = _t(spark, sf_dir, "documents")
+    m = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+
+    def a(i: int):
+        return F.ascii(F.substring(m, i, 1)).cast("long")
+
+    b = ((a(1) * 31 + a(2)) * 31 + a(3)) % 100
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("split")
+    )

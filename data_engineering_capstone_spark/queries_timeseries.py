@@ -505,60 +505,6 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ts_funnel_conversion",
-    oracle="""
-    WITH v AS (
-      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
-    ), c AS (
-      SELECT e.user_id, MIN(e.ts) AS t2
-      FROM events e JOIN v ON e.user_id = v.user_id
-      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
-    ), p AS (
-      SELECT e.user_id, MIN(e.ts) AS t3
-      FROM events e JOIN c ON e.user_id = c.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
-    )
-    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
-           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
-           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase,
-           ROUND((SELECT COUNT(*) FROM p) * 1.0
-                 / NULLIF((SELECT COUNT(*) FROM v), 0), 6) AS conversion
-    """,
-)
-def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel analysis (view -> click -> purchase): per user the
-    earliest qualifying chain — each stage's timestamp must strictly
-    follow the previous stage's. Three filtered min-aggregates chained
-    by per-user joins: every stage shuffles only (user, ts) pairs and
-    the funnel narrows monotonically. The standard product-analytics
-    shape; at 100 TB each stage input is predicate-pushed to its event
-    type before the shuffle.
-    """
-    e = _events(spark, sf_dir)
-    v = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        e.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t1"))
-        .groupBy("user_id").agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id").agg(F.min("ts").alias("t3"))
-    )
-    n_v, n_c, n_p = v.count(), c.count(), p.count()
-    return spark.createDataFrame(
-        [(n_v, n_c, n_p, round(n_p / n_v, 6) if n_v else None)],
-        "n_view bigint, n_view_click bigint, n_view_click_purchase bigint, conversion double",
-    )
-
-
-@query(
     "ts_retention_cohorts",
     oracle="""
     WITH firsts AS (
