@@ -231,6 +231,9 @@ def bloom_decontaminate(
     def bit(col: Column, seed: int) -> Column:
         return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(num_bits))
 
+    # materialized once: the set-bit table feeds num_hashes probe joins —
+    # left inline each join would re-run the benchmark shingle explode
+    # (same lineage-reuse discipline as llm/spans.py / minhash)
     bits = (
         shingled(benchmark, "__bid")
         .select(
@@ -239,6 +242,7 @@ def bloom_decontaminate(
             ).alias("__bit")
         )
         .distinct()
+        .localCheckpoint()
     )
 
     probe = shingled(corpus, "__cid")

@@ -147,28 +147,52 @@ def lsh_near_dup_pairs(
     """
     tables = _hyperplanes(num_tables, planes_per_table, dim, seed)
     buckets = F.array(*[_bucket_expr(F.col(vec_col), t) for t in tables])
+    # ids-only banding, vectors fetched AFTER candidate dedup: carrying
+    # the vector through the bucket join shuffles every embedding
+    # num_tables× and makes the candidate `distinct` hash full float
+    # arrays — measured 27.7 s vs 2.6 s at sf0.1 for the near-dup query.
+    # Both small tables are checkpointed: each feeds two consumers
+    # (lineage-reuse discipline, see llm/spans.py).
+    vecs = df.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    ).localCheckpoint()
     banded = df.select(
-        F.col(id_col), F.col(vec_col),
-        F.posexplode(buckets).alias("table_idx", "bucket"),
-    )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
-        "table_idx", "bucket",
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
-        "table_idx", "bucket",
-    )
+        F.col(id_col), F.posexplode(buckets).alias("table_idx", "bucket")
+    ).localCheckpoint()
+    a = banded.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
     cands = (
         a.join(b, ["table_idx", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "__va", "id_b", "__vb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    withv = cands.join(
+        vecs.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va")), "id_a"
+    ).join(
+        vecs.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb")), "id_b"
+    )
+    # exact-cosine verify as one BLAS product per Arrow batch: the
+    # zip_with/aggregate Column form runs interpreted (CodegenFallback)
+    # and dominated this operator at millions of candidates — same
+    # lesson as cosine_topk (measured there: 3.4× at 38M rows)
+    import pandas as pd
+
+    def _verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.array(pdf["__va"].tolist(), dtype=np.float64)
+            vb = np.array(pdf["__vb"].tolist(), dtype=np.float64)
+            sims = np.einsum("ij,ij->i", va, vb) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos_sim": sims}
+            )
+
     return (
-        cands.select(
-            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim")
-        )
+        withv.mapInPandas(_verify, "id_a long, id_b long, cos_sim double")
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -366,6 +390,10 @@ def semantic_dedup(
         )
         .filter(F.col("__cell_rank") <= probes)
         .select(F.col(id_col), F.col("__vec"), F.col("cell"))
+        # feeds both sides of the cell self-join: materialize once, or
+        # the broadcast+rank assignment subtree runs twice (lineage-
+        # reuse discipline, see llm/spans.py)
+        .localCheckpoint()
     )
 
     a = assigned.select(
@@ -374,10 +402,29 @@ def semantic_dedup(
     b = assigned.select(
         F.col(id_col).alias("__id_b"), F.col("__vec").alias("__vec_b"), "cell"
     )
+    import pandas as pd
+
+    def _pair_sims(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.array(pdf["__vec_a"].tolist(), dtype=np.float64)
+            vb = np.array(pdf["__vec_b"].tolist(), dtype=np.float64)
+            sims = np.einsum("ij,ij->i", va, vb) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            yield pd.DataFrame(
+                {"cell": pdf["cell"], "__id_a": pdf["__id_a"],
+                 "__id_b": pdf["__id_b"], "__sim": sims}
+            )
+
+    # within-cell cosine as one BLAS product per Arrow batch (interpreted
+    # zip_with/aggregate was the dominant cost at cell-pair volume)
     pairs = (
         a.join(b, "cell")
         .filter(F.col("__id_a") < F.col("__id_b"))
-        .select("cell", "__id_a", "__id_b", cosine(F.col("__vec_a"), F.col("__vec_b")).alias("__sim"))
+        .select("cell", "__id_a", "__id_b", "__vec_a", "__vec_b")
+        .mapInPandas(_pair_sims, "cell int, __id_a long, __id_b long, __sim double")
         .filter(F.col("__sim") >= threshold)
     )
     return (
