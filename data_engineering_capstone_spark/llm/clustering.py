@@ -102,10 +102,13 @@ def pagerank(
     floating summation order; the differential test pins values against
     a sequential numpy power iteration at 1e-9.
     """
+    # checkpoint first: sym feeds nodes AND adj — inline, the caller's
+    # edge pipeline (e.g. the exact-Jaccard pair join) would execute twice
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     nodes = sym.select(F.col("u").alias("id")).distinct().localCheckpoint()
     n = nodes.count()
