@@ -430,3 +430,51 @@ def scan_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("codec")
+
+
+@query("scan_avro_roundtrip", oracle=_NATION_AGG)
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File scan — spec-faithful pure-Python codec
+    (sources/avroplain.py; the container ships Avro core jars but not
+    the spark-avro module, so the format is implemented from the public
+    OCF spec instead of dropped): customer sample written with the
+    deflate codec, read back DISTRIBUTED through a Spark 4 Python
+    DataSource whose partitions are block ranges (driver indexes block
+    headers by seek/skip only; blocksPerPartition=1 forces the parallel
+    path even at sf0.001), then the same nation rollup as every scan
+    roundtrip.
+    """
+    from .sources.avroplain import AvroPlainDataSource, write_avro
+
+    c = _t(spark, sf_dir, "customer")
+    rows = [
+        (r["c_custkey"], r["c_name"], int(r["c_nationkey"]),
+         float(r["c_acctbal"]), r["c_mktsegment"])
+        for r in c.collect()
+    ]
+    fields = [
+        ("c_custkey", "long"), ("c_name", "string"), ("c_nationkey", "long"),
+        ("c_acctbal", "double"), ("c_mktsegment", "string"),
+    ]
+    path = _tmp(sf_dir, "customer_avro")
+    os.makedirs(path, exist_ok=True)
+    fp = os.path.join(path, "customer.avro")
+    write_avro(fp, fields, rows, codec="deflate", block_rows=8)
+    try:
+        spark.dataSource.register(AvroPlainDataSource)
+    except Exception:
+        pass  # already registered in this session
+    back = (
+        spark.read.format("avroplain")
+        .option("path", fp)
+        .option("blocksPerPartition", "1")
+        .load()
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            F.col("c_acctbal"),
+            F.col("c_mktsegment"),
+        )
+    )
+    return _roundtrip_agg(spark, sf_dir, back)
