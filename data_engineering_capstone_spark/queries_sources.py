@@ -478,3 +478,45 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _roundtrip_agg(spark, sf_dir, back)
+
+
+@query("scan_sas7bdat_roundtrip", oracle=_NATION_AGG)
+def scan_sas7bdat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAS7BDAT scan — the reference's actual ingest format (notebook
+    cell-5; saurfang jar at dags/libs/lib.py:139). The customer sample
+    is written as a real uncompressed 32-bit .sas7bdat by our own
+    spec-faithful writer (sources/sas7bdat_writer.py — the container
+    ships no SAS files, so the format is produced from the public
+    layout documentation), then read back through read_sas's pandas
+    fallback into Spark and rolled up like every scan roundtrip. This
+    is the exact code path a user with a real .sas7bdat file hits when
+    the saurfang jar is absent.
+    """
+    from .sources.readers import read_sas
+    from .sources.sas7bdat_writer import write_sas7bdat
+
+    c = _t(spark, sf_dir, "customer")
+    rows = [
+        (float(r["c_custkey"]), r["c_name"], float(r["c_nationkey"]),
+         float(r["c_acctbal"]), r["c_mktsegment"])
+        for r in c.collect()
+    ]
+    cols = [
+        ("CUSTKEY", "num", 8),
+        ("NAME", "char", 48),
+        ("NATKEY", "num", 8),
+        ("ACCTBAL", "num", 8),
+        ("MKTSEG", "char", 16),
+    ]
+    path = _tmp(sf_dir, "customer_sas7bdat")
+    os.makedirs(path, exist_ok=True)
+    fp = os.path.join(path, "customer.sas7bdat")
+    write_sas7bdat(fp, cols, rows, dataset="CUSTOMER", page_size=16384)
+    back = read_sas(spark, fp).select(
+        F.col("CUSTKEY").cast("long").alias("c_custkey"),
+        F.trim(F.col("NAME")).alias("c_name"),
+        F.col("NATKEY").cast("int").alias("c_nationkey"),
+        F.col("ACCTBAL").alias("c_acctbal"),
+        F.trim(F.col("MKTSEG")).alias("c_mktsegment"),
+    )
+    return _roundtrip_agg(spark, sf_dir, back)
