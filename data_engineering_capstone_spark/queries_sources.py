@@ -520,3 +520,47 @@ def scan_sas7bdat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.col("MKTSEG")).alias("c_mktsegment"),
     )
     return _roundtrip_agg(spark, sf_dir, back)
+
+
+@query("sink_avro_distributed", oracle=_NATION_AGG)
+def sink_avro_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Avro SINK: the customer table written through the
+    Python DataSourceWriter (each task serializes its partition with
+    the pure-Python OCF codec into its own part file; _SUCCESS dropped
+    only after every task commits, partial files removed on abort —
+    sources/avroplain.py:AvroPlainWriter), then read back through the
+    block-partitioned reader and rolled up against the usual oracle.
+    Completes the custom-DataSource quadrant: batch read (avroplain,
+    xport), stream read (events replay), batch write (this).
+    """
+    from .sources.avroplain import AvroPlainDataSource
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_acctbal", "c_mktsegment",
+    )
+    try:
+        spark.dataSource.register(AvroPlainDataSource)
+    except Exception:
+        pass  # already registered in this session
+    out = _tmp(sf_dir, "customer_avro_sink")
+    (
+        c.repartition(4)
+        .write.format("avroplain")
+        .option("path", out)
+        .option("codec", "deflate")
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("avroplain")
+        .option("path", out)
+        .load()
+        .select(
+            "c_custkey", "c_name",
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            "c_acctbal", "c_mktsegment",
+        )
+    )
+    return _roundtrip_agg(spark, sf_dir, back)

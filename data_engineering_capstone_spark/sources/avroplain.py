@@ -238,23 +238,47 @@ def read_avro(path: str) -> tuple[list[tuple[str, str]], list[tuple]]:
 
 # ------------------------------------------------------- Spark DataSource
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition  # noqa: E402
+import glob as _glob  # noqa: E402
+import os as _os  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+
+def _data_files(path: str) -> list[str]:
+    """A single .avro file, or a directory of part-*.avro files."""
+    if _os.path.isdir(path):
+        return sorted(_glob.glob(_os.path.join(path, "part-*.avro")))
+    return [path]
 
 
 class AvroBlockRange(InputPartition):
-    def __init__(self, offsets: list[int]):
-        self.offsets = offsets
+    def __init__(self, ranges: list[tuple[str, int]]):
+        self.ranges = ranges  # [(file, block_offset)]
+
+
+class AvroCommit(WriterCommitMessage):
+    def __init__(self, file: str):
+        self.file = file
 
 
 class AvroPlainDataSource(DataSource):
-    """``spark.read.format("avroplain").option("path", f).load()``."""
+    """``spark.read/write.format("avroplain")`` — batch reader over block
+    ranges AND a distributed writer (one OCF part file per partition,
+    ``_SUCCESS`` on commit, partial files removed on abort)."""
 
     @classmethod
     def name(cls) -> str:
         return "avroplain"
 
     def schema(self) -> str:
-        fields, _, _, _ = read_avro_header(self.options["path"])
+        first = _data_files(self.options["path"])[0]
+        fields, _, _, _ = read_avro_header(first)
         inv = {"long": "bigint", "double": "double", "string": "string",
                "boolean": "boolean"}
         return ", ".join(f"{n} {inv[t]}" for n, t in fields)
@@ -262,21 +286,79 @@ class AvroPlainDataSource(DataSource):
     def reader(self, schema) -> "AvroPlainReader":
         return AvroPlainReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "AvroPlainWriter":
+        return AvroPlainWriter(self.options, schema, overwrite)
+
 
 class AvroPlainReader(DataSourceReader):
     def __init__(self, options):
         self.path = options["path"]
         self.blocks_per_partition = int(options.get("blocksPerPartition", 16))
-        self.fields, self.codec, _, _ = read_avro_header(self.path)
-        self.block_offsets = [off for off, _, _ in index_blocks(self.path)]
+        files = _data_files(self.path)
+        self.fields, self.codec, _, _ = read_avro_header(files[0])
+        self.block_ranges = [
+            (f, off) for f in files for off, _, _ in index_blocks(f)
+        ]
 
     def partitions(self):
         step = self.blocks_per_partition
-        offs = self.block_offsets
+        rng = self.block_ranges
         return [
-            AvroBlockRange(offs[i:i + step]) for i in range(0, len(offs), step)
+            AvroBlockRange(rng[i:i + step]) for i in range(0, len(rng), step)
         ] or [AvroBlockRange([])]
 
     def read(self, partition: AvroBlockRange):
-        for off in partition.offsets:
-            yield from read_block(self.path, off, self.fields, self.codec)
+        for path, off in partition.ranges:
+            yield from read_block(path, off, self.fields, self.codec)
+
+
+class AvroPlainWriter(DataSourceWriter):
+    """Distributed OCF sink: each task serializes its partition with the
+    pure-Python codec into its own ``part-<uuid>.avro``; the driver
+    drops a ``_SUCCESS`` marker only after every task committed (same
+    contract readers of the versioned-table operator rely on)."""
+
+    _SPARK_TO_AVRO = {"long": "long", "integer": "long", "double": "double",
+                      "string": "string", "boolean": "boolean"}
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options["path"]
+        self.codec = options.get("codec", "deflate")
+        self.block_rows = int(options.get("blockRows", 1000))
+        self.fields = []
+        for f in schema.fields:
+            t = f.dataType.typeName()
+            if t not in self._SPARK_TO_AVRO:
+                raise ValueError(
+                    f"avroplain writer: unsupported column type {t} ({f.name})"
+                )
+            self.fields.append((f.name, self._SPARK_TO_AVRO[t]))
+        _os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for old in _glob.glob(_os.path.join(self.path, "part-*.avro")):
+                _os.remove(old)
+            marker = _os.path.join(self.path, "_SUCCESS")
+            if _os.path.isfile(marker):
+                _os.remove(marker)
+
+    def write(self, iterator) -> AvroCommit:
+        import uuid
+
+        rows = [
+            tuple(None if v is None else (int(v) if t == "long" else v)
+                  for (_, t), v in zip(self.fields, row))
+            for row in iterator
+        ]
+        fp = _os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
+        write_avro(fp, self.fields, rows, codec=self.codec,
+                   block_rows=self.block_rows)
+        return AvroCommit(fp)
+
+    def commit(self, messages) -> None:
+        with open(_os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and _os.path.isfile(m.file):
+                _os.remove(m.file)

@@ -80,3 +80,38 @@ def test_avro_rejects_non_avro_file(tmp_path):
 
     with pytest.raises(ValueError, match="not an Avro"):
         av.read_avro_header(p)
+
+
+def test_avro_distributed_writer_roundtrip(spark, tmp_path):
+    import os
+
+    try:
+        spark.dataSource.register(av.AvroPlainDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "out")
+    df = spark.range(100).selectExpr(
+        "id", "concat('u', id) AS name", "CAST(id * 1.5 AS DOUBLE) AS bal", "id % 2 = 0 AS ok"
+    ).repartition(4)
+    df.write.format("avroplain").option("path", out).mode("append").save()
+    assert os.path.isfile(os.path.join(out, "_SUCCESS"))
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 4  # one OCF file per partition
+    back = spark.read.format("avroplain").option("path", out).load()
+    got = sorted((r.id, r.name, r.bal, r.ok) for r in back.collect())
+    want = sorted((i, f"u{i}", i * 1.5, i % 2 == 0) for i in range(100))
+    assert got == want
+
+
+def test_avro_writer_rejects_unsupported_type(spark, tmp_path):
+    import pytest
+
+    try:
+        spark.dataSource.register(av.AvroPlainDataSource)
+    except Exception:
+        pass
+    df = spark.range(3).selectExpr("array(id) AS arr")
+    with pytest.raises(Exception, match="unsupported column type"):
+        df.write.format("avroplain").option(
+            "path", str(tmp_path / "bad")
+        ).mode("append").save()
