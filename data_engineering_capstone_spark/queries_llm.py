@@ -1768,3 +1768,70 @@ def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "llm_dedup_triangles",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS s
+      FROM toks WHERE len(t) >= 2
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+    ), raw_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT id_a AS u, id_b AS v FROM raw_pairs
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.2
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(DISTINCT u) FROM
+                 (SELECT u FROM e UNION ALL SELECT v FROM e)) AS BIGINT) AS n_nodes
+    FROM tri
+    """,
+)
+def llm_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the near-dup graph — the cohesion diagnostic
+    that separates template CLIQUES (every copy similar to every other:
+    triangle-dense, safe to collapse to one canonical doc) from CHAINS
+    (A~B~C but A!~C: triangle-free, where transitive dedup is lossy).
+    Ordered-edge (u<v) two-join form — each triangle counted exactly
+    once, join keys are node ids, never an all-pairs product. The
+    third distributed-graph primitive alongside connected components
+    and PageRank.
+    """
+    d = _t(spark, sf_dir, "documents")
+    e = (
+        ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, shingle_n=2)
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .localCheckpoint()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = e.select(F.col("u").alias("id")).unionAll(
+        e.select(F.col("v").alias("id"))
+    )
+    n_tri = tri.count()
+    n_edges = e.count()
+    n_nodes = nodes.distinct().count()
+    return spark.createDataFrame(
+        [(n_tri, n_edges, n_nodes)],
+        "n_triangles bigint, n_edges bigint, n_nodes bigint",
+    )
