@@ -318,3 +318,63 @@ def stream_custom_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name)
     snap = spark.createDataFrame(out.collect(), out.schema)
     return snap.orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_custom_sink_avro",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE), 4) AS sum_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_custom_sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING SINK (Spark 4 DataSourceStreamWriter):
+    the events stream lands in per-batch Avro OCF directories through
+    sources/avroplain.py — tasks stage part files, the driver moves a
+    batch into place and appends its commit log atomically, so readers
+    of the committed output see whole batches or nothing. Aggregating
+    what actually landed must equal the batch aggregate: end-to-end
+    no-loss/no-dup across microbatches. Completes the custom-DataSource
+    matrix (batch read, stream read, batch write, stream write).
+    """
+    from .sources.avroplain import (
+        AvroPlainDataSource,
+        read_committed_stream_output,
+    )
+
+    events = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    try:
+        spark.dataSource.register(AvroPlainDataSource)
+    except Exception:
+        pass  # already registered in this session
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "dec_spark_stream",
+        os.path.basename(sf_dir.rstrip("/")), "events_avro_sink",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ckpt = out_dir + "_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        events.writeStream.format("avroplain")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = read_committed_stream_output(out_dir)
+    landed = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    )
+    return (
+        landed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(14,2)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -244,6 +244,7 @@ import os as _os  # noqa: E402
 from pyspark.sql.datasource import (  # noqa: E402
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -288,6 +289,9 @@ class AvroPlainDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "AvroPlainWriter":
         return AvroPlainWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "AvroPlainStreamWriter":
+        return AvroPlainStreamWriter(self.options, schema)
 
 
 class AvroPlainReader(DataSourceReader):
@@ -362,3 +366,80 @@ class AvroPlainWriter(DataSourceWriter):
         for m in messages:
             if m is not None and _os.path.isfile(m.file):
                 _os.remove(m.file)
+
+
+class AvroPlainStreamWriter(DataSourceStreamWriter):
+    """Streaming OCF sink: each microbatch task writes its partition to
+    ``batch=<id>/part-<uuid>.avro``; the driver appends one line to a
+    ``_commits`` log only after every task of the batch succeeded and
+    deletes the batch's partial files on abort. Exactly-once at the
+    reader by construction: consumers list ``_commits`` and read only
+    committed batch directories — an uncommitted or aborted batch is
+    invisible (same marker discipline as operators/versioned.py).
+    Completes the custom-DataSource matrix: batch read, stream read,
+    batch write, stream write.
+    """
+
+    _SPARK_TO_AVRO = AvroPlainWriter._SPARK_TO_AVRO
+
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.codec = options.get("codec", "deflate")
+        self.fields = []
+        for f in schema.fields:
+            t = f.dataType.typeName()
+            if t not in self._SPARK_TO_AVRO:
+                raise ValueError(
+                    f"avroplain stream writer: unsupported column type {t} ({f.name})"
+                )
+            self.fields.append((f.name, self._SPARK_TO_AVRO[t]))
+        _os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> AvroCommit:
+        import uuid
+
+        staging = _os.path.join(self.path, "_staging")
+        _os.makedirs(staging, exist_ok=True)
+        rows = [
+            tuple(None if v is None else (int(v) if t == "long" else v)
+                  for (_, t), v in zip(self.fields, row))
+            for row in iterator
+        ]
+        fp = _os.path.join(staging, f"part-{uuid.uuid4().hex}.avro")
+        write_avro(fp, self.fields, rows, codec=self.codec)
+        return AvroCommit(fp)
+
+    def commit(self, messages, batchId: int) -> None:
+        # driver-side atomic publish: move staged part files into the
+        # batch directory, THEN append to the commit log — a reader
+        # either sees the whole batch or none of it
+        bdir = _os.path.join(self.path, f"batch={batchId}")
+        _os.makedirs(bdir, exist_ok=True)
+        for m in messages:
+            if m is not None:
+                _os.replace(
+                    m.file, _os.path.join(bdir, _os.path.basename(m.file))
+                )
+        with open(_os.path.join(self.path, "_commits"), "a") as f:
+            f.write(f"{batchId}\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and _os.path.isfile(m.file):
+                _os.remove(m.file)
+
+
+def read_committed_stream_output(path: str) -> list[tuple]:
+    """Reader side of the streaming sink's exactly-once contract: only
+    batches recorded in ``_commits`` are visible."""
+    marker = _os.path.join(path, "_commits")
+    if not _os.path.isfile(marker):
+        return []
+    rows: list[tuple] = []
+    with open(marker) as f:
+        batches = sorted({int(x) for x in f.read().split()})
+    for b in batches:
+        for fp in sorted(_glob.glob(_os.path.join(path, f"batch={b}", "part-*.avro"))):
+            _, r = read_avro(fp)
+            rows.extend(r)
+    return rows

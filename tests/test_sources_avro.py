@@ -115,3 +115,40 @@ def test_avro_writer_rejects_unsupported_type(spark, tmp_path):
         df.write.format("avroplain").option(
             "path", str(tmp_path / "bad")
         ).mode("append").save()
+
+
+def test_avro_streaming_sink_exactly_once_visibility(spark, tmp_path):
+    import os
+
+    try:
+        spark.dataSource.register(av.AvroPlainDataSource)
+    except Exception:
+        pass
+    src = str(tmp_path / "src_parquet")
+    spark.range(50).selectExpr(
+        "id", "CAST(id * 2.0 AS DOUBLE) AS v"
+    ).repartition(2).write.parquet(src)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("id bigint, v double")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.format("avroplain")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # commit log exists and only committed batch dirs are visible
+    assert os.path.isfile(os.path.join(out, "_commits"))
+    rows = av.read_committed_stream_output(out)
+    assert sorted(rows) == [(i, i * 2.0) for i in range(50)]
+    # staged leftovers are not visible to the committed-output reader
+    assert not [
+        f for f in os.listdir(os.path.join(out, "_staging"))
+    ] if os.path.isdir(os.path.join(out, "_staging")) else True
