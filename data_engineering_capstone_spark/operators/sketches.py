@@ -136,3 +136,40 @@ def count_min_estimate(
     return out.withColumn("cms_estimate", est.cast("bigint")).drop(
         *[f"__n{d}" for d in range(depth)]
     )
+
+
+def daily_value_kll_sketches(
+    events: DataFrame, ts_col: str = "ts", value_col: str = "value", k: int = 200
+) -> DataFrame:
+    """One KLL quantile sketch per day over ``value_col`` — the base
+    rollup for rolling quantiles (Datasketches KLL, built into Spark 4).
+    Mirrors :func:`daily_distinct_sketches`: raw rows aggregate ONCE
+    into a mergeable constant-size sketch; every downstream window
+    re-aggregates sketches, never values — the continuous-aggregate
+    form for MEDIAN/quantiles that survives wide frames at 100 TB
+    (exact frame-collected medians hold the whole window's values in
+    one buffer; a KLL sketch is a few KB at any frame width)."""
+    return events.groupBy(F.col(ts_col).cast("date").alias("day")).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias(
+            "vsketch"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def rolling_quantile_estimate(
+    daily: DataFrame, days, window_days: int = 7, quantile: float = 0.5
+) -> DataFrame:
+    """Rolling quantile estimate by merging per-day KLL sketches over the
+    trailing window — grid-sized work, independent of event volume."""
+    joined = daily.join(
+        F.broadcast(days),
+        (F.col("day") >= F.date_sub(F.col("d"), window_days - 1))
+        & (F.col("day") <= F.col("d")),
+    )
+    return joined.groupBy(F.col("d").alias("day")).agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_merge_agg_double("vsketch"), F.lit(quantile)
+        ).alias("quantile_estimate"),
+        F.sum("n_events").alias("events_win"),
+    )

@@ -542,3 +542,38 @@ def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query("ts_rolling_median_kll", oracle=None)
+def ts_rolling_median_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-partial form of ts_rolling_median: per-day KLL quantile
+    sketches merged over the trailing 7 days (operators/sketches.py,
+    Datasketches KLL built into Spark 4). Raw values aggregate ONCE;
+    the window join runs over 30 sketch rows of a few KB each — the
+    wide-frame quantile path the exact frame-collected median cannot
+    take at 100 TB (its buffer grows with frame width; the sketch
+    doesn't). Deterministic for a given input set -> rows-only; tests
+    pin the estimate's rank error against the exact rolling median.
+    """
+    from .operators.sketches import daily_value_kll_sketches, rolling_quantile_estimate
+
+    ev = _events(spark, sf_dir)
+    daily = daily_value_kll_sketches(ev)
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    return (
+        rolling_quantile_estimate(daily, days, 7, 0.5)
+        .select(
+            "day",
+            F.round("quantile_estimate", 4).alias("median_estimate"),
+            "events_win",
+        )
+        .orderBy("day")
+    )

@@ -296,3 +296,30 @@ def test_count_min_overestimates_within_bound(spark, sf_dir):
     for r in rows:
         assert r.cms_estimate >= r.n_exact  # never undercounts
         assert r.cms_estimate <= r.n_exact + max(1, int(3 * eps * n_total))
+
+
+def test_kll_rolling_median_rank_error(spark, sf_dir):
+    from data_engineering_capstone_spark.queries_timeseries import (
+        ts_rolling_median_kll,
+    )
+    from data_engineering_capstone_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    est = {r.day: r.median_estimate for r in ts_rolling_median_kll(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), F.col("value").cast("double").alias("v")
+    ).collect()
+    by_day: dict = {}
+    for r in ev:
+        by_day.setdefault(r.day, []).append(r.v)
+    import datetime
+
+    for day, e in est.items():
+        window = []
+        for off in range(7):
+            window.extend(by_day.get(day - datetime.timedelta(days=off), []))
+        if not window:
+            continue
+        rank = sum(1 for v in window if v <= e) / len(window)
+        # KLL k=200 normalized rank error ~1.65%; allow generous 6%
+        assert 0.44 <= rank <= 0.56, f"{day}: rank {rank:.3f} of {len(window)}"
