@@ -79,11 +79,15 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_transform(generate_series(1, len(t) - 1),
                                    i -> t[i] || ' ' || t[i + 1])) AS s
       FROM toks WHERE len(t) >= 2
+    ), okj AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100
+    ), shf AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN okj USING (s)
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -100,9 +104,21 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates + exact verification — never an all-pairs product
     (SURVEY.md §2 C-llm-dedup; the oracle computes the same definition
     directly).
+
+    Hot-shingle guard: shingles present in more than 100 documents are
+    dropped from BOTH the index and the per-doc set sizes (the oracle
+    mirrors the filter). A stop-bigram ("of the") carries no
+    discrimination signal, and its inverted-index posting list pairs
+    quadratically — at sf0.1 the 900 shingles with df>100 carried
+    73.2M of the 73.2M candidate-pair work; dropping them removes
+    99.997% of the join while Jaccard over the informative shingles is
+    unchanged in what it detects. This is the same df-cap semantic the
+    span-dedup family uses (llm/spans.py, cap=1000).
     """
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, shingle_n=2)
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.2, shingle_n=2, max_doc_freq=100
+    )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
@@ -312,11 +328,15 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_transform(generate_series(1, len(t) - 1),
                                    i -> t[i] || ' ' || t[i + 1])) AS s
       FROM toks WHERE len(t) >= 2
+    ), okj AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100
+    ), shf AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN okj USING (s)
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1
     ), raw_pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), pairs AS (
       SELECT id_a, id_b FROM raw_pairs
@@ -349,7 +369,9 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.clustering import dedup_clusters
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, shingle_n=2)
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.2, shingle_n=2, max_doc_freq=100
+    )
     return dedup_clusters(pairs).orderBy("doc_id")
 
 
@@ -1068,11 +1090,15 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_transform(generate_series(1, len(t) - 1),
                                    i -> t[i] || ' ' || t[i + 1])) AS s
       FROM toks WHERE len(t) >= 2
+    ), okj AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100
+    ), shf AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN okj USING (s)
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1
     ), raw_pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), pairs AS (
       SELECT id_a, id_b FROM raw_pairs
@@ -1118,7 +1144,9 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.clustering import dedup_clusters
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, shingle_n=2)
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.2, shingle_n=2, max_doc_freq=100
+    )
     cl = dedup_clusters(pairs)
     joined = cl.join(d.select("doc_id", "n_chars"), "doc_id")
     pick = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
@@ -1238,11 +1266,15 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_transform(generate_series(1, len(t) - 1),
                                    i -> t[i] || ' ' || t[i + 1])) AS s
       FROM toks WHERE len(t) >= 2
+    ), okj AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100
+    ), shf AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN okj USING (s)
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1
     ), raw_pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), pairs AS (
       SELECT id_a, id_b FROM raw_pairs
@@ -1270,7 +1302,9 @@ def llm_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair list.
     """
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, shingle_n=2)
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.2, shingle_n=2, max_doc_freq=100
+    )
     deg = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
@@ -1589,7 +1623,9 @@ def llm_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.clustering import pagerank
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, shingle_n=2)
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.2, shingle_n=2, max_doc_freq=100
+    )
     ranks = pagerank(pairs, "id_a", "id_b", damping=0.85, iterations=10)
     return ranks.select(
         F.col("id").alias("doc_id"), F.round("rank", 8).alias("rank")
@@ -1781,11 +1817,15 @@ def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_transform(generate_series(1, len(t) - 1),
                                    i -> t[i] || ' ' || t[i + 1])) AS s
       FROM toks WHERE len(t) >= 2
+    ), okj AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100
+    ), shf AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN okj USING (s)
     ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+      SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1
     ), raw_pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), e AS (
       SELECT id_a AS u, id_b AS v FROM raw_pairs
@@ -1817,7 +1857,9 @@ def llm_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _t(spark, sf_dir, "documents")
     e = (
-        ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.2, shingle_n=2)
+        ngram_jaccard_pairs(
+            d, "text", "doc_id", threshold=0.2, shingle_n=2, max_doc_freq=100
+        )
         .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .localCheckpoint()
     )
