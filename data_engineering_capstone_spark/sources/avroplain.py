@@ -252,9 +252,25 @@ from pyspark.sql.datasource import (  # noqa: E402
 
 
 def _data_files(path: str) -> list[str]:
-    """A single .avro file, or a directory of part-*.avro files."""
+    """A single .avro file, or a directory of part-*.avro files.
+
+    Raises a clear error for a part-less directory (wrong path, or a
+    dir holding only ``_SUCCESS``) instead of letting ``files[0]``
+    surface an opaque IndexError downstream — the distributed writer
+    emits one part file per task even for empty partitions, so a
+    committed avroplain output always has at least one part.
+    """
     if _os.path.isdir(path):
-        return sorted(_glob.glob(_os.path.join(path, "part-*.avro")))
+        files = sorted(_glob.glob(_os.path.join(path, "part-*.avro")))
+        if not files:
+            raise FileNotFoundError(
+                f"avroplain: no part-*.avro files found at {path!r} — "
+                "not an avroplain output directory (or the write never "
+                "committed)"
+            )
+        return files
+    if not _os.path.isfile(path):
+        raise FileNotFoundError(f"avroplain: no such file {path!r}")
     return [path]
 
 
@@ -412,15 +428,33 @@ class AvroPlainStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         # driver-side atomic publish: move staged part files into the
         # batch directory, THEN append to the commit log — a reader
-        # either sees the whole batch or none of it
+        # either sees the whole batch or none of it.
+        #
+        # Idempotent under replay: if the batch is already in _commits,
+        # a restarted driver re-running it must not publish a second
+        # part-file set (duplicate rows); and a crash AFTER the moves
+        # but BEFORE the log append leaves half-published files that
+        # the retry must REPLACE, not append to — so an uncommitted
+        # batch dir is cleared before publishing.
+        marker = _os.path.join(self.path, "_commits")
+        if _os.path.isfile(marker):
+            with open(marker) as f:
+                if str(batchId) in f.read().split():
+                    for m in messages:  # staged retry output is garbage
+                        if m is not None and _os.path.isfile(m.file):
+                            _os.remove(m.file)
+                    return
         bdir = _os.path.join(self.path, f"batch={batchId}")
+        if _os.path.isdir(bdir):
+            for stale in _glob.glob(_os.path.join(bdir, "part-*.avro")):
+                _os.remove(stale)
         _os.makedirs(bdir, exist_ok=True)
         for m in messages:
             if m is not None:
                 _os.replace(
                     m.file, _os.path.join(bdir, _os.path.basename(m.file))
                 )
-        with open(_os.path.join(self.path, "_commits"), "a") as f:
+        with open(marker, "a") as f:
             f.write(f"{batchId}\n")
 
     def abort(self, messages, batchId: int) -> None:

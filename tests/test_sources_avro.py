@@ -152,3 +152,56 @@ def test_avro_streaming_sink_exactly_once_visibility(spark, tmp_path):
     assert not [
         f for f in os.listdir(os.path.join(out, "_staging"))
     ] if os.path.isdir(os.path.join(out, "_staging")) else True
+
+
+def test_stream_commit_idempotent_under_replay(tmp_path):
+    """Driver-crash replay semantics of the streaming sink commit
+    (round-3 advice): a batch replayed after a crash must REPLACE any
+    half-published part files, and a batch already in _commits must not
+    be published twice — read_committed_stream_output sees each batch's
+    rows exactly once in both scenarios."""
+    from pyspark.sql.types import StructType
+
+    out = str(tmp_path / "sink")
+    schema = (
+        StructType()
+        .add("id", "long")
+        .add("v", "double")
+    )
+    w = av.AvroPlainStreamWriter({"path": out}, schema)
+
+    def staged(rows):
+        return [w.write(iter(rows))]
+
+    # scenario 1: crash AFTER moving files into batch=0 but BEFORE the
+    # log append — replay must replace, not append
+    msgs = staged([(1, 1.0), (2, 2.0)])
+    bdir = os.path.join(out, "batch=0")
+    os.makedirs(bdir)
+    for m in msgs:  # simulate the half-published state by hand
+        os.replace(m.file, os.path.join(bdir, os.path.basename(m.file)))
+    # _commits was never written; driver restarts and replays batch 0
+    replay = staged([(1, 1.0), (2, 2.0)])
+    w.commit(replay, 0)
+    assert sorted(av.read_committed_stream_output(out)) == [(1, 1.0), (2, 2.0)]
+
+    # scenario 2: batch already committed — a second commit is a no-op
+    dup = staged([(1, 1.0), (2, 2.0)])
+    w.commit(dup, 0)
+    assert sorted(av.read_committed_stream_output(out)) == [(1, 1.0), (2, 2.0)]
+    with open(os.path.join(out, "_commits")) as f:
+        assert f.read().split() == ["0"]
+    # the duplicate's staged files were cleaned up
+    assert not os.listdir(os.path.join(out, "_staging"))
+
+
+def test_empty_dir_raises_clear_error(tmp_path):
+    import pytest
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+    with pytest.raises(FileNotFoundError, match="no part-"):
+        av._data_files(d)
+    with pytest.raises(FileNotFoundError, match="no such file"):
+        av._data_files(str(tmp_path / "absent.avro"))
