@@ -294,7 +294,14 @@ def temperature_mix(
     }
     total = sum(counts.values())
     keep_total = total * int(keep_bp) // 10000
-    z = sum(math.sqrt(n) if alpha == 0.5 else n**alpha for n in counts.values())
+    # Normalizer summed as a LEFT FOLD IN SORTED GROUP-KEY ORDER: float
+    # addition is order-sensitive at 1 ulp, and a quota floor() sitting
+    # exactly on an integer boundary can flip if an oracle sums in a
+    # different order (round-3 advice). The DuckDB oracle mirrors this
+    # exact fold via list_reduce(list(sqrt(n) ORDER BY <group>), +).
+    z = 0.0
+    for _g, n in sorted(counts.items()):
+        z += math.sqrt(n) if alpha == 0.5 else n**alpha
     quota = F.lit(None).cast("long")
     for g, n in sorted(counts.items()):
         w = math.sqrt(n) if alpha == 0.5 else n**alpha

@@ -13,6 +13,16 @@ contract every exact catalog entry keeps).
 Scale: per-document work is linear in token count, embarrassingly
 parallel, zero shuffles before the caller's own aggregation — the same
 plan shape at 100 TB.
+
+The logit fold is a higher-order ``F.aggregate`` lambda, which runs
+interpreted (CodegenFallback). Measured at 64x sf0.1 (320k docs,
+round 4): this form 4.9 s vs explode + groupBy integer-sum 14.1 s
+(pays a doc_id shuffle) vs an Arrow pandas-UDF kernel 12.4 s (pays
+per-token hashlib) vs the DuckDB oracle 25.5 s — the per-token md5
+dominates all forms, the interpreted fold is NOT the bottleneck, and
+the zero-shuffle lambda plan wins by 2.5-2.9x. Kept deliberately; the
+repo's CodegenFallback rule (BASELINE.md) applies where the lambda IS
+the hot loop (vector math), not here.
 """
 
 from __future__ import annotations

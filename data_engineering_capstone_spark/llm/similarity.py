@@ -59,11 +59,15 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
+    # id columns keep their INPUT types end-to-end (round-3 advice: a
+    # hardcoded `long` silently narrowed the id-type-generic API)
+    nid_dt = corpus.schema[id_col].dataType.simpleString()
+    qid_dt = queries.schema[id_col].dataType.simpleString()
     qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     if not qrows:
-        schema = f"{query_id_col} long, neighbor_id long, cos_sim double, rk int"
+        schema = f"{query_id_col} {qid_dt}, neighbor_id {nid_dt}, cos_sim double, rk int"
         return corpus.sparkSession.createDataFrame([], schema)
-    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    q_ids = np.array([r[id_col] for r in qrows])
     qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, qn))
@@ -86,7 +90,7 @@ def cosine_topk(
             yield pd.concat(frames)
 
     scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        _score, f"{query_id_col} long, neighbor_id long, cos_sim double"
+        _score, f"{query_id_col} {qid_dt}, neighbor_id {nid_dt}, cos_sim double"
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -191,8 +195,11 @@ def lsh_near_dup_pairs(
                 {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos_sim": sims}
             )
 
+    # id fields keep the input id type (round-3 advice: hardcoded long
+    # broke string/non-long doc ids at runtime)
+    id_dt = df.schema[id_col].dataType.simpleString()
     return (
-        withv.mapInPandas(_verify, "id_a long, id_b long, cos_sim double")
+        withv.mapInPandas(_verify, f"id_a {id_dt}, id_b {id_dt}, cos_sim double")
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -361,6 +368,7 @@ def semantic_dedup(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    id_dt = corpus.schema[id_col].dataType.simpleString()
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     train = corpus.select(F.col(id_col), array_to_vector(dbl).alias("features"))
     model = KMeans(k=num_centroids, seed=seed, maxIter=20).fit(train)
@@ -424,7 +432,10 @@ def semantic_dedup(
         a.join(b, "cell")
         .filter(F.col("__id_a") < F.col("__id_b"))
         .select("cell", "__id_a", "__id_b", "__vec_a", "__vec_b")
-        .mapInPandas(_pair_sims, "cell int, __id_a long, __id_b long, __sim double")
+        .mapInPandas(
+            _pair_sims,
+            f"cell int, __id_a {id_dt}, __id_b {id_dt}, __sim double",
+        )
         .filter(F.col("__sim") >= threshold)
     )
     return (

@@ -1548,7 +1548,11 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
     tot AS (
-      SELECT SUM(n) AS total, SUM(sqrt(n)) AS z FROM cnt
+      -- z as a left fold in sorted-lang order: matches the engine's
+      -- deterministic normalizer sum exactly (float + is order-sensitive)
+      SELECT SUM(n) AS total,
+             list_reduce(list(sqrt(n) ORDER BY lang), (acc, x) -> acc + x) AS z
+      FROM cnt
     ), q AS (
       SELECT lang, n,
              CAST(FLOOR(((total * 5000) // 10000) * sqrt(n) / z) AS BIGINT) AS quota
@@ -1589,7 +1593,9 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = {r.lang: r.n_total for r in n_lang.collect()}
     total = sum(counts.values())
     keep_total = total * 5000 // 10000
-    z = sum(math.sqrt(n) for n in counts.values())
+    z = 0.0  # sorted-order fold — must match curation.temperature_mix
+    for _g, _n in sorted(counts.items()):
+        z += math.sqrt(_n)
     quota_col = F.lit(None).cast("long")
     for g, n in sorted(counts.items()):
         quota_col = F.when(

@@ -180,7 +180,12 @@ def write_sas7bdat(
             if kind == "num":
                 out += _f64(float("nan") if v is None else float(v))
             else:
+                # truncate at a CHARACTER boundary: a naive byte slice
+                # can split a multibyte UTF-8 sequence, producing bytes
+                # pandas read_sas(..., encoding='utf-8') rejects even
+                # though the header declares utf-8
                 raw = ("" if v is None else str(v)).encode("utf-8")[:w]
+                raw = raw.decode("utf-8", errors="ignore").encode("utf-8")
                 out += raw + b" " * (w - len(raw))
         return bytes(out)
 
@@ -206,7 +211,7 @@ def write_sas7bdat(
     hdr[37] = 0x01                # little-endian
     hdr[39] = ord("1")            # unix platform
     hdr[70] = 20                  # utf-8
-    ds = dataset.encode("utf-8")[:64]
+    ds = dataset.encode("utf-8")[:64].decode("utf-8", errors="ignore").encode("utf-8")
     hdr[92:92 + len(ds)] = ds
     hdr[92 + len(ds):156] = b" " * (64 - len(ds))
     hdr[156:164] = b"DATA    "

@@ -519,3 +519,35 @@ def test_remove_duplicate_spans_planted(spark):
     assert out[2].n_tokens_removed == 6 and out[2].was_deduped
     # untouched doc passes through
     assert out[3].text == "c1 c2 c3" and out[3].n_tokens_removed == 0
+
+
+def test_similarity_apis_accept_string_ids(spark):
+    """The mapInPandas verify stages must derive their id schema from
+    the input id type (round-3 advice: hardcoded `long` broke string
+    ids at runtime) — exercised end-to-end with string doc ids."""
+    import numpy as np
+
+    from data_engineering_capstone_spark.llm.similarity import (
+        cosine_topk,
+        lsh_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 16)
+    base[1] = base[0] + 0.01 * rng.randn(16)  # planted near-dup of row 0
+    rows = [(f"doc-{i:02d}", [float(v) for v in base[i]]) for i in range(6)]
+    e = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+
+    pairs = lsh_near_dup_pairs(e, 0.9, dim=16, num_tables=8, planes_per_table=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("doc-00", "doc-01") in got
+    assert pairs.schema["id_a"].dataType.simpleString() == "string"
+
+    topk = cosine_topk(e, e.limit(2), k=2)
+    out = topk.collect()
+    assert out and all(isinstance(r["neighbor_id"], str) for r in out)
+
+    dups = semantic_dedup(e, 0.9, num_centroids=2)
+    flagged = {r["vec_id"]: r["dup_of"] for r in dups.collect()}
+    assert flagged.get("doc-01") == "doc-00"

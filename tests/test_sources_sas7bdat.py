@@ -99,3 +99,18 @@ def test_sas7bdat_roundtrip_property(tmp_path_factory, rows):
             assert (isinstance(got_s, float) and math.isnan(got_s)) or got_s == ""
         else:
             assert got_s == want_s
+
+
+def test_multibyte_truncation_respects_char_boundary(tmp_path):
+    """A byte-width cut landing inside a multibyte UTF-8 sequence must
+    back off to the character boundary (round-3 advice): pandas
+    read_sas(..., encoding='utf-8') rejects split sequences outright."""
+    import pandas as pd
+
+    cols = [("K", "num", 8), ("S", "char", 5)]
+    # 'abécd' encodes to 6 bytes; slicing at 5 would split the 'é'
+    rows = [(1.0, "abécd"), (2.0, "ééé")]
+    fp = str(tmp_path / "mb.sas7bdat")
+    write_sas7bdat(fp, cols, rows, dataset="MB")
+    df = pd.read_sas(fp, encoding="utf-8")
+    assert list(df["S"]) == ["abéc", "éé"]
