@@ -184,12 +184,55 @@ def minhash_near_dups(
     num_hashes: int = 64,
     num_bands: int = 16,
     shingle_n: int = 2,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with estimated Jaccard >= threshold.
 
     shingle → minhash → band → bucket-join → estimate, the standard
     linear-scan near-dup pipeline for LLM corpus cleaning.
+
+    ``collapse_exact`` is the TEMPLATE-SPAM guard (the mega-bucket
+    failure mode): k byte-identical copies of one page share every band
+    hash, so each of the 16 band buckets holds all k copies and the
+    bucket self-join emits ~16·k²/2 candidate rows — measured 817M
+    candidates for one 10k-copy template (tools/template_spam_probe.py,
+    SCALE.md §12). Since identical docs ARE duplicates by definition,
+    no signature estimate is needed to pair them: with the flag on, the
+    corpus is first collapsed to one representative per distinct
+    normalized text (md5 fingerprint groupBy — the exact_dedup plan,
+    linear, bodies never shuffle), LSH runs over representatives only,
+    and the returned pairs carry ``n_a``/``n_b`` group sizes so callers
+    can expand cluster membership (every member of a group is an exact
+    dup of its representative and inherits its near-dup edges). The
+    mega-bucket collapses to ONE row per band. Output keeps the
+    (id_a, id_b, est_jaccard) columns; the two size columns are
+    appended only in this mode so the default stays oracle-compatible.
     """
+    if collapse_exact:
+        fp = df.withColumn("__fp", fingerprint_md5(text_col))
+        groups = fp.groupBy("__fp").agg(
+            F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("__n_members")
+        )
+        reps = fp.join(groups, [id_col, "__fp"], "left_semi").drop("__fp")
+        pairs = minhash_near_dups(
+            reps, text_col, id_col, threshold, num_hashes, num_bands, shingle_n
+        )
+        sizes = groups.select(id_col, "__n_members")
+        return (
+            pairs.join(
+                sizes.select(
+                    F.col(id_col).alias("id_a"), F.col("__n_members").alias("n_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col(id_col).alias("id_b"), F.col("__n_members").alias("n_b")
+                ),
+                "id_b",
+            )
+            .select("id_a", "id_b", "est_jaccard", "n_a", "n_b")
+        )
     # Materialize signatures once (num_hashes longs per doc — tiny) and
     # TRUNCATE the lineage: localCheckpoint, not cache. A cached plan
     # stays registered with the CacheManager, which then canonicalizes

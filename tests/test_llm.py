@@ -551,3 +551,44 @@ def test_similarity_apis_accept_string_ids(spark):
     dups = semantic_dedup(e, 0.9, num_centroids=2)
     flagged = {r["vec_id"]: r["dup_of"] for r in dups.collect()}
     assert flagged.get("doc-01") == "doc-00"
+
+
+def test_minhash_template_spam_collapse(spark):
+    """Mega-bucket guard (round-3 verdict task 5): k identical template
+    copies share every band hash, so the bucket self-join is ~16*k^2/2
+    candidate rows (measured 800M raw / 50M distinct for k=10k,
+    tools/template_spam_probe.py, SCALE.md §12). collapse_exact=True
+    collapses identical fingerprints to one representative before the
+    signature stage — candidates stay corpus-sized and exact-group
+    membership rides along as n_a/n_b."""
+    from data_engineering_capstone_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_near_dups,
+        minhash_signatures,
+    )
+
+    k = 2000
+    template = ("breaking news subscribe to our newsletter for daily "
+                "updates terms privacy contact copyright notice")
+    variant = template.replace("daily updates", "weekly updates")
+    base = [(1, "the quick brown fox jumps over the lazy dog near the door"),
+            (2, variant)]
+    spam = [(100 + i, template) for i in range(k)]
+    corpus = spark.createDataFrame(base + spam, "doc_id long, text string")
+
+    # uncollapsed: the template group alone makes >= 16 * k*(k-1)/2 raw
+    # candidate rows — the quadratic shuffle the collapse exists to kill
+    sigs = minhash_signatures(corpus, "text", "doc_id")
+    banded_raw = lsh_candidate_pairs(sigs, "doc_id")  # distinct pairs
+    assert banded_raw.count() >= k * (k - 1) // 2
+
+    collapsed = minhash_near_dups(
+        corpus, "text", "doc_id", threshold=0.35, collapse_exact=True
+    ).collect()
+    # candidate/pair volume is representative-scale, not k^2
+    assert len(collapsed) < 10
+    by_pair = {(r["id_a"], r["id_b"]): r for r in collapsed}
+    # the planted near-variant still pairs with the template's
+    # representative (min id = 100), carrying the group size
+    r = by_pair.get((2, 100))
+    assert r is not None and r["n_a"] == 1 and r["n_b"] == k
