@@ -268,25 +268,54 @@ def ngram_jaccard_pairs(
     they drive join skew); each candidate's exact Jaccard is
     |A∩B| / (|A|+|B|-|A∩B|) counted from the full index. Never builds an
     all-pairs product.
+
+    Plan shape (round 4): when the df cap is on, the index is built as
+    POSTINGS LISTS — one groupBy(s) shuffle producing (shingle,
+    doc-array), the cap a size filter on the array, pairs generated
+    in-row by a double explode (bounded at cap²/2 per shingle), and the
+    per-doc surviving-shingle sizes derived from the same postings
+    table (the exchange is reused across all three consumers —
+    ReusedExchange, one shuffle of the index instead of three). This
+    replaced a localCheckpoint + anti-join + a⋈b self-join pipeline;
+    measured at 16× sf0.1 (80k docs): 5.9 s → 2.9 s (with the round-4
+    zip_with ngrams rewrite, functions/strings.py, contributing most of
+    the drop). The uncapped path keeps the join form: an unbounded
+    postings array for a stop-shingle would concentrate a hot key's
+    whole posting list in one aggregation buffer.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        df.repartition(par)
-        .select(F.col(id_col), F.explode(shingle_set(text_col, shingle_n)).alias("s"))
-        .localCheckpoint(eager=True)  # reused 3x below; lineage-truncated (see minhash note)
+    sh = df.repartition(par).select(
+        F.col(id_col), F.explode(shingle_set(text_col, shingle_n)).alias("s")
     )
     if max_doc_freq is not None:
-        hot = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > max_doc_freq)
-        sh = sh.join(hot, "s", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "s")
-    b = sh.select(F.col(id_col).alias("id_b"), "s")
-    common = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        postings = (
+            sh.groupBy("s")
+            .agg(F.collect_set(id_col).alias("ds"))
+            .filter(F.size("ds") <= max_doc_freq)
+        )
+        sizes = (
+            postings.select(F.explode("ds").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        common = (
+            postings.select(F.explode("ds").alias("id_a"), "ds")
+            .select("id_a", F.explode("ds").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        sh = sh.localCheckpoint(eager=True)  # reused 3x below (see minhash note)
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col(id_col).alias("id_a"), "s")
+        b = sh.select(F.col(id_col).alias("id_b"), "s")
+        common = (
+            a.join(b, "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

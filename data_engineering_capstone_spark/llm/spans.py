@@ -7,8 +7,9 @@ The published single-node method builds a suffix array; the
 distributable equivalent used here is W-gram seed matching + diagonal
 merge, which finds exactly the same maximal duplicated spans:
 
-1. every positioned W-token gram is hashed (16-byte md5 of the
-   space-joined gram — the shuffle key never carries text),
+1. every positioned W-token gram is hashed (two independent xxhash64
+   longs of the space-joined gram, 128 bits total — the shuffle key
+   never carries text),
 2. an inverted-index self-join on the gram hash yields seed matches
    ``(id_a, id_b, pos_a, pos_b)``,
 3. seed matches that continue each other lie on the same *diagonal*
@@ -37,28 +38,35 @@ from ..functions.strings import tokens
 def positioned_grams(
     df: DataFrame, text_col: str, id_col: str, w: int
 ) -> DataFrame:
-    """(id, pos, gram_hash) for every positioned W-token gram.
+    """(id, pos, h1, h2) for every positioned W-token gram.
 
-    ``pos`` is 1-based token position of the gram start; the gram hash
-    is md5 of the space-joined tokens, so equality is exact gram
-    equality (collision probability negligible at 128 bits).
+    ``pos`` is 1-based token position of the gram start; the gram key
+    is a PAIR of independent xxhash64 values of the space-joined gram
+    (seeds 0/1 → 128 bits total), so equality is exact gram equality
+    at negligible collision probability while the shuffle key is 16
+    bytes of longs instead of a 32-char md5 hex string. (Round 4: this
+    replaced ``transform(sequence, i -> md5(array_join(slice(t,i,w))))``
+    — the per-index slice allocation inside an interpreted lambda was
+    the same shape the ngrams rewrite killed, and md5-of-string both
+    costs more to compute and doubles the exchange width. Gram strings
+    themselves are built by the zip_with fold in
+    functions/strings.ngrams; hashing happens AFTER posexplode, on the
+    codegen path.)
     """
-    t = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - F.lit(w - 1)),
-        lambda i: F.md5(F.array_join(F.slice(t, i, w), " ")),
-    )
-    # guard: sequence(1, size-w+1) DESCENDS for docs shorter than w
-    # tokens and slice(t, 0, w) then errors — short docs have no grams
-    grams = F.when(F.size(t) >= w, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    from ..functions.strings import ngrams
+
+    g = ngrams(text_col, w)
     return (
-        df.select(F.col(id_col).alias("__id"), grams.alias("__g"))
+        df.select(F.col(id_col).alias("__id"), g.alias("__g"))
         .where(F.size("__g") > 0)
-        .select("__id", F.posexplode("__g").alias("__p0", "__h"))
+        .select("__id", F.posexplode("__g").alias("__p0", "__gs"))
         # posexplode is 0-based; spans are reported 1-based like SQL arrays
-        .select("__id", (F.col("__p0") + 1).alias("__pos"), "__h")
+        .select(
+            "__id",
+            (F.col("__p0") + 1).alias("__pos"),
+            F.xxhash64("__gs", F.lit(0)).alias("__h1"),
+            F.xxhash64("__gs", F.lit(1)).alias("__h2"),
+        )
     )
 
 
@@ -79,34 +87,41 @@ def duplicate_spans(
     either side.
     """
     w = min_tokens
-    # Materialize the gram table ONCE and truncate lineage: it feeds the
-    # doc-frequency guard AND both sides of the seed self-join — left
-    # inline, Catalyst re-executes the tokenize+md5 explode subtree per
-    # consumer (measured 22.3 s vs 2.5 s at sf0.1; same discipline as
-    # minhash_signatures). One (id, pos, 16-byte hash) row per gram ≈
-    # token count of the corpus — the cheapest barrier in the pipeline.
-    g = positioned_grams(df, text_col, id_col, w).localCheckpoint()
-
-    # hot-gram guard: drop grams appearing in > max_doc_freq docs
-    df_ok = (
-        g.groupBy("__h")
-        .agg(F.count_distinct("__id").alias("__df"))
-        .where(F.col("__df") <= max_doc_freq)
-        .select("__h")
+    # POSTINGS-LIST seed generation (round 4; same fusion as
+    # ngram_jaccard_pairs): ONE groupBy on the 128-bit gram key
+    # produces each gram's (doc, pos) occurrence list; the hot-gram
+    # guard is an array filter on the list's distinct-doc count; seed
+    # pairs are generated in-row by a double explode. This replaced a
+    # localCheckpoint of the 16M-row gram table + a count_distinct
+    # guard aggregate + a guard join + an a⋈b self-join — four extra
+    # ~corpus-sized exchanges. Measured at 64× sf0.1 (320k docs, 16M
+    # grams): llm_span_dedup_clean 111 s → 26 s Spark-side (with the
+    # ngrams/xxhash rewrites above). Skew note: all occurrences of one
+    # gram land in a single row here, but the JOIN form put them in a
+    # single join partition anyway — the cap bounds both identically.
+    g = positioned_grams(df, text_col, id_col, w)
+    posts = g.groupBy("__h1", "__h2").agg(
+        F.collect_list(F.struct("__id", "__pos")).alias("__ps")
     )
-    g = g.join(df_ok, "__h")
-
-    a = g.select(
-        F.col("__h"),
-        F.col("__id").alias("id_a"),
-        F.col("__pos").alias("pos_a"),
+    posts = posts.where(
+        F.size(F.array_distinct(F.transform("__ps", lambda x: x["__id"])))
+        <= max_doc_freq
     )
-    b = g.select(
-        F.col("__h"),
-        F.col("__id").alias("id_b"),
-        F.col("__pos").alias("pos_b"),
+    seeds = (
+        posts.select(F.explode("__ps").alias("__a"), "__ps")
+        .select(
+            F.col("__a.__id").alias("id_a"),
+            F.col("__a.__pos").alias("pos_a"),
+            F.explode("__ps").alias("__b"),
+        )
+        .where(F.col("id_a") < F.col("__b.__id"))
+        .select(
+            "id_a",
+            "pos_a",
+            F.col("__b.__id").alias("id_b"),
+            F.col("__b.__pos").alias("pos_b"),
+        )
     )
-    seeds = a.join(b, "__h").where(F.col("id_a") < F.col("id_b"))
 
     # diagonal merge: consecutive seeds on one diagonal form an island.
     # (id_a, id_b, diag, pos_a) is unique, so pos_a - row_number() is the

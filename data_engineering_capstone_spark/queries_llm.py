@@ -74,14 +74,14 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, len(t) - 1),
                                    i -> t[i] || ' ' || t[i + 1])) AS s
       FROM toks WHERE len(t) >= 2
     ), okj AS (
       SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100
-    ), shf AS (
+    ), shf AS MATERIALIZED (
       SELECT sh.doc_id, sh.s FROM sh JOIN okj USING (s)
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1
@@ -323,14 +323,14 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, len(t) - 1),
                                    i -> t[i] || ' ' || t[i + 1])) AS s
       FROM toks WHERE len(t) >= 2
     ), okj AS (
       SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100
-    ), shf AS (
+    ), shf AS MATERIALIZED (
       SELECT sh.doc_id, sh.s FROM sh JOIN okj USING (s)
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1
@@ -1085,14 +1085,14 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, len(t) - 1),
                                    i -> t[i] || ' ' || t[i + 1])) AS s
       FROM toks WHERE len(t) >= 2
     ), okj AS (
       SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100
-    ), shf AS (
+    ), shf AS MATERIALIZED (
       SELECT sh.doc_id, sh.s FROM sh JOIN okj USING (s)
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1
@@ -1261,14 +1261,14 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, len(t) - 1),
                                    i -> t[i] || ' ' || t[i + 1])) AS s
       FROM toks WHERE len(t) >= 2
     ), okj AS (
       SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100
-    ), shf AS (
+    ), shf AS MATERIALIZED (
       SELECT sh.doc_id, sh.s FROM sh JOIN okj USING (s)
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1
@@ -1324,7 +1324,7 @@ def llm_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
       FROM documents
-    ), pg AS (
+    ), pg AS MATERIALIZED (
       SELECT doc_id,
              unnest(generate_series(1, len(t) - 4)) AS pos,
              unnest(list_transform(generate_series(1, len(t) - 4),
@@ -1332,7 +1332,7 @@ def llm_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks WHERE len(t) >= 5
     ), ok AS (
       SELECT g FROM pg GROUP BY g HAVING COUNT(DISTINCT doc_id) <= 1000
-    ), pgf AS (
+    ), pgf AS MATERIALIZED (
       SELECT pg.doc_id, pg.pos, pg.g FROM pg JOIN ok USING (g)
     ), seeds AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
@@ -1690,7 +1690,7 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
       FROM documents
-    ), pg AS (
+    ), pg AS MATERIALIZED (
       SELECT doc_id,
              unnest(generate_series(1, len(t) - 4)) AS pos,
              unnest(list_transform(generate_series(1, len(t) - 4),
@@ -1698,7 +1698,7 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks WHERE len(t) >= 5
     ), ok AS (
       SELECT g FROM pg GROUP BY g HAVING COUNT(DISTINCT doc_id) <= 1000
-    ), pgf AS (
+    ), pgf AS MATERIALIZED (
       SELECT pg.doc_id, pg.pos, pg.g FROM pg JOIN ok USING (g)
     ), seeds AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
@@ -1818,14 +1818,14 @@ def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
       FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              unnest(list_transform(generate_series(1, len(t) - 1),
                                    i -> t[i] || ' ' || t[i + 1])) AS s
       FROM toks WHERE len(t) >= 2
     ), okj AS (
       SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100
-    ), shf AS (
+    ), shf AS MATERIALIZED (
       SELECT sh.doc_id, sh.s FROM sh JOIN okj USING (s)
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1

@@ -36,6 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from data_engineering_capstone_spark.session import get_spark
 
+# replicated-scale runs (16-64x sf0.1) need more than the 8g test
+# default: local[32] concentrates a whole cluster's execution memory in
+# one JVM (llm_span_dedup_clean at 64x = 320k docs of positioned
+# 5-grams OOMs at 8g). Overridable via SPARK_DRIVER_MEM.
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = os.environ.get("SPARK_GRAFT_XOVER_DIR", "/tmp/dec_spark_xover")
 
@@ -67,6 +73,17 @@ RATIO_SET = [
     "stream_tumbling_counts",
 ]
 
+# the LLM/dedup-family scale set (round-3 verdict task 2): the slowest
+# catalog entries at sf0.1, now raced at replicated scale. minhash is
+# rows-only (no oracle) — Spark-side time is published alone.
+LLM_SET = [
+    "llm_ngram_jaccard",
+    "llm_dedup_triangles",
+    "llm_span_dedup_clean",
+    "llm_minhash_near_dup",
+    "llm_prep_pipeline_e2e",
+]
+
 # Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
@@ -79,12 +96,36 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _copy_text_mutation(i: int):
+    """Injective per-copy token renaming for the documents table.
+
+    Key-shift replication alone duplicates every document's TEXT
+    byte-identically N times — which turns every doc into an N-copy
+    template: near-dup pair outputs grow quadratically in N and the
+    probe would measure output blowup (the template-spam scenario,
+    SCALE.md §12), not scan/join scaling. Rotating the letter and digit
+    alphabets per copy (letters by i%26, digits by i//26 %10 — unique
+    mapping for i<260) renames every token injectively: WITHIN-copy
+    Jaccard/span/minhash structure is exactly the base corpus's, while
+    cross-copy token collisions vanish. Copy 0 is the identity.
+    """
+    import string
+
+    rl, rd = i % 26, (i // 26) % 10
+    lo = string.ascii_lowercase
+    up = string.ascii_uppercase
+    dg = string.digits
+    src = lo + up + dg
+    dst = (lo[rl:] + lo[:rl]) + (up[rl:] + up[:rl]) + (dg[rd:] + dg[:rd])
+    return src, dst
+
+
 def build_replica_dir(spark, mult: int) -> str:
     """Materialize the key-shifted N× testdata once; idempotent."""
     from pyspark.sql import functions as F
 
     out_dir = os.path.join(WORK, f"sf_x{mult}")
-    done = os.path.join(out_dir, "_REPLICA_DONE")
+    done = os.path.join(out_dir, "_REPLICA_DONE_v2")
     if os.path.isfile(done):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -96,6 +137,9 @@ def build_replica_dir(spark, mult: int) -> str:
             p = src
             for k in keys:
                 p = p.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+            if t == "documents":
+                m_src, m_dst = _copy_text_mutation(i)
+                p = p.withColumn("text", F.translate("text", m_src, m_dst))
             parts.append(p)
         df = parts[0]
         for p in parts[1:]:
@@ -139,34 +183,41 @@ def run_headline(mult: int, only: list[str] | None = None) -> int:
     results = {}
     for name in (only or RATIO_SET):
         spec = catalog[name]
-        if spec.oracle is None:
-            continue
 
         def spark_run():
             spec.fn(spark, replica).write.format("noop").mode("overwrite").save()
 
-        def duck_run():
-            con.execute(spec.oracle).fetchall()
-
         spark_run()  # warm (footers, codegen)
         s_t = time_best(spark_run)
-        d_t = time_best(duck_run)
-        results[name] = {
-            "spark_sec": round(s_t, 3),
-            "duckdb_sec": round(d_t, 3),
-            "ratio": round(s_t / d_t, 2),
-        }
+        if spec.oracle is None:
+            # rows-only entry (hash-family/iterative): Spark-side time
+            # still published; there is no oracle twin to race
+            results[name] = {"spark_sec": round(s_t, 3), "duckdb_sec": None,
+                             "ratio": None}
+        else:
+            def duck_run():
+                con.execute(spec.oracle).fetchall()
+
+            d_t = time_best(duck_run)
+            results[name] = {
+                "spark_sec": round(s_t, 3),
+                "duckdb_sec": round(d_t, 3),
+                "ratio": round(s_t / d_t, 2),
+            }
         print(json.dumps({"query": name, "mult": mult, **results[name]}), flush=True)
-    total_s = round(sum(r["spark_sec"] for r in results.values()), 3)
-    total_d = round(sum(r["duckdb_sec"] for r in results.values()), 3)
+    paired = {n: r for n, r in results.items() if r["ratio"] is not None}
+    total_s = round(sum(r["spark_sec"] for r in paired.values()), 3)
+    total_d = round(sum(r["duckdb_sec"] for r in paired.values()), 3)
     print(json.dumps({
         "summary": "headline_crossover",
         "mult": mult,
         "lineitem_rows": rows,
         "spark_total_sec": total_s,
         "duckdb_total_sec": total_d,
-        "ratio_total": round(total_s / total_d, 2),
-        "queries_over_2x": sorted(n for n, r in results.items() if r["ratio"] > 2),
+        "ratio_total": round(total_s / total_d, 2) if total_d else None,
+        "queries_over_2x": sorted(
+            n for n, r in paired.items() if r["ratio"] > 2
+        ),
     }))
     return 0
 
@@ -206,6 +257,8 @@ def main() -> int:
             sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a.startswith("--only"):
             only = a.split("=", 1)[1].split(",")
+        elif a == "--llm":
+            only = LLM_SET
         elif a == "--q1-curve":
             q1_curve = True
     return run_q1_curve(sizes) if q1_curve else run_headline(mult, only)
