@@ -330,6 +330,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    shingle_n: int = 2,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment of the smaller shingle set in
+    the larger, ``|A∩B| / min(|A|, |B|)``.
+
+    Jaccard misses quote/subset duplication: a 50-token notice embedded
+    verbatim in a 5,000-token page has Jaccard ≈ 0.01 but containment
+    1.0 — this is the detector for boilerplate inclusions, quoted
+    documents, and page-wraps-snippet spam that symmetric similarity
+    can't see. Same single-shuffle postings plan as
+    :func:`ngram_jaccard_pairs` (the df cap is mandatory here: hot
+    shingles are exactly the boilerplate being hunted, and they drive
+    the join skew); emits ``(id_a, id_b, n_common, containment)``.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par).select(
+        F.col(id_col), F.explode(shingle_set(text_col, shingle_n)).alias("s")
+    )
+    postings = (
+        sh.groupBy("s")
+        .agg(F.collect_set(id_col).alias("ds"))
+        .filter(F.size("ds") <= max_doc_freq)
+    )
+    sizes = (
+        postings.select(F.explode("ds").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    common = (
+        postings.select(F.explode("ds").alias("id_a"), "ds")
+        .select("id_a", F.explode("ds").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "containment")
+    )
+
+
 def simhash64(tokens_col: Column) -> Column:
     """64-bit SimHash of a token array, fully JVM-side.
 

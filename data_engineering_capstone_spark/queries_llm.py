@@ -17,6 +17,7 @@ from .llm.dedup import (
     exact_dedup,
     fingerprint_md5,
     minhash_near_dups,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
@@ -124,6 +125,58 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "llm_ngram_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS s
+      FROM toks WHERE len(t) >= 2
+    ), okj AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100
+    ), shf AS MATERIALIZED (
+      SELECT sh.doc_id, sh.s FROM sh JOIN okj USING (s)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY 1
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common * 1.0 / LEAST(sa.n, sb.n), 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_common * 1.0 / LEAST(sa.n, sb.n) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup — shingle-set containment
+    |A∩B| / min(|A|,|B|) >= 0.5: the quote/subset detector Jaccard is
+    blind to (a snippet embedded verbatim in a long page has Jaccard
+    ~0.01 but containment 1.0 — boilerplate inclusions, quoted docs,
+    page-wraps-snippet spam). Same single-shuffle postings plan and
+    hot-shingle cap as llm_ngram_jaccard (llm/dedup.py:
+    ngram_containment_pairs); the oracle mirrors cap and definition.
+    """
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_containment_pairs(
+        d, "text", "doc_id", threshold=0.5, shingle_n=2, max_doc_freq=100
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round("containment", 6).alias("containment"),
+    ).orderBy("id_a", "id_b")
+
+
 @query("llm_minhash_near_dup", oracle=None)
 def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (shingle → minhash → band → bucket-join
@@ -135,6 +188,43 @@ def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(
         d, "text", "doc_id", threshold=0.35, num_hashes=64, num_bands=16
     ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")).orderBy("id_a", "id_b")
+
+
+@query("llm_minhash_collapsed", oracle=None)
+def llm_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-spam-guarded MinHash: the corpus plus a planted
+    500-copy template (plus one near-variant) runs through
+    minhash_near_dups(collapse_exact=True) — identical-fingerprint
+    groups collapse to one representative BEFORE the signature stage,
+    so the mega-bucket the copies would form (16·k²/2 candidate rows,
+    measured 800M for k=10k — SCALE.md §12) never exists; group sizes
+    ride along as n_a/n_b for membership expansion. Rows-only (hash
+    family); the planted variant↔template pair and size accounting are
+    pinned by tests/test_llm.py.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    template = (
+        "breaking news subscribe to our newsletter for daily updates "
+        "terms privacy contact copyright notice all rights reserved"
+    )
+    spam = spark.range(500).select(
+        (F.col("id") + 20_000_000).alias("doc_id"), F.lit(template).alias("text")
+    )
+    variant = spark.createDataFrame(
+        [(19_999_999, template.replace("daily updates", "weekly updates"))],
+        "doc_id long, text string",
+    )
+    corpus = d.unionByName(spam).unionByName(variant)
+    return (
+        minhash_near_dups(
+            corpus, "text", "doc_id", threshold=0.35, collapse_exact=True
+        )
+        .select(
+            "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"),
+            "n_a", "n_b",
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 @query("llm_simhash_near_dup", oracle=None)

@@ -592,3 +592,29 @@ def test_minhash_template_spam_collapse(spark):
     # representative (min id = 100), carrying the group size
     r = by_pair.get((2, 100))
     assert r is not None and r["n_a"] == 1 and r["n_b"] == k
+
+
+def test_ngram_containment_detects_embedded_quote(spark):
+    """Containment flags a snippet embedded verbatim in a long page
+    even though their Jaccard is far below any near-dup threshold."""
+    from data_engineering_capstone_spark.llm.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    snippet = "all your base are belong to us now"
+    filler = " ".join(f"w{i} x{i}" for i in range(120))
+    rows = [(1, snippet), (2, f"{filler} {snippet} {filler}"),
+            (3, "totally unrelated text about spark joins and shuffles")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment_pairs(d, "text", "doc_id", 0.6).collect()}
+    assert cont.get((1, 2)) == 1.0  # snippet fully contained
+    assert (1, 3) not in cont and (2, 3) not in cont
+
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(d, "text", "doc_id", 0.01,
+                                        max_doc_freq=100).collect()}
+    # Jaccard sees the same pair at ~snippet/(page) scale — far below 0.2
+    assert jac[(1, 2)] < 0.05
