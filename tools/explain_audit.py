@@ -44,6 +44,9 @@ INTENTIONAL_CROSS = {
     "ts_rolling_active_users",  # fact x 30-row broadcast day grid range
                                 # join (windowed COUNT DISTINCT; documented)
     "ts_rolling_active_users_hll",  # sketch-rows x day-grid range join
+    "ts_rolling_median_kll",  # same shape: ~30 daily KLL sketch rows x
+                              # 30-row day grid trailing-window range
+                              # join; both sides dimension-scale
     "llm_unigram_logprob",  # vocab x 1-row broadcast total (documented)
 }
 
