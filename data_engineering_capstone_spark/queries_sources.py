@@ -152,7 +152,12 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle into a map-side merge.
     """
     prep(spark)
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # per-process db/location: two concurrent processes (driver
+    # correctness + bench, or parity + explain_audit) sharing one fixed
+    # location clear each other's table files mid-query — observed as a
+    # flaky plan assertion in round 4. Within a process the tableExists
+    # cache still avoids rewrites.
+    sf_tag = f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}_{os.getpid()}"
     db = f"bucketdb_{sf_tag}"
     loc = os.path.join(tempfile.gettempdir(), "dec_spark_bucketdb", sf_tag)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")

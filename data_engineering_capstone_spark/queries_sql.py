@@ -353,7 +353,10 @@ def sql_managed_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    tbl = "dec_spark_nations_dml"
+    # per-process name+location: concurrent harness processes sharing a
+    # fixed location clear each other's files mid-query (see the
+    # bucketed-join entry's note)
+    tbl = f"dec_spark_nations_dml_{os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     # explicit /tmp location: the default warehouse lives under the
     # driver process CWD (unknown/possibly read-only in the harness),
