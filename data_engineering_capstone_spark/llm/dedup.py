@@ -150,22 +150,56 @@ def lsh_candidate_pairs(
     id_col: str,
     sig_col: str = "signature",
     num_bands: int = 16,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on any band become a candidate pair.
 
     Emits distinct (id_a, id_b) with id_a < id_b. The only shuffle keys
     are (band_idx, band_hash) — bounded-size buckets by construction.
+
+    When ``num_hashes`` (the signature length) is known statically, the
+    per-band hash is ``F.hash`` over fixed ``element_at`` positions —
+    whole-stage codegen, no array allocation. The dynamic fallback
+    (unknown signature length) slices inside an interpreted
+    ``transform`` lambda; callers that know their signature width
+    should pass it (round 4 — same per-element-allocation lesson as
+    the ngrams rewrite).
     """
-    rows_per_band = F.size(F.col(sig_col)) / num_bands
+    if num_hashes is not None:
+        rpb = num_hashes // num_bands
+        bands = F.array(
+            *[
+                F.hash(
+                    *[
+                        F.element_at(F.col(sig_col), b * rpb + j + 1)
+                        for j in range(rpb)
+                    ]
+                )
+                for b in range(num_bands)
+            ]
+        )
+    else:
+        rows_per_band = F.size(F.col(sig_col)) / num_bands
+        bands = F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.hash(
+                F.slice(
+                    F.col(sig_col),
+                    (b * rows_per_band + 1).cast("int"),
+                    rows_per_band.cast("int"),
+                )
+            ),
+        )
     banded = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.hash(F.slice(F.col(sig_col), (b * rows_per_band + 1).cast("int"), rows_per_band.cast("int"))),
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(bands).alias("band_idx", "band_hash"),
     )
+    # NOTE (round 4): the postings-list fusion that won for
+    # ngram_jaccard_pairs / duplicate_spans was tried here and measured
+    # SLOWER (29.6 s vs 24.8 s end-to-end at 64× sf0.1) — banding's
+    # buckets are small and uniform, so the sort-merge self-join is
+    # already near-optimal while collect_list pays aggregation-buffer
+    # overhead per bucket. Join form kept deliberately.
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -241,7 +275,7 @@ def minhash_near_dups(
     # session. (On a multi-node cluster prefer reliable checkpointing or
     # an explicit parquet materialization for fault tolerance.)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(sigs, id_col, "signature", num_bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, "signature", num_bands, num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     return (
