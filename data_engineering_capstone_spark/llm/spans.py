@@ -163,36 +163,25 @@ def duplicate_span_stats(
     )
 
 
-def remove_duplicate_spans(
+def _cut_spans(
     df: DataFrame,
+    per_doc: DataFrame,
     text_col: str,
     id_col: str,
-    min_tokens: int = 5,
-    max_doc_freq: int = 1000,
+    flag_name: str,
 ) -> DataFrame:
-    """Cut duplicated spans out of the corpus (the removal half of
-    exact substring dedup, Lee et al. 2022 §4): for every maximal
-    shared span the copy in the HIGHER-id document is deleted, keeping
-    the first occurrence canonical.
+    """Rebuild each document's text with span-covered tokens removed.
 
-    Per-doc span lists are dimension-shaped (collect_list of (start,
-    len) structs, bounded by dup mass); tokens are dropped via an
-    index-aware higher-order filter — the document table itself never
-    shuffles (the only exchanges are inside span detection and the
-    per-doc span-list aggregate). Returns every document with
-    ``text`` rebuilt from kept tokens (whitespace-normalized),
-    ``n_tokens_removed``, and ``was_deduped``.
+    ``per_doc`` is ``(__sid, __spans: array<struct<s,n>>)`` — one row
+    per affected document, spans as 1-based (start, token-count)
+    structs. Per-doc span lists are dimension-shaped (bounded by dup
+    mass); tokens are dropped via an index-aware higher-order filter —
+    the document table itself never shuffles (the only exchanges are
+    inside span detection and the per-doc span-list aggregate).
+    Returns every document with ``text`` rebuilt from kept tokens
+    (whitespace-normalized), ``n_tokens_removed``, and a boolean
+    ``flag_name`` marking affected docs.
     """
-    spans = duplicate_spans(df, text_col, id_col, min_tokens, max_doc_freq)
-    per_doc = (
-        spans.groupBy("id_b")
-        .agg(
-            F.collect_list(
-                F.struct(F.col("start_b").alias("s"), F.col("span_tokens").alias("n"))
-            ).alias("__spans")
-        )
-        .select(F.col("id_b").alias("__sid"), "__spans")
-    )
     t = tokens(text_col)
     joined = df.join(per_doc, F.col(id_col) == F.col("__sid"), "left")
     # keep token at 1-based position p unless a span of this doc covers p
@@ -214,5 +203,93 @@ def remove_duplicate_spans(
         .otherwise(n_toks - F.size(kept))
         .cast("bigint")
         .alias("n_tokens_removed"),
-        F.col("__spans").isNotNull().alias("was_deduped"),
+        F.col("__spans").isNotNull().alias(flag_name),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Cut duplicated spans out of the corpus (the removal half of
+    exact substring dedup, Lee et al. 2022 §4): for every maximal
+    shared span the copy in the HIGHER-id document is deleted, keeping
+    the first occurrence canonical. See :func:`_cut_spans` for the
+    shuffle-free removal plan.
+    """
+    spans = duplicate_spans(df, text_col, id_col, min_tokens, max_doc_freq)
+    per_doc = (
+        spans.groupBy("id_b")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("start_b").alias("s"), F.col("span_tokens").alias("n"))
+            ).alias("__spans")
+        )
+        .select(F.col("id_b").alias("__sid"), "__spans")
+    )
+    return _cut_spans(df, per_doc, text_col, id_col, "was_deduped")
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """Maximal corpus spans of >= ``min_tokens`` tokens that appear
+    verbatim anywhere in the benchmark set: ``(id, start, span_tokens)``.
+
+    The benchmark side collapses to its DISTINCT gram-hash set, so the
+    probe is a bounded semi-join — each corpus gram occurrence matches
+    at most one benchmark gram row, the join output is <= the corpus
+    gram count, and NO df cap is needed (contrast with the pair-
+    generating joins, which are quadratic per hot key). Matched
+    positions merge into maximal spans with the per-doc gaps-and-
+    islands pass (no diagonal here: coverage is per corpus doc).
+    """
+    w = min_tokens
+    g = positioned_grams(corpus, text_col, id_col, w)
+    bg = positioned_grams(bench, text_col, id_col, w).select("__h1", "__h2").distinct()
+    hits = g.join(bg, ["__h1", "__h2"]).select("__id", "__pos")
+    win = Window.partitionBy("__id").orderBy("__pos")
+    isl = hits.withColumn("__grp", F.col("__pos") - F.row_number().over(win))
+    return (
+        isl.groupBy("__id", "__grp")
+        .agg(
+            F.min("__pos").alias("start"),
+            (F.count(F.lit(1)) + F.lit(w - 1)).alias("span_tokens"),
+        )
+        .select(F.col("__id").alias(id_col), "start", "span_tokens")
+    )
+
+
+def remove_contamination_spans(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """SURGICAL decontamination: cut benchmark-overlapping spans out of
+    corpus documents instead of dropping the whole document (the
+    document-drop form is ``llm/curation.decontaminate``). Keeps the
+    uncontaminated majority of a page that merely quotes a benchmark
+    item — the high-recall/low-collateral variant of test-set scrubbing.
+    Returns every corpus document with ``text`` rebuilt,
+    ``n_tokens_removed``, and ``was_decontaminated``.
+    """
+    spans = contamination_spans(corpus, bench, text_col, id_col, min_tokens)
+    per_doc = (
+        spans.groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("start").alias("s"), F.col("span_tokens").alias("n"))
+            ).alias("__spans")
+        )
+        .select(F.col(id_col).alias("__sid"), "__spans")
+    )
+    return _cut_spans(corpus, per_doc, text_col, id_col, "was_decontaminated")

@@ -1841,6 +1841,83 @@ def llm_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "llm_span_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), tc AS (
+      SELECT * FROM toks WHERE doc_id % 10 <> 0
+    ), tb AS (
+      SELECT * FROM toks WHERE doc_id % 10 = 0
+    ), pgc AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t) - 4)) AS pos,
+             unnest(list_transform(generate_series(1, len(t) - 4),
+                    i -> array_to_string(t[i:i+4], ' '))) AS g
+      FROM tc WHERE len(t) >= 5
+    ), bg AS MATERIALIZED (
+      SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
+                    i -> array_to_string(t[i:i+4], ' '))) AS g
+      FROM tb WHERE len(t) >= 5
+    ), hits AS (
+      SELECT pgc.doc_id, pgc.pos FROM pgc JOIN bg USING (g)
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hits
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, COUNT(*) + 4 AS n
+      FROM isl GROUP BY doc_id, grp
+    ), cover AS (
+      SELECT DISTINCT doc_id,
+             unnest(generate_series(s, s + n - 1)) AS pos
+      FROM spans
+    ), tp AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t))) AS pos,
+             unnest(t) AS tok
+      FROM tc
+    ), kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tp LEFT JOIN cover c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+      WHERE c.pos IS NULL
+    )
+    SELECT t.doc_id,
+           COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                     FROM kept k WHERE k.doc_id = t.doc_id), '') AS text,
+           CAST(len(t.t) - (SELECT COUNT(*) FROM kept k
+                            WHERE k.doc_id = t.doc_id) AS BIGINT) AS n_tokens_removed,
+           EXISTS (SELECT 1 FROM cover c WHERE c.doc_id = t.doc_id) AS was_decontaminated
+    FROM tc t ORDER BY t.doc_id
+    """,
+)
+def llm_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL benchmark decontamination: every maximal >=5-token
+    corpus span appearing verbatim anywhere in the benchmark set
+    (every 10th doc plays the eval set, as in llm_decontamination) is
+    CUT from the corpus document — keeping the uncontaminated majority
+    of a page that merely quotes a benchmark item, where the
+    document-drop form (llm_decontamination) would discard it whole.
+    Scale shape (llm/spans.py:remove_contamination_spans): the
+    benchmark collapses to its distinct gram-hash set so the probe is
+    a bounded semi-join (output <= corpus gram count — no quadratic
+    pair risk, no df cap needed); matched positions merge to maximal
+    spans per doc via gaps-and-islands; removal rebuilds text with the
+    index-aware filter and the doc table never shuffles. The oracle
+    re-derives spans and cleaned text independently.
+    """
+    from .llm.spans import remove_contamination_spans
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return remove_contamination_spans(
+        corpus, bench, "text", "doc_id", min_tokens=5
+    ).orderBy("doc_id")
+
+
 @query("llm_bpe_encode", oracle=None)
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION: learn 10 BPE merges from the corpus, then

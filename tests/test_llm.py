@@ -618,3 +618,34 @@ def test_ngram_containment_detects_embedded_quote(spark):
                                         max_doc_freq=100).collect()}
     # Jaccard sees the same pair at ~snippet/(page) scale — far below 0.2
     assert jac[(1, 2)] < 0.05
+
+
+def test_span_decontamination_surgical(spark):
+    """Surgical decontamination cuts exactly the benchmark-overlapping
+    span and keeps the rest of the page (the doc-drop form would lose
+    the whole document)."""
+    from data_engineering_capstone_spark.llm.spans import (
+        remove_contamination_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris obviously")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # quotes a 7-token benchmark span mid-page
+            (1, "intro words here what is the capital of france paris and more trailing content"),
+            (2, "completely clean page about spark shuffles and joins"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_contamination_spans(
+        corpus, bench, "text", "doc_id", min_tokens=5).collect()}
+    # shared maximal span = "what is the capital of france paris" (7 tokens;
+    # "...paris and" breaks the match before "and")
+    assert out[1]["was_decontaminated"] and out[1]["n_tokens_removed"] == 7
+    assert out[1]["text"] == "intro words here and more trailing content"
+    assert not out[2]["was_decontaminated"] and out[2]["n_tokens_removed"] == 0
+    assert out[3]["text"] == "short doc"
