@@ -1883,14 +1883,23 @@ def llm_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tp.doc_id, tp.pos, tp.tok
       FROM tp LEFT JOIN cover c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
       WHERE c.pos IS NULL
+    ), rebuilt AS (
+      -- group-join instead of per-row correlated subqueries: the
+      -- correlated form OOMed DuckDB at 64x replication
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), flagged AS (
+      SELECT DISTINCT doc_id FROM cover
     )
     SELECT t.doc_id,
-           COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
-                     FROM kept k WHERE k.doc_id = t.doc_id), '') AS text,
-           CAST(len(t.t) - (SELECT COUNT(*) FROM kept k
-                            WHERE k.doc_id = t.doc_id) AS BIGINT) AS n_tokens_removed,
-           EXISTS (SELECT 1 FROM cover c WHERE c.doc_id = t.doc_id) AS was_decontaminated
-    FROM tc t ORDER BY t.doc_id
+           COALESCE(r.text, '') AS text,
+           CAST(len(t.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+           f.doc_id IS NOT NULL AS was_decontaminated
+    FROM tc t
+    LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    LEFT JOIN flagged f ON t.doc_id = f.doc_id
+    ORDER BY t.doc_id
     """,
 )
 def llm_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
