@@ -220,6 +220,45 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_minhash_dedup", oracle=None)
+def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-duplicate detection: MinHash-LSH with per-bucket
+    state (applyInPandasWithState) — the online form of corpus dedup
+    for continuous ingestion, where built-in streaming dedup only
+    handles exact keys. Each arriving document is banded and compared
+    against its buckets' stored members, so a near-dup of a document
+    from an EARLIER micro-batch is still caught (streaming/dedup.py).
+    Rows-only (micro-batch-dependent emission order); cross-batch
+    state persistence and equality with a sequential pure-Python
+    reference are pinned in tests/test_streaming.py.
+    """
+    from .streaming.dedup import streaming_minhash_pairs
+    from .streaming.windows import run_available_now
+
+    # the file-stream source lists a DIRECTORY; testdata ships
+    # documents as a single parquet file — stage it into one
+    import shutil
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    src_dir = os.path.join(
+        tempfile.gettempdir(), "dec_spark_stream_docs", sf_tag
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    dst = os.path.join(src_dir, "documents.parquet")
+    if not os.path.isfile(dst):
+        shutil.copyfile(f"{sf_dir}/documents.parquet", dst)
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(src_dir)
+    )
+    pairs = streaming_minhash_pairs(
+        src, "text", "doc_id", threshold=0.35, num_hashes=64, num_bands=16
+    )
+    out = run_available_now(pairs, "append")
+    return out.distinct().orderBy("id_a", "id_b")
+
+
 @query(
     "stream_stream_join",
     oracle="""

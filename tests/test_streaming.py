@@ -346,3 +346,42 @@ def test_rocksdb_state_store_matches_default(spark, sf_dir):
         else:
             spark.conf.unset(prov)
     assert rocks == base and len(base) > 0
+
+
+def test_streaming_minhash_dedup_cross_batch_state(spark, tmp_path):
+    """The streaming LSH dedup must catch a near-dup whose twin arrived
+    in an EARLIER micro-batch (bucket state persists), and the drained
+    pair set must equal the sequential pure-Python reference over the
+    same kernel regardless of batch boundaries."""
+    from data_engineering_capstone_spark.streaming.dedup import (
+        reference_pairs,
+        streaming_minhash_pairs,
+    )
+    from data_engineering_capstone_spark.streaming.windows import run_available_now
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps on the warm mat near the open door tonight")
+    near = base.replace("warm mat", "cold mat")
+    far = "completely different text about spark query engines and joins"
+    batch1 = [(1, base), (2, far)]
+    batch2 = [(3, near), (4, "another unrelated page on parquet footers")]
+
+    src = str(tmp_path / "docs_stream")
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_available_now(
+        streaming_minhash_pairs(stream, "text", "doc_id", threshold=0.35),
+        "append",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    want = reference_pairs(batch1 + batch2, threshold=0.35)
+    assert (1, 3) in want, "fixture must plant a cross-batch near-dup"
+    assert got == want
