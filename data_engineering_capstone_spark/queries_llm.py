@@ -1500,6 +1500,80 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_shard_manifest",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, text, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, text,
+             CAST(((ascii(substr(k, 1, 1)) * 31 + ascii(substr(k, 2, 1))) * 31
+                   + ascii(substr(k, 3, 1))) % 16 AS INT) AS shard
+      FROM keyed
+    ), fp AS (
+      SELECT shard, doc_id,
+             CAST((((((CAST(ascii(substr(md5(text), 1, 1)) AS BIGINT) * 31
+                 + ascii(substr(md5(text), 2, 1))) * 31
+                 + ascii(substr(md5(text), 3, 1))) * 31
+                 + ascii(substr(md5(text), 4, 1))) * 31
+                 + ascii(substr(md5(text), 5, 1))) * 31
+                 + ascii(substr(md5(text), 6, 1))) AS BIGINT) AS cfp
+      FROM sharded
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(cfp) AS BIGINT) AS content_digest,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM fp GROUP BY shard ORDER BY shard
+    """,
+)
+def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard PROVENANCE MANIFEST: for each of the 16
+    deterministic shards (same seeded assignment as llm_corpus_shuffle)
+    a membership digest — doc count, id sum, and an ORDER-INDEPENDENT
+    content digest (sum of a base-31 fold of each doc's md5) — the
+    artifact a reproducibility audit diffs to prove two pipeline runs
+    shipped byte-identical training shards. Order-independent sums are
+    the scale-honest digest form: they aggregate map-side in any order
+    and merge across executors, where an ordered hash chain would
+    serialize the shard. Pure Column expressions; oracle recomputes
+    every digest independently.
+    """
+    d = _t(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+
+    def a(col, i):
+        return F.ascii(F.substring(col, i, 1)).cast("long")
+
+    keyed = d.select("doc_id", "text", k.alias("k"))
+    shard = (((a(F.col("k"), 1) * 31 + a(F.col("k"), 2)) * 31 + a(F.col("k"), 3)) % 16).cast("int")
+    m = F.md5("text")
+    cfp = (
+        ((((a(m, 1) * 31 + a(m, 2)) * 31 + a(m, 3)) * 31 + a(m, 4)) * 31 + a(m, 5)) * 31
+        + a(m, 6)
+    ).cast("bigint")
+    # bigint digest: ~3.6e9 max per doc -> the shard sum stays inside
+    # int64 to ~2.5e9 docs/shard; widen to DECIMAL(38) or sum modularly
+    # beyond that. BIGINT keeps the artifact engine-portable — decimal
+    # round-trips as Decimal objects from Spark but float from DuckDB's
+    # pandas bridge, which breaks value-comparison harnesses.
+    return (
+        keyed.select(shard.alias("shard"), "doc_id", cfp.alias("cfp"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("cfp").cast("bigint").alias("content_digest"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
     "llm_corpus_shuffle",
     oracle="""
     WITH keyed AS (
