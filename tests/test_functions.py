@@ -61,3 +61,30 @@ def test_tokens_and_ngrams(spark):
     assert out[0]["bi"] == ["the quick", "quick brown", "brown fox"]
     assert out[1]["tok"] == [] and out[1]["n"] == 0 and out[1]["bi"] == []
     assert out[2]["tok"] is None
+
+
+def test_ngrams_zipwith_fold_matches_reference(spark):
+    """Property check for the round-4 zip_with ngrams rewrite (it is
+    load-bearing for the whole dedup/curation family): for random token
+    lists and n in 1..6, the Column expression must equal the obvious
+    Python reference, including short-doc/empty/null edges."""
+    import random
+
+    from data_engineering_capstone_spark.functions.strings import ngrams
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "droid", "x9", "ému"]
+    cases = [None, "", "   ", "solo"]
+    for _ in range(60):
+        k = rng.randint(0, 12)
+        cases.append(" ".join(rng.choice(vocab) for _ in range(k)))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i int, t string")
+    for n in (1, 2, 3, 5, 6):
+        got = {r["i"]: r["g"] for r in df.select("i", ngrams("t", n).alias("g")).collect()}
+        for i, t in enumerate(cases):
+            if t is None:
+                assert got[i] is None
+                continue
+            toks = [x for x in t.strip().split() if x]
+            want = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)] if len(toks) >= n else []
+            assert got[i] == want, (n, t, got[i], want)

@@ -82,6 +82,8 @@ LLM_SET = [
     "llm_span_dedup_clean",
     "llm_minhash_near_dup",
     "llm_prep_pipeline_e2e",
+    "llm_ngram_containment",
+    "llm_span_decontamination",
 ]
 
 # Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
