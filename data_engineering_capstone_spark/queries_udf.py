@@ -433,3 +433,157 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(
         norms, "vec_id bigint, dim int, l2_norm double"
     ).orderBy("vec_id")
+
+
+@query(
+    "mm_wav_energy",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id, 64 + CAST(doc_id % 64 AS INT) AS n FROM documents
+      WHERE doc_id % 10 = 0
+    ), s AS (
+      SELECT doc_id, CAST(k AS BIGINT) AS k,
+             ((doc_id * 31 + CAST(k AS BIGINT) * 17) % 65536) - 32768 AS v
+      FROM ids, UNNEST(range(0, n)) AS u(k)
+    )
+    SELECT doc_id,
+           CAST(k // 32 AS INT) AS window_idx,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           ROUND(SQRT(SUM(v * v) * 1.0 / COUNT(*)), 6) AS rms
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio container round-trip: deterministic PCM16 waveforms
+    (s_k = (doc_id*31 + k*17) % 65536 - 32768, 64 + doc_id%64 samples)
+    are encoded into genuine RIFF/WAVE files (stdlib ``wave`` — no
+    stub), decoded back by the real reader, and windowed 32-sample RMS
+    computed from the DECODED samples (llm/codecs.py). The oracle
+    recomputes every RMS from the sample formula alone, so parity
+    PROVES the container round-trip lossless — any sample-width,
+    endianness, or framing bug breaks the values. This is the
+    non-stubbed leg of the multimodal audio path; soundfile/librosa
+    formats drop into the same mapInPandas seams.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from .llm.codecs import read_wav_pcm16, write_wav_pcm16
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 64
+                k = np.arange(n, dtype=np.int64)
+                v = ((did * 31 + k * 17) % 65536) - 32768
+                out.append((did, write_wav_pcm16(v)))
+            yield pd.DataFrame(out, columns=["doc_id", "wav"])
+
+    def decode_rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, raw in zip(pdf["doc_id"], pdf["wav"]):
+                samples, _rate = read_wav_pcm16(bytes(raw))
+                v = samples.astype(np.int64)
+                for w in range(0, len(v), 32):
+                    seg = v[w : w + 32]
+                    rms = round(float(np.sqrt(float((seg * seg).sum()) / len(seg))), 6)
+                    out.append((int(did), w // 32, len(seg), rms))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "window_idx", "n_samples", "rms"]
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    wavs = d.select("doc_id").repartition(par).mapInPandas(
+        encode, "doc_id long, wav binary"
+    )
+    return wavs.mapInPandas(
+        decode_rms, "doc_id long, window_idx int, n_samples int, rms double"
+    ).orderBy("doc_id", "window_idx")
+
+
+@query(
+    "mm_bmp_stats",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id,
+             16 + CAST(doc_id % 8 AS INT) AS w,
+             12 + CAST(doc_id % 5 AS INT) AS h
+      FROM documents WHERE doc_id % 10 = 5
+    ), px AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id + 7 * x + 13 * y) % 256 AS r,
+             (doc_id * 3 + 5 * x + 11 * y) % 256 AS g,
+             (doc_id * 7 + 3 * x + 17 * y) % 256 AS b
+      FROM ids, UNNEST(range(0, w)) AS ux(x), UNNEST(range(0, h)) AS uy(y)
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS INT) AS width,
+           CAST(MIN(h) AS INT) AS height,
+           CAST(54 + MIN(h) * ((3 * MIN(w) + 3) // 4 * 4) AS BIGINT) AS n_file_bytes,
+           ROUND(SUM(r) * 1.0 / COUNT(*), 6) AS mean_r,
+           ROUND(SUM(g) * 1.0 / COUNT(*), 6) AS mean_g,
+           ROUND(SUM(b) * 1.0 / COUNT(*), 6) AS mean_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image container round-trip: deterministic RGB images
+    (pixel (x,y) channels are integer functions of doc_id) are encoded
+    as genuine uncompressed 24-bit BMPs (llm/codecs.py — BI_RGB
+    headers, BGR order, bottom-up rows, 4-byte row padding; pure
+    struct+numpy, no PIL) and decoded back by the real reader; per-
+    image channel means and the FILE size come from the decoded bytes.
+    The oracle recomputes means from the pixel formula and the file
+    size from the BMP layout arithmetic — parity proves the encoder
+    and decoder agree with the spec (padding or row-order bugs shift
+    every mean). PIL formats drop into the same seams; nearest-
+    neighbor resize over the decoded array is tested in
+    tests/test_multimodal.py.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from .llm.codecs import read_bmp24, write_bmp24
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 8, 12 + did % 5
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                coef = np.array(
+                    [[did, 7, 13], [did * 3, 5, 11], [did * 7, 3, 17]]
+                )
+                px = np.concatenate(
+                    [(c0 + cx * x + cy * y) % 256 for c0, cx, cy in coef], axis=2
+                ).astype(np.uint8)
+                raw = write_bmp24(px)
+                back = read_bmp24(raw).astype(np.int64)
+                hh, ww, _ = back.shape
+                means = back.reshape(-1, 3).sum(axis=0) / (hh * ww)
+                out.append(
+                    (did, ww, hh, len(raw),
+                     round(float(means[0]), 6), round(float(means[1]), 6),
+                     round(float(means[2]), 6))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "n_file_bytes",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 5)
+    return d.select("doc_id").repartition(par).mapInPandas(
+        roundtrip,
+        "doc_id long, width int, height int, n_file_bytes bigint, "
+        "mean_r double, mean_g double, mean_b double",
+    ).orderBy("doc_id")
