@@ -6,11 +6,16 @@ typed metadata struct. Cheap inspection (sizes, magic bytes, header
 fields) is JVM-side; decode / feature-extraction / frame-sampling are
 Arrow-batched ``mapInPandas`` operators.
 
-THE ACTUAL CODECS ARE STUBBED: this container has no image/audio libs,
-so ``decode_payload`` parses this module's own deterministic synthetic
-header format, and a real deployment swaps in PIL/ffmpeg inside the same
-mapInPandas functions — the Spark-side contract (schemas, batch
-iteration, partitioning) is identical and is what's tested here.
+The codecs in THIS module are stubbed (the container has no PIL/
+ffmpeg): ``decode_payload`` parses this module's own deterministic
+synthetic header format, and a real deployment swaps in PIL/ffmpeg
+inside the same mapInPandas functions — the Spark-side contract
+(schemas, batch iteration, partitioning) is identical and is what's
+tested here. The formats the container CAN decode have REAL codecs in
+``llm/codecs.py`` (round 4): genuine RIFF/WAVE PCM16 (stdlib wave) and
+uncompressed 24-bit BMP (struct+numpy), exercised end-to-end by the
+oracle-paired ``mm_wav_energy`` / ``mm_bmp_stats`` entries whose parity
+proves the round-trips lossless.
 
 Synthetic payload layout (big-endian):
   bytes 0-3   magic  b"IMG0" | b"AUD0" | b"VID0"
