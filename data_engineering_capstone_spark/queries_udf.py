@@ -587,3 +587,68 @@ def mm_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, n_file_bytes bigint, "
         "mean_r double, mean_g double, mean_b double",
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_mojibake_detect",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || repeat(' caf' || chr(195) || chr(169),
+                            CAST(doc_id % 3 AS INT) + 1)
+                  || ' na' || chr(195) || chr(175) || 've' AS text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                chr(195) || '[' || chr(128) || '-' || chr(191) || ']'))
+             AS BIGINT) AS n_moji,
+           len(regexp_extract_all(text,
+                chr(195) || '[' || chr(128) || '-' || chr(191) || ']')) > 0
+             AS has_moji,
+           CAST(length(regexp_replace(text,
+                chr(195) || '[' || chr(128) || '-' || chr(191) || ']', '', 'g'))
+             AS BIGINT) AS clean_len
+    FROM seeded ORDER BY doc_id
+    """,
+)
+def llm_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-quality gate: detect MOJIBAKE (UTF-8 bytes mis-decoded
+    as Latin-1 — the classic double-encoding artifact of crawled text,
+    'caf\\u00c3\\u00a9' for 'caf\\u00e9'). Every 7th doc gets seeded
+    artifacts (the corpus itself is clean ASCII); detection counts
+    lead-byte pairs U+00C3 [U+0080-U+00BF] with a pattern composed via
+    ``char()`` so the same literal regex reaches Java regex and RE2 —
+    plus the cleaned length after stripping them. Pure JVM
+    regexp_count/replace, no Python in the hot path; the real demojibake
+    rewrite (latin-1 re-encode -> utf-8 decode) is a pandas-UDF drop-in
+    at the same seam. Part of the text-cleaning tier next to PII
+    redaction.
+    """
+    c195, c169, c175 = F.char(F.lit(195)), F.char(F.lit(169)), F.char(F.lit(175))
+    pat = F.concat(
+        c195, F.lit("["), F.char(F.lit(128)), F.lit("-"), F.char(F.lit(191)), F.lit("]")
+    )
+    d = _t(spark, sf_dir, "documents")
+    seeded_part = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(
+                F.concat(F.lit(" caf"), c195, c169),
+                (F.col("doc_id") % 3).cast("int") + 1,
+            ),
+            F.lit(" na"), c195, c175, F.lit("ve"),
+        ).alias("text"),
+    )
+    clean_part = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    seeded = seeded_part.unionByName(clean_part)
+    n_moji = F.regexp_count("text", pat)
+    return seeded.select(
+        "doc_id",
+        n_moji.cast("bigint").alias("n_moji"),
+        (n_moji > 0).alias("has_moji"),
+        F.length(F.regexp_replace(F.col("text"), pat, F.lit(""))).cast("bigint").alias("clean_len"),
+    ).orderBy("doc_id")
