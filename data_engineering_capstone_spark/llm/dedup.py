@@ -166,6 +166,16 @@ def lsh_candidate_pairs(
     the ngrams rewrite).
     """
     if num_hashes is not None:
+        # an indivisible signature would silently drop the trailing
+        # num_hashes % num_bands lanes (and num_hashes < num_bands would
+        # build F.hash() with zero args — an opaque plan-time error);
+        # the streaming twin's band_hashes assumes divisibility too
+        if num_hashes % num_bands != 0:
+            raise ValueError(
+                f"num_hashes ({num_hashes}) must be a multiple of "
+                f"num_bands ({num_bands}): every signature lane must land "
+                "in exactly one band"
+            )
         rpb = num_hashes // num_bands
         bands = F.array(
             *[
@@ -237,8 +247,12 @@ def minhash_near_dups(
     linear, bodies never shuffle), LSH runs over representatives only,
     and the returned pairs carry ``n_a``/``n_b`` group sizes so callers
     can expand cluster membership (every member of a group is an exact
-    dup of its representative and inherits its near-dup edges). The
-    mega-bucket collapses to ONE row per band. Output keeps the
+    dup of its representative and inherits its near-dup edges). Exact
+    groups of size > 1 additionally emit a SELF-row
+    (``id_a = id_b = rep``, ``est_jaccard = 1.0``) so a group whose
+    representative gains no near-dup edge is still enumerable from the
+    output (its k-1 members are duplicates even with no near neighbor).
+    The mega-bucket collapses to ONE row per band. Output keeps the
     (id_a, id_b, est_jaccard) columns; the two size columns are
     appended only in this mode so the default stays oracle-compatible.
     """
@@ -252,7 +266,7 @@ def minhash_near_dups(
             reps, text_col, id_col, threshold, num_hashes, num_bands, shingle_n
         )
         sizes = groups.select(id_col, "__n_members")
-        return (
+        edges = (
             pairs.join(
                 sizes.select(
                     F.col(id_col).alias("id_a"), F.col("__n_members").alias("n_a")
@@ -267,6 +281,21 @@ def minhash_near_dups(
             )
             .select("id_a", "id_b", "est_jaccard", "n_a", "n_b")
         )
+        # exact-dup groups whose representative gains no near-dup edge
+        # would otherwise vanish from the output entirely (their k-1
+        # members unrecoverable despite the docstring's membership
+        # promise): emit a self-row (id_a = id_b = rep, jaccard 1.0)
+        # per multi-member group so every group is enumerable from the
+        # returned frame alone. Groups of size 1 are not duplicates of
+        # anything and stay absent.
+        self_rows = sizes.where(F.col("__n_members") > 1).select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+            F.col("__n_members").alias("n_a"),
+            F.col("__n_members").alias("n_b"),
+        )
+        return edges.unionByName(self_rows)
     # Materialize signatures once (num_hashes longs per doc — tiny) and
     # TRUNCATE the lineage: localCheckpoint, not cache. A cached plan
     # stays registered with the CacheManager, which then canonicalizes

@@ -42,7 +42,8 @@ def positioned_grams(
 
     ``pos`` is 1-based token position of the gram start; the gram key
     is a PAIR of independent xxhash64 values of the space-joined gram
-    (seeds 0/1 → 128 bits total), so equality is exact gram equality
+    (distinct literal folded FIRST so each lane has a distinct seed →
+    128 independent bits total), so equality is exact gram equality
     at negligible collision probability while the shuffle key is 16
     bytes of longs instead of a 32-char md5 hex string. (Round 4: this
     replaced ``transform(sequence, i -> md5(array_join(slice(t,i,w))))``
@@ -64,8 +65,16 @@ def positioned_grams(
         .select(
             "__id",
             (F.col("__p0") + 1).alias("__pos"),
-            F.xxhash64("__gs", F.lit(0)).alias("__h1"),
-            F.xxhash64("__gs", F.lit(1)).alias("__h2"),
+            # the differentiating literal goes FIRST: xxhash64 folds its
+            # arguments sequentially (each column hashed with the running
+            # value as seed), so xxh(gram, 0) and xxh(gram, 1) would both
+            # be pure functions of the single 64-bit xxh(gram) — two grams
+            # colliding on that one value collide on BOTH columns, making
+            # the effective key 64 bits. Folding the literal first
+            # perturbs the seed BEFORE the gram is mixed in, so the two
+            # lanes are genuinely independent 64-bit hashes.
+            F.xxhash64(F.lit(0), "__gs").alias("__h1"),
+            F.xxhash64(F.lit(1), "__gs").alias("__h2"),
         )
     )
 

@@ -240,14 +240,28 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    # staging dir keyed by pid (concurrent harness processes don't
+    # race each other) and the copy lands via os.replace (atomic — a
+    # concurrent reader never opens a half-written parquet). Staleness
+    # guard: reuse only if mtime+size still match the source, so a
+    # regenerated testdata set is re-staged instead of read stale.
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     src_dir = os.path.join(
-        tempfile.gettempdir(), "dec_spark_stream_docs", sf_tag
+        tempfile.gettempdir(), "dec_spark_stream_docs", f"{sf_tag}_{os.getpid()}"
     )
     os.makedirs(src_dir, exist_ok=True)
+    src_file = f"{sf_dir}/documents.parquet"
     dst = os.path.join(src_dir, "documents.parquet")
-    if not os.path.isfile(dst):
-        shutil.copyfile(f"{sf_dir}/documents.parquet", dst)
+    st = os.stat(src_file)
+    fresh = (
+        os.path.isfile(dst)
+        and os.path.getsize(dst) == st.st_size
+        and os.path.getmtime(dst) >= st.st_mtime
+    )
+    if not fresh:
+        tmp = dst + ".tmp"
+        shutil.copyfile(src_file, tmp)
+        os.replace(tmp, dst)
     src = (
         spark.readStream.schema("doc_id bigint, text string")
         .parquet(src_dir)

@@ -592,6 +592,11 @@ def test_minhash_template_spam_collapse(spark):
     # representative (min id = 100), carrying the group size
     r = by_pair.get((2, 100))
     assert r is not None and r["n_a"] == 1 and r["n_b"] == k
+    # the template group also emits a representative SELF-row so its
+    # k-1 members stay enumerable even with no near-dup edge (ADVICE
+    # round 4: edgeless exact groups used to vanish from the output)
+    s = by_pair.get((100, 100))
+    assert s is not None and s["n_a"] == k and s["est_jaccard"] == 1.0
 
 
 def test_ngram_containment_detects_embedded_quote(spark):

@@ -94,3 +94,39 @@ def test_exchange_reuse_across_same_key_aggregates(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "ReusedExchange" in plan, plan
+
+
+def test_preset_guard_pairwise_entries_all_scale_measured(spark, sf_dir):
+    """Round-5 verdict task 2: every oracle-paired catalog entry whose
+    plan generates row PAIRS from one table (pair-emitting schema or
+    theta self-join) must appear in a scale-crossover preset or carry a
+    written bounded-growth reason in tools/preset_guard.py —
+    llm_fuzzy_prefix_pairs hid a quadratic blocking key for three
+    rounds precisely because it was in no measurement preset."""
+    import importlib
+    import os as _os
+    import sys as _sys
+
+    tools_dir = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools")
+    _sys.path.insert(0, tools_dir)
+    try:
+        preset_guard = importlib.import_module("preset_guard")
+        from data_engineering_capstone_spark.catalog import load_all as _la
+
+        catalog = _la()
+        # whitelist hygiene: every whitelisted name must still exist
+        for n in preset_guard.BOUNDED_OK:
+            assert n in catalog, f"stale BOUNDED_OK entry {n}"
+        # the escaped entry is now in a preset
+        assert "llm_fuzzy_prefix_pairs" in preset_guard._presets()
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            covered, missing = preset_guard.sweep(spark, sf_dir, verbose=False)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert not missing, f"pair-generating entries in no scale preset: {missing}"
+        # the sweep actually detects the known pairwise family
+        assert "llm_fuzzy_prefix_pairs" in covered
+        assert "llm_ngram_jaccard" in covered
+    finally:
+        _sys.path.remove(tools_dir)

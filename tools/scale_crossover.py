@@ -84,6 +84,9 @@ LLM_SET = [
     "llm_prep_pipeline_e2e",
     "llm_ngram_containment",
     "llm_span_decontamination",
+    # round-5 verdict task 2: this entry hid a quadratic blocking key
+    # for three rounds because it was in no measurement preset
+    "llm_fuzzy_prefix_pairs",
 ]
 
 # Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
