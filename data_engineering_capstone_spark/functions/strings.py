@@ -24,26 +24,23 @@ def token_count(col: Column | str) -> Column:
 def ngrams(col: Column | str, n: int) -> Column:
     """Token n-grams as space-joined strings (array<string>).
 
-    Built as a ``zip_with`` fold over n shifted slices of the token
-    array — one lambda pass concatenating element-wise. Replaced the
-    ``transform(sequence, i -> array_join(slice(t, i, n)))`` form in
-    round 4: that shape allocates an n-element array per OUTPUT gram
-    inside an interpreted lambda, measured 2.69 s vs 0.40 s for the
-    bigram explode over 80k docs (6.7×). Both forms are higher-order
-    (CodegenFallback); the win is per-element work, not codegen. No
-    UDF, no explode/re-group round trip.
+    Round 5: one JVM regex pass — normalize whitespace runs to single
+    spaces, then ``regexp_extract_all`` with a lookahead capture
+    ``(?=(\\S+( \\S+){n-1}))\\S+ ``: each match anchors at a token
+    start, the lookahead captures the n-gram, and the consumed
+    ``\\S+ `` advances exactly one token. Fully codegen (no
+    higher-order lambda): measured 1.85 s vs 5.45 s for the bigram
+    explode over 320k docs at 64x sf0.1 (2.9x) against the round-4
+    ``zip_with`` fold over n shifted slices, itself 6.7x over the
+    round-3 ``transform(sequence, i -> array_join(slice(...)))`` form
+    — per-element allocation inside interpreted lambdas was the tax.
+    Output is bit-identical to splitting tokens and joining with a
+    single space: n_tok-n+1 grams in order, NULL text -> NULL,
+    fewer-than-n tokens -> empty array.
     """
-    from functools import reduce
-
-    t = tokens(col)
-    cnt = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
-    slices = [F.slice(t, i + 1, cnt) for i in range(n)]
-    grams = reduce(
-        lambda a, b: F.zip_with(a, b, lambda x, y: F.concat(x, F.lit(" "), y)),
-        slices,
-    )
-    return (
-        F.when(t.isNull(), F.lit(None).cast("array<string>"))
-        .when(F.size(t) >= n, grams)
-        .otherwise(F.array().cast("array<string>"))
-    )
+    c = F.col(col) if isinstance(col, str) else col
+    if n == 1:
+        return tokens(col)
+    norm = F.regexp_replace(F.trim(c), r"\s+", " ")
+    pat = r"(?=(\S+" + (r" \S+" * (n - 1)) + r"))\S+ "
+    return F.regexp_extract_all(norm, F.lit(pat), 1)

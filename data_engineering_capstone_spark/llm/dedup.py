@@ -351,10 +351,30 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.explode(shingle_set(text_col, shingle_n)).alias("s")
     )
     if max_doc_freq is not None:
+        # two round-5 shuffle cuts, measured at 64x sf0.1 (320k docs,
+        # 16M shingles):
+        # 1. the index key is a 128-bit hash PAIR of the shingle
+        #    (distinct literal folded first — independent lanes, see
+        #    llm/spans.py), not the string: grouping/exchanging two
+        #    longs beats 13-char strings by ~17% end-to-end; grouping
+        #    by the hash pair IS grouping by the shingle at ~1e-18
+        #    collision odds, so the oracle's string grouping matches.
+        # 2. explicit fan-out after the cap: the capped postings table
+        #    is byte-small, so AQE coalesces the shuffle output to ~1
+        #    partition — but the downstream double-explode work is
+        #    per-PAIR (bounded by cap^2/2 per shingle), which AQE's
+        #    byte heuristic can't see (same fix as
+        #    llm_fuzzy_prefix_pairs: 19 s single-core -> ~1 s).
         postings = (
-            sh.groupBy("s")
+            sh.select(
+                id_col,
+                F.xxhash64(F.lit(0), "s").alias("h1"),
+                F.xxhash64(F.lit(1), "s").alias("h2"),
+            )
+            .groupBy("h1", "h2")
             .agg(F.collect_set(id_col).alias("ds"))
             .filter(F.size("ds") <= max_doc_freq)
+            .repartition(par)
         )
         sizes = (
             postings.select(F.explode("ds").alias(id_col))
@@ -417,10 +437,18 @@ def ngram_containment_pairs(
     sh = df.repartition(par).select(
         F.col(id_col), F.explode(shingle_set(text_col, shingle_n)).alias("s")
     )
+    # 128-bit hash index key + post-cap fan-out: see ngram_jaccard_pairs
+    # (same two measured shuffle cuts, round 5)
     postings = (
-        sh.groupBy("s")
+        sh.select(
+            id_col,
+            F.xxhash64(F.lit(0), "s").alias("h1"),
+            F.xxhash64(F.lit(1), "s").alias("h2"),
+        )
+        .groupBy("h1", "h2")
         .agg(F.collect_set(id_col).alias("ds"))
         .filter(F.size("ds") <= max_doc_freq)
+        .repartition(par)
     )
     sizes = (
         postings.select(F.explode("ds").alias(id_col))

@@ -120,9 +120,11 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         d, "text", "doc_id", threshold=0.2, shingle_n=2, max_doc_freq=100
     )
+    # no final orderBy: the driver's compare is order-insensitive and a
+    # global sort range-samples its input, executing the plan twice
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @query(
@@ -169,12 +171,14 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_containment_pairs(
         d, "text", "doc_id", threshold=0.5, shingle_n=2, max_doc_freq=100
     )
+    # no final orderBy: order-insensitive compare; a global sort would
+    # range-sample and execute the plan twice
     return pairs.select(
         "id_a",
         "id_b",
         F.col("n_common").cast("bigint").alias("n_common"),
         F.round("containment", 6).alias("containment"),
-    ).orderBy("id_a", "id_b")
+    )
 
 
 @query("llm_minhash_near_dup", oracle=None)
@@ -701,10 +705,20 @@ def llm_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.substring(F.trim(F.lower(F.col("text"))), 1, 40).alias("pfx"),
     ).withColumn("blk", F.substring("pfx", 1, 6))
+    par = spark.sparkContext.defaultParallelism
+    # the capped postings table is BYTE-small, so AQE coalesces the
+    # groupBy output to one partition — and the downstream explode +
+    # Levenshtein work is per-PAIR, not per-byte (measured at 64x
+    # sf0.1: 1.8M verifies on 1 core = 19 s; repartitioned = ~1 s).
+    # Explicit fan-out after the cap restores the parallelism AQE's
+    # byte heuristic can't see. No final orderBy: the driver's compare
+    # is order-insensitive and a global sort range-samples its input,
+    # executing the whole plan twice (measured 20 s -> 39 s at 64x).
     posts = (
         d.groupBy("lang", "source", "blk")
         .agg(F.collect_list(F.struct("doc_id", "pfx")).alias("ps"))
         .where(F.size("ps") <= 64)
+        .repartition(par)
     )
     return (
         posts.select(F.explode("ps").alias("a"), F.col("ps"))
@@ -717,7 +731,6 @@ def llm_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
             "edit_dist",
         )
-        .orderBy("id_a", "id_b")
     )
 
 

@@ -385,3 +385,66 @@ def test_streaming_minhash_dedup_cross_batch_state(spark, tmp_path):
     want = reference_pairs(batch1 + batch2, threshold=0.35)
     assert (1, 3) in want, "fixture must plant a cross-batch near-dup"
     assert got == want
+
+
+def test_streaming_minhash_state_survives_checkpoint_restart(spark, tmp_path):
+    """Round-5 verdict task 4: the applyInPandasWithState bucket state
+    must survive a checkpoint restart. Run 1 drains batch1 through an
+    explicit checkpoint and terminates; run 2 is a BRAND-NEW streaming
+    query resuming from the same checkpoint over newly arrived files —
+    the cross-RUN near-dup pair (its twin lives only in the recovered
+    state store, not in run 2's input) must still be emitted, and the
+    total drained pair set must equal the uninterrupted sequential
+    reference. The file-source/foreachBatch resume tests above don't
+    exercise stateful-operator recovery."""
+    import os
+
+    from data_engineering_capstone_spark.streaming.dedup import (
+        reference_pairs,
+        streaming_minhash_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps on the warm mat near the open door tonight")
+    near = base.replace("warm mat", "cold mat")
+    batch1 = [(1, base), (2, "completely different text about spark engines")]
+    batch2 = [(3, near), (4, "another unrelated page on parquet footers")]
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_minhash_pairs(stream, "text", "doc_id", threshold=0.35)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    drain()  # run 1: state now holds docs 1 and 2, then the query STOPS
+
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    drain()  # run 2: fresh query, state recovered from the checkpoint
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = reference_pairs(batch1 + batch2, threshold=0.35)
+    assert (1, 3) in want, "fixture must plant a cross-run near-dup"
+    # (1,3) can only be emitted if doc 1's signature survived recovery
+    assert got == want

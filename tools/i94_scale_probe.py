@@ -1,0 +1,170 @@
+"""Scale-prove the REFERENCE-SHAPED workload (round-5 verdict task 5).
+
+The 16-64x crossover (tools/scale_crossover.py) covers synthetic
+TPC-H-shaped and LLM tables; this probe scales the query that IS the
+reference's actual job — `ref_i94_star_rollup` (notebook cells 9-12:
+clean -> SAS dates -> five label-file dim joins -> star rollup) — by
+replicating the real 3,096,313-row I94 fact N times (cicid key-shifted
+per copy, admnum mutated) and racing the catalog's Spark pipeline
+against the catalog's own DuckDB oracle SQL on the same files. Also
+times the B11-B13 quality checks (non-empty, unique key, no-null
+required cols) at the replicated size, and asserts the plan shape that
+makes the pipeline scale: all five dim joins BROADCAST (no fact-side
+shuffle for dimension lookup) and the rollup a two-phase (partial +
+final) hash aggregate.
+
+Usage:
+  python tools/i94_scale_probe.py           # 16x = 49.5M rows
+  python tools/i94_scale_probe.py --mult=64 # 198M rows
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import sys
+import time
+from contextlib import redirect_stdout
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
+from data_engineering_capstone_spark.session import get_spark
+
+WORK = "/tmp/dec_spark_i94"
+OFFSET = 10_000_000  # real cicid max is 6.1M; copies never collide
+
+
+def build_replica(spark, mult: int) -> str:
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_spark.queries_refdata import _SAS_DATA
+
+    out = os.path.join(WORK, f"x{mult}")
+    done = os.path.join(out, "_REPLICA_DONE")
+    if os.path.exists(done):
+        return out
+    fact = spark.read.parquet(_SAS_DATA)
+    rep = (
+        fact.crossJoin(F.broadcast(spark.range(mult).select(F.col("id").alias("__i"))))
+        .withColumn("cicid", F.col("cicid") + F.col("__i") * OFFSET)
+        .withColumn("admnum", F.col("admnum") + F.col("__i"))
+        .drop("__i")
+    )
+    rep.repartition(64).write.mode("overwrite").parquet(out)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def rollup_df(spark, fact_dir: str):
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_spark.etl import pipeline
+    from data_engineering_capstone_spark.queries_refdata import _real_dims, prep
+
+    prep(spark)
+    fact = spark.read.parquet(fact_dir)
+    cleaned = pipeline.clean(fact, key="cicid", required=("cicid", "i94yr", "i94mon"))
+    dated = pipeline.convert_dates(cleaned)
+    staged = pipeline.join_dims(dated, _real_dims(spark))
+    return (
+        staged.groupBy("origin_country", "travel_mode", "state_name", "visa_category")
+        .agg(
+            F.sum("count").alias("arrivals"),
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("arrival_date").alias("first_arrival"),
+            F.max("arrival_date").alias("last_arrival"),
+        )
+        .orderBy("origin_country", "travel_mode", "state_name", "visa_category")
+    )
+
+
+def assert_plan_shape(df) -> dict:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    n_smj = len(re.findall(r"SortMergeJoin", plan))
+    # two-phase rollup: a partial HashAggregate below the exchange and a
+    # final one above it (formatted plan names both HashAggregate)
+    n_agg = len(re.findall(r"\bHashAggregate\b", plan))
+    assert n_bhj >= 5, f"expected all 5 dim joins broadcast, saw {n_bhj}:\n{plan[:4000]}"
+    assert n_smj == 0, f"fact-side sort-merge join crept in:\n{plan[:4000]}"
+    assert n_agg >= 2, f"rollup is not two-phase:\n{plan[:4000]}"
+    return {"broadcast_joins": n_bhj, "sort_merge_joins": n_smj, "hash_aggregates": n_agg}
+
+
+def quality_checks(spark, fact_dir: str) -> dict:
+    from data_engineering_capstone_spark.etl.quality import (
+        check_no_nulls,
+        check_nonempty,
+        check_unique_key,
+    )
+
+    fact = spark.read.parquet(fact_dir)
+    t0 = time.time()
+    r1 = check_nonempty(fact)
+    r2 = check_unique_key(fact, ["cicid"])
+    r3 = check_no_nulls(fact.dropna(subset=["cicid", "i94yr", "i94mon"]),
+                        ["cicid", "i94yr", "i94mon"])
+    el = time.time() - t0
+    assert r1.passed and r2.passed and r3.passed, (r1, r2, r3)
+    return {"quality_sec": round(el, 3)}
+
+
+def main() -> int:
+    mult = 16
+    for a in sys.argv[1:]:
+        if a.startswith("--mult"):
+            mult = int(a.split("=", 1)[1])
+    spark = get_spark("i94_scale_probe")
+    from data_engineering_capstone_spark.catalog import load_all
+    from data_engineering_capstone_spark.queries_refdata import _SAS_DATA
+
+    fact_dir = build_replica(spark, mult)
+
+    df = rollup_df(spark, fact_dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    shape = assert_plan_shape(df)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    spark_sec = round(time.time() - t0, 3)
+
+    q = quality_checks(spark, fact_dir)
+
+    oracle = load_all()["ref_i94_star_rollup"].oracle.replace(_SAS_DATA, fact_dir)
+    con = duckdb.connect()
+    t0 = time.time()
+    duck_rows = con.execute(oracle).fetchall()
+    duck_sec = round(time.time() - t0, 3)
+
+    n_rows = 3_096_313 * mult
+    # cheap cross-engine sanity at the replicated size: same group count
+    # and same total arrivals as DuckDB computes
+    import pyspark.sql.functions as F
+
+    agg = df.agg(F.count(F.lit(1)).alias("g"), F.sum("arrivals").alias("a")).collect()[0]
+    duck_total = sum(r[4] for r in duck_rows)
+    assert agg["g"] == len(duck_rows), (agg["g"], len(duck_rows))
+    assert int(agg["a"]) == int(duck_total), (agg["a"], duck_total)
+
+    print(json.dumps({
+        "probe": "i94_star_rollup", "mult": mult, "fact_rows": n_rows,
+        "spark_sec": spark_sec, "duckdb_sec": duck_sec,
+        "ratio": round(spark_sec / duck_sec, 2) if duck_sec else None,
+        "groups": len(duck_rows), **shape, **q,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
