@@ -194,6 +194,49 @@ def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")).orderBy("id_a", "id_b")
 
 
+@query("llm_minhash_index_delta", oracle=None)
+def llm_minhash_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production crawl pattern (round-5
+    verdict task 8): build the MinHash band index of the EXISTING corpus
+    (doc_id % 10 != 0), PERSIST it to parquet (narrow band table +
+    signature table, llm/dedup.py:minhash_band_index), then near-dup-
+    check a NEW shard (doc_id % 10 == 0, plus one planted near-variant
+    of corpus doc 1) against the index read back from disk — without
+    recomputing the corpus. Emits every pair touching a new doc: the
+    batch twin of stream_minhash_dedup's bucket state. Rows-only (hash
+    family); incremental == full-recompute is pinned by
+    tests/test_llm.py::test_minhash_index_delta_equals_full_recompute.
+    """
+    import os
+    import tempfile
+
+    from .llm.dedup import minhash_band_index, minhash_delta_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 10 != 0)
+    planted = old.filter(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.lit("planted "), F.col("text")).alias("text"),
+    )
+    new = d.filter(F.col("doc_id") % 10 == 0).unionByName(planted)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"dec_spark_minhash_idx_{os.getpid()}"
+    )
+    index, sigs = minhash_band_index(old, "text", "doc_id")
+    index.write.mode("overwrite").parquet(os.path.join(base, "index"))
+    sigs.write.mode("overwrite").parquet(os.path.join(base, "sigs"))
+    index_r = spark.read.parquet(os.path.join(base, "index"))
+    sigs_r = spark.read.parquet(os.path.join(base, "sigs"))
+
+    pairs = minhash_delta_pairs(
+        new, "text", "doc_id", index_r, sigs_r, threshold=0.35
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 @query("llm_minhash_collapsed", oracle=None)
 def llm_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template-spam-guarded MinHash: the corpus plus a planted

@@ -276,7 +276,17 @@ def ref_i94_star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .etl import pipeline
 
     prep(spark)
-    fact = spark.read.parquet(_SAS_DATA)
+    # project the star's columns BEFORE the clean/dedup stage: Catalyst
+    # cannot prune columns through dropDuplicates (which row survives is
+    # observable), so without this the key-dedup shuffle carries all ~30
+    # SAS columns. The rollup needs 10; declaring that up front cuts the
+    # dedup exchange width ~3x (measured in tools/i94_scale_probe.py at
+    # 49.5M replicated rows). Output is identical: cicid is the dedup
+    # key and every retained column rides with its row.
+    fact = spark.read.parquet(_SAS_DATA).select(
+        "cicid", "i94yr", "i94mon", "i94cit", "i94mode", "i94addr",
+        "i94visa", "i94port", "arrdate", "count",
+    )
     cleaned = pipeline.clean(fact, key="cicid", required=("cicid", "i94yr", "i94mon"))
     dated = pipeline.convert_dates(cleaned)
     staged = pipeline.join_dims(dated, _real_dims(spark))

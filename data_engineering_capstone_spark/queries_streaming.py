@@ -336,10 +336,22 @@ def stream_custom_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(EventsReplayDataSource)
     except Exception:
         pass
+    # scale-aware chunking (round-5 verdict task 6): a FIXED 5000-row
+    # chunk made the sf0.1 drain 20 micro-batches at ~0.7 s of
+    # planning/commit floor each — 14.2 s for a 100k-row table, the
+    # slowest parity entry. Sizing the chunk to ~6 batches keeps the
+    # multi-batch contract (offset advance, range re-reads, cross-batch
+    # state) exercised IDENTICALLY at every scale while holding the
+    # per-batch floor constant: 14.2 s -> ~4 s at sf0.1. The floor
+    # itself is micro-batch machinery, not the source (SCALE.md).
+    import pyarrow.parquet as pq
+
+    nrows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    chunk = max(2000, -(-nrows // 6))
     raw = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/events.parquet")
-        .option("rowsPerBatch", "5000")
+        .option("rowsPerBatch", str(chunk))
         .load()
     )
     agg = (

@@ -654,3 +654,61 @@ def test_span_decontamination_surgical(spark):
     assert out[1]["text"] == "intro words here and more trailing content"
     assert not out[2]["was_decontaminated"] and out[2]["n_tokens_removed"] == 0
     assert out[3]["text"] == "short doc"
+
+
+def test_minhash_index_delta_equals_full_recompute(spark):
+    """Round-5 verdict task 8: near-dup-joining a NEW batch against the
+    PERSISTED corpus index (parquet round-trip included) must produce
+    exactly the new-doc-touching subset of a full minhash_near_dups
+    recompute over corpus+batch — incremental == batch, so the index
+    can be reused shard after shard without recomputation drift."""
+    import os
+
+    from data_engineering_capstone_spark.llm.dedup import (
+        minhash_band_index,
+        minhash_delta_pairs,
+        minhash_near_dups,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps on the warm mat near the open door tonight")
+    corpus_rows = [
+        (1, base),
+        (2, "unrelated page about spark joins shuffles and parquet files"),
+        (3, base.replace("lazy dog", "lazy wolf")),  # near-dup inside corpus
+    ]
+    new_rows = [
+        (10, base.replace("warm mat", "cold mat")),   # near-dup of 1 and 3
+        (11, "totally fresh content on columnar encodings and bloom filters"),
+        (12, "totally fresh content on columnar encodings and rice filters"),  # near-dup of 11
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    tmp = os.path.join("/tmp", f"minhash_idx_test_{os.getpid()}")
+    index, sigs = minhash_band_index(corpus, "text", "doc_id")
+    index.write.mode("overwrite").parquet(os.path.join(tmp, "index"))
+    sigs.write.mode("overwrite").parquet(os.path.join(tmp, "sigs"))
+    got = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 6)
+        for r in minhash_delta_pairs(
+            new, "text", "doc_id",
+            spark.read.parquet(os.path.join(tmp, "index")),
+            spark.read.parquet(os.path.join(tmp, "sigs")),
+            threshold=0.35,
+        ).collect()
+    }
+
+    full = minhash_near_dups(
+        corpus.unionByName(new), "text", "doc_id", threshold=0.35
+    ).collect()
+    new_ids = {r[0] for r in new_rows}
+    want = {
+        (r["id_a"], r["id_b"]): round(r["est_jaccard"], 6)
+        for r in full
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert (1, 10) in want and (11, 12) in want, "fixture must plant both shapes"
+    assert got == want
+    # and the corpus-internal pair is correctly NOT re-emitted
+    assert (1, 3) not in got

@@ -130,3 +130,32 @@ def test_preset_guard_pairwise_entries_all_scale_measured(spark, sf_dir):
         assert "llm_ngram_jaccard" in covered
     finally:
         _sys.path.remove(tools_dir)
+
+
+def test_i94_star_rollup_plan_broadcasts_all_dims(spark):
+    """Round-5 verdict task 5 (plan half): the reference-shaped star
+    rollup must broadcast all five label-file dims (no fact-side
+    sort-merge join) and aggregate in two phases (partial below the
+    exchange) — the plan properties that let the pipeline scale from
+    3.1M to 198M measured rows (tools/i94_scale_probe.py, BASELINE.md)."""
+    import os as _os
+    import sys as _sys
+
+    tools_dir = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"
+    )
+    _sys.path.insert(0, tools_dir)
+    try:
+        from i94_scale_probe import assert_plan_shape, rollup_df
+        from data_engineering_capstone_spark.queries_refdata import _SAS_DATA
+
+        df = rollup_df(spark, _SAS_DATA)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            shape = assert_plan_shape(df)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert shape["sort_merge_joins"] == 0
+        assert shape["broadcast_joins"] >= 5
+    finally:
+        _sys.path.remove(tools_dir)

@@ -31,6 +31,7 @@ from contextlib import redirect_stdout
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 
@@ -69,7 +70,13 @@ def rollup_df(spark, fact_dir: str):
     from data_engineering_capstone_spark.queries_refdata import _real_dims, prep
 
     prep(spark)
-    fact = spark.read.parquet(fact_dir)
+    # same explicit pre-dedup projection as the catalog entry
+    # (queries_refdata.ref_i94_star_rollup): Catalyst can't prune
+    # columns through dropDuplicates
+    fact = spark.read.parquet(fact_dir).select(
+        "cicid", "i94yr", "i94mon", "i94cit", "i94mode", "i94addr",
+        "i94visa", "i94port", "arrdate", "count",
+    )
     cleaned = pipeline.clean(fact, key="cicid", required=("cicid", "i94yr", "i94mon"))
     dated = pipeline.convert_dates(cleaned)
     staged = pipeline.join_dims(dated, _real_dims(spark))
@@ -125,6 +132,13 @@ def main() -> int:
         if a.startswith("--mult"):
             mult = int(a.split("=", 1)[1])
     spark = get_spark("i94_scale_probe")
+    # the replicated fact is ~46 MB x mult of snappy parquet; at the
+    # default 128 MB maxPartitionBytes the scan packs into ~mult/2.5
+    # input partitions — 6-way parallelism on a 32-core box at 16x,
+    # throttling every downstream stage (measured: scan-only 6.4 s ->
+    # 1.1 s). Size input splits to the cluster, the standing SCALE.md
+    # lever for small-file fact tables.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     from data_engineering_capstone_spark.catalog import load_all
     from data_engineering_capstone_spark.queries_refdata import _SAS_DATA
 
@@ -135,17 +149,41 @@ def main() -> int:
     shape = assert_plan_shape(df)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    spark_sec = round(time.time() - t0, 3)
+    # same timing discipline as tools/scale_crossover.py: one warm run
+    # (footers, codegen, broadcasts), then best-of-k on both engines
+    from scale_crossover import time_best
+
+    def spark_run():
+        df.write.format("noop").mode("overwrite").save()
+
+    spark_run()
+    spark_sec = round(time_best(spark_run), 3)
 
     q = quality_checks(spark, fact_dir)
 
     oracle = load_all()["ref_i94_star_rollup"].oracle.replace(_SAS_DATA, fact_dir)
     con = duckdb.connect()
-    t0 = time.time()
-    duck_rows = con.execute(oracle).fetchall()
-    duck_sec = round(time.time() - t0, 3)
+    duck_rows = []
+
+    def duck_run():
+        nonlocal_rows = con.execute(oracle).fetchall()
+        duck_rows.clear()
+        duck_rows.extend(nonlocal_rows)
+
+    duck_sec = round(time_best(duck_run), 3)
+
+    # the parity oracle skips the pipeline's B2 key-dedup stage (the
+    # real fact is unique on cicid, so values match either way) — but
+    # the Spark side PAYS for that integrity guard with a full-width
+    # exchange. Time a dedup-mirrored DuckDB variant too, so the
+    # published ratio compares equal work (Spark's number always
+    # includes the dedup).
+    ded_oracle = oracle.replace(
+        "WHERE cicid IS NOT NULL AND i94yr IS NOT NULL AND i94mon IS NOT NULL",
+        "WHERE cicid IS NOT NULL AND i94yr IS NOT NULL AND i94mon IS NOT NULL "
+        "QUALIFY row_number() OVER (PARTITION BY cicid) = 1",
+    )
+    duck_dedup_sec = round(time_best(lambda: con.execute(ded_oracle).fetchall()), 3)
 
     n_rows = 3_096_313 * mult
     # cheap cross-engine sanity at the replicated size: same group count
@@ -160,7 +198,11 @@ def main() -> int:
     print(json.dumps({
         "probe": "i94_star_rollup", "mult": mult, "fact_rows": n_rows,
         "spark_sec": spark_sec, "duckdb_sec": duck_sec,
-        "ratio": round(spark_sec / duck_sec, 2) if duck_sec else None,
+        "duckdb_dedup_sec": duck_dedup_sec,
+        "ratio_vs_plain": round(spark_sec / duck_sec, 2) if duck_sec else None,
+        "ratio_equal_work": (
+            round(spark_sec / duck_dedup_sec, 2) if duck_dedup_sec else None
+        ),
         "groups": len(duck_rows), **shape, **q,
     }))
     return 0
