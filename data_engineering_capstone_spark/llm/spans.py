@@ -116,6 +116,13 @@ def duplicate_spans(
         F.size(F.array_distinct(F.transform("__ps", lambda x: x["__id"])))
         <= max_doc_freq
     )
+    # NOTE (round 5): the post-cap repartition that fixed
+    # ngram_jaccard_pairs was tried here and measured NEUTRAL-to-worse
+    # (16.0 s vs 14.5 s at 64x): AQE leaves these postings at 8
+    # partitions (16M mostly-df=1 gram rows — byte-heavy, unlike the
+    # capped shingle index's ~1), so the extra exchange of the full
+    # postings table outweighs the 8->32 parallelism gain. Measured,
+    # not assumed — kept join-free and unrepartitioned.
     seeds = (
         posts.select(F.explode("__ps").alias("__a"), "__ps")
         .select(

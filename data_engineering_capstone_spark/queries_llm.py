@@ -609,6 +609,81 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_bm25_search",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ), dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN ('spark', 'query', 'batch') GROUP BY 1, 2
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             (LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * (t.tf * 2.2))
+             / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS sc
+      FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term), stats s
+    )
+    SELECT doc_id, ROUND(SUM(sc), 6) AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a 3-term query over
+    the corpus — the classic lexical-search scorer (Robertson-Sparck
+    Jones IDF with the +1 floor, as in Lucene). Plan: one token explode
+    feeds doc-length, corpus stats, and per-term tf; df and the 1-row
+    (N, avgdl) stats broadcast onto the tf table (same tiny-broadcast
+    shape as llm_unigram_logprob); top-10 via rounded-score sort with
+    doc_id tie-break so the cutoff is engine-exact. Both engines
+    compute the identical fp expression tree (operation order mirrored
+    term by term), rounded to 6 decimals.
+    """
+    from .functions.strings import tokens
+
+    qterms = ["spark", "query", "batch"]
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.where(F.col("term").isin(qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "sc",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * 2.2)
+            )
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("sc"), 6).alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
     "llm_tfidf_top_terms",
     oracle="""
     WITH tok AS (

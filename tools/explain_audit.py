@@ -48,6 +48,8 @@ INTENTIONAL_CROSS = {
                               # 30-row day grid trailing-window range
                               # join; both sides dimension-scale
     "llm_unigram_logprob",  # vocab x 1-row broadcast total (documented)
+    "llm_bm25_search",  # tf table x 1-row broadcast (N, avgdl) corpus
+                        # stats — same tiny-broadcast shape (documented)
 }
 
 # Streaming queries execute through the streaming runner; the batch
