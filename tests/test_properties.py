@@ -312,3 +312,43 @@ def test_duplicate_spans_match_bruteforce(spark, token_lists, w):
         for r in duplicate_spans(df, "text", "doc_id", min_tokens=w).collect()
     }
     assert got == _brute_spans(docs, w)
+
+
+# -- ngrams (round-5 regex rewrite): property-pinned against the
+#    definitional pure-Python form ------------------------------------
+
+texts_st = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab \t\né中."),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=texts_st, n=st.integers(min_value=1, max_value=4))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ngrams_regex_matches_reference(spark, texts, n):
+    """ngrams() is one JVM regex pass (round 5); its contract is the
+    definitional form: split on whitespace runs, drop empties, join
+    every n consecutive tokens with a single space; NULL -> NULL,
+    fewer-than-n tokens -> []. Pinned over adversarial inputs
+    (unicode, tabs/newlines, leading/trailing runs, empty strings)."""
+    from data_engineering_capstone_spark.functions.strings import ngrams
+
+    def ref(t, n):
+        if t is None:
+            return None
+        toks = [x for x in t.split() if x]
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["g"]
+        for r in df.select("i", ngrams("t", n).alias("g")).collect()
+    }
+    for i, t in rows:
+        assert got[i] == ref(t, n), (t, n, got[i], ref(t, n))
