@@ -61,6 +61,55 @@ def check_no_nulls(df: DataFrame, cols: Sequence[str], name: str | None = None) 
     return CheckResult(name, not bad, str(bad or "0 nulls"), "0 nulls")
 
 
+def check_suite_single_pass(
+    df: DataFrame,
+    keys: Sequence[str],
+    no_null_cols: Sequence[str] = (),
+) -> list[CheckResult]:
+    """B11 + B12 + the null-scan of B1 in ONE distributed aggregation.
+
+    ``check_nonempty`` + ``check_unique_key`` + ``check_no_nulls`` each
+    launch their own job — three scans of the fact table. At audit time
+    on a big fact that triples the I/O for checks that are all
+    scan-level aggregates; this fused form computes row count, distinct
+    key count, and per-column null counts in one pass (measured in
+    tools/i94_scale_probe.py: 16.6 s -> one-scan time at 198M rows).
+    Results are identical to running the three checks separately
+    (pinned by tests/test_etl.py); keep the individual functions for
+    checks over DIFFERENT frames (e.g. completeness across
+    source/sink).
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("__nd"),
+    ] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{i}")
+        for i, c in enumerate(no_null_cols)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    n, nd = row["__n"], row["__nd"]
+    out = [
+        CheckResult("nonempty", n > 0, f"{n} rows", "> 0 rows"),
+        CheckResult(
+            f"unique({','.join(keys)})", n == nd,
+            f"{nd} distinct / {n} rows", "all distinct",
+        ),
+    ]
+    bad = {
+        c: row[f"__null_{i}"]
+        for i, c in enumerate(no_null_cols)
+        if row[f"__null_{i}"]
+    }
+    if no_null_cols:
+        out.append(
+            CheckResult(
+                f"no_nulls({','.join(no_null_cols)})", not bad,
+                str(bad or "0 nulls"), "0 nulls",
+            )
+        )
+    return out
+
+
 def check_schema(df: DataFrame, expected: T.StructType, name: str = "schema") -> CheckResult:
     """B13: exact schema conformance (names, types, order)."""
     ok = df.schema == expected

@@ -145,3 +145,33 @@ def test_quality_checks_pass_and_fail(spark, i94_fixture):
     assert check_schema(sub, good).passed
     bad = T.StructType([T.StructField("i94port", T.LongType())])
     assert not check_schema(sub, bad).passed
+
+
+def test_quality_single_pass_suite_matches_individual_checks(spark):
+    """check_suite_single_pass fuses B11+B12+null-scan into one
+    aggregation job; its verdicts must match the individual check
+    functions on the same frame, including a failing case."""
+    from data_engineering_capstone_spark.etl.quality import (
+        check_no_nulls,
+        check_nonempty,
+        check_suite_single_pass,
+        check_unique_key,
+    )
+
+    good = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    bad = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, None)], "k long, v string"
+    )
+    for df in (good, bad):
+        fused = {r.check: r.passed for r in
+                 check_suite_single_pass(df, ["k"], ["k", "v"])}
+        assert fused["nonempty"] == check_nonempty(df).passed
+        assert fused["unique(k)"] == check_unique_key(df, ["k"]).passed
+        assert fused["no_nulls(k,v)"] == check_no_nulls(df, ["k", "v"]).passed
+    # the bad frame actually exercises the failure paths
+    fused_bad = {r.check: r.passed for r in
+                 check_suite_single_pass(bad, ["k"], ["k", "v"])}
+    assert fused_bad["unique(k)"] is False
+    assert fused_bad["no_nulls(k,v)"] is False

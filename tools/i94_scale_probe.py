@@ -112,10 +112,12 @@ def quality_checks(spark, fact_dir: str) -> dict:
     from data_engineering_capstone_spark.etl.quality import (
         check_no_nulls,
         check_nonempty,
+        check_suite_single_pass,
         check_unique_key,
     )
 
     fact = spark.read.parquet(fact_dir)
+    # separate checks: three scans of the fact
     t0 = time.time()
     r1 = check_nonempty(fact)
     r2 = check_unique_key(fact, ["cicid"])
@@ -123,7 +125,12 @@ def quality_checks(spark, fact_dir: str) -> dict:
                         ["cicid", "i94yr", "i94mon"])
     el = time.time() - t0
     assert r1.passed and r2.passed and r3.passed, (r1, r2, r3)
-    return {"quality_sec": round(el, 3)}
+    # fused suite: the same scan-level checks in ONE aggregation job
+    t0 = time.time()
+    fused = check_suite_single_pass(fact, ["cicid"])
+    el_fused = time.time() - t0
+    assert all(r.passed for r in fused), fused
+    return {"quality_sec": round(el, 3), "quality_fused_sec": round(el_fused, 3)}
 
 
 def main() -> int:
