@@ -229,6 +229,15 @@ def bloom_decontaminate(
         )
 
     def bit(col: Column, seed: int) -> Column:
+        # seed folded SECOND, so every lane is a function of the one
+        # 64-bit xxhash64(col) value — deliberately: that is the
+        # standard double-hashing bloom construction (Kirsch &
+        # Mitzenmacher 2006, g_i(x) = h1(x) + i*h2(x) generalized),
+        # whose FP bound matches k independent hashes. Unlike
+        # llm/spans.py (where 128 INDEPENDENT bits are the equality
+        # key and lane dependence would merge distinct grams), a bloom
+        # lane collision only nudges the FP rate, which the pinned
+        # FP-bound test covers.
         return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(num_bits))
 
     # materialized once: the set-bit table feeds num_hashes probe joins —
