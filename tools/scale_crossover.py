@@ -203,7 +203,24 @@ def run_headline(mult: int, only: list[str] | None = None) -> int:
             def duck_run():
                 con.execute(spec.oracle).fetchall()
 
-            d_t = time_best(duck_run)
+            # the baseline FAILING at scale is a result to record, not
+            # a crash: DuckDB's span-decontamination oracle OOMs at
+            # 128x+ (640k docs) while the Spark plan completes —
+            # exactly the single-node wall this probe exists to map
+            try:
+                d_t = time_best(duck_run)
+            except Exception as e:  # OOM / spill-disk-full etc.
+                results[name] = {
+                    "spark_sec": round(s_t, 3), "duckdb_sec": None,
+                    "ratio": None,
+                    "duckdb_error": f"{type(e).__name__}: {str(e)[:120]}",
+                }
+                print(json.dumps({"query": name, "mult": mult, **results[name]}), flush=True)
+                import gc
+
+                con = duck_con(replica)  # fresh connection post-failure
+                gc.collect()
+                continue
             results[name] = {
                 "spark_sec": round(s_t, 3),
                 "duckdb_sec": round(d_t, 3),
