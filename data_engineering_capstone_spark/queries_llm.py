@@ -2283,3 +2283,276 @@ def llm_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_tri, n_edges, n_nodes)],
         "n_triangles bigint, n_edges bigint, n_nodes bigint",
     )
+
+
+@query(
+    "llm_url_dedup_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, n_chars,
+             'https://'
+               || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               || '.Example.COM'
+               || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+               || '/docs/' || CAST(doc_id % 23 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '?utm_source=feed&lang=' || lang
+                       ELSE '?lang=' || lang || '&ref=tw' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#sec1' ELSE '' END AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id, n_chars,
+             'https://'
+               || lower(regexp_extract(url, '^https://([^/:?#]+)', 1))
+               || regexp_extract(url, '^https://[^/?#]+(/[^?#]*)', 1)
+               || '?lang=' || regexp_extract(url, '[?&]lang=([a-z]+)', 1)
+               AS curl
+      FROM raw
+    )
+    SELECT curl AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS dup_chars
+    FROM canon GROUP BY curl ORDER BY curl
+    """,
+)
+def llm_url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first dedup pass of every web
+    crawl pipeline (reference capability tier: the notebook's
+    'duplicate data' cleanup, Capstone Project Template.ipynb cell-7,
+    applied to the crawl-URL domain): raw URLs carry case noise in the
+    authority, explicit default ports, tracking parameters
+    (utm_*/ref) and fragments, all of which alias the same resource.
+    The fixture builds the noisy URL deterministically from doc fields;
+    canonicalization is real string surgery on that URL (lowercase
+    authority, strip :443, drop fragment and tracking params, keep the
+    meaningful lang param) — both engines perform the identical
+    regex pipeline, so parity proves the surgery, not the fixture.
+    Dedup groups by canonical form keeping the smallest doc_id.
+
+    100 TB: pure codegen column expressions plus ONE narrow shuffle on
+    the canonical-URL hash (group keys only; bodies never move) — the
+    same single-exchange shape as llm_exact_dedup. Per-host cap
+    policy downstream is llm_url_parse_cap + llm_source_cap.
+    """
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper(F.col("source"))).otherwise(
+            F.col("source")
+        ),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 23).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&lang="), F.col("lang")),
+        ).otherwise(F.concat(F.lit("?lang="), F.col("lang"), F.lit("&ref=tw"))),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec1")).otherwise(F.lit("")),
+    )
+    curl = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(F.col("url"), r"^https://([^/:?#]+)", 1)),
+        F.regexp_extract(F.col("url"), r"^https://[^/?#]+(/[^?#]*)", 1),
+        F.lit("?lang="),
+        F.regexp_extract(F.col("url"), r"[?&]lang=([a-z]+)", 1),
+    )
+    return (
+        d.select("doc_id", "n_chars", url.alias("url"))
+        .select("doc_id", "n_chars", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc"),
+            F.sum("n_chars").alias("dup_chars"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+@query(
+    "llm_perplexity_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE source = 'src0' GROUP BY tok
+    ), stats AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v
+      FROM vocab
+    ), lp AS (
+      SELECT tok,
+             CAST(ln((CAST(n AS DOUBLE) + 1.0) /
+                     (CAST(t AS DOUBLE) + CAST(v AS DOUBLE)))
+                  AS DECIMAL(18,9)) AS lp
+      FROM vocab, stats
+    ), scored AS (
+      SELECT d.doc_id, d.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(-CAST(SUM(COALESCE(l.lp,
+                 CAST(ln(1.0 / (CAST(s.t AS DOUBLE) + CAST(s.v AS DOUBLE)))
+                      AS DECIMAL(18,9)))) AS DOUBLE) / COUNT(*), 6) AS rnll
+      FROM toks d LEFT JOIN lp l USING (tok) CROSS JOIN stats s
+      GROUP BY d.doc_id, d.lang
+    ), thr AS (
+      SELECT lang, quantile_disc(rnll, 0.5) AS lang_median
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens, s.rnll
+    FROM scored s JOIN thr USING (lang)
+    WHERE s.rnll <= thr.lang_median
+    ORDER BY s.doc_id
+    """,
+)
+def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity gate: train an add-one-smoothed unigram
+    LM on a trusted subset (source = 'src0' stands in for the
+    'Wikipedia-quality' corpus), score EVERY document by average
+    negative log-probability under that model (OOV tokens get the
+    smoothed floor), then keep each language's best half — the
+    per-language percentile split is the essential CCNet move
+    (head/middle/tail by LM score WITHIN language, never across, so
+    low-resource languages aren't starved by high-resource ones).
+    Complements llm_unigram_logprob (self-scored, no gate) and
+    llm_quality_classifier (feature-based): this is the
+    reference-model family.
+
+    Determinism: per-token logps sum as DECIMAL(18,9) (order-
+    independent, same device as llm_unigram_logprob); the threshold is
+    percentile_disc over ROUNDED doc scores, so the gate compares a
+    score against an actual member value — no interpolation, no float
+    drift at the boundary.
+
+    100 TB: the trusted-subset vocab is Zipf-small -> broadcast back to
+    the token stream (explode is partition-local, zero shuffle before
+    the per-doc agg); the per-language median is over DOC-level rows
+    (one per doc, not per token) and becomes a KLL quantile sketch
+    (operators/sketches.py) when doc counts outgrow exact percentile.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.where(F.col("source") == "src0")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = vocab.agg(
+        F.sum("n").cast("bigint").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    lp = vocab.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.log(
+            (F.col("n").cast("double") + F.lit(1.0))
+            / (F.col("t").cast("double") + F.col("v").cast("double"))
+        )
+        .cast("decimal(18,9)")
+        .alias("lp"),
+    )
+    oov = F.log(
+        F.lit(1.0) / (F.col("t").cast("double") + F.col("v").cast("double"))
+    ).cast("decimal(18,9)")
+    scored = (
+        toks.join(F.broadcast(lp), "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.sum(F.coalesce(F.col("lp"), oov)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rnll"),
+        )
+    )
+    scored.createOrReplaceTempView("ppl_scored")
+    return spark.sql(
+        """
+        WITH thr AS (
+          SELECT lang,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY rnll)
+                   AS lang_median
+          FROM ppl_scored GROUP BY lang
+        )
+        SELECT s.doc_id, s.lang, s.n_tokens, s.rnll
+        FROM ppl_scored s JOIN thr USING (lang)
+        WHERE s.rnll <= thr.lang_median
+        ORDER BY s.doc_id
+        """
+    )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ), first_seen AS (
+      SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS novelty
+    FROM grams gr JOIN first_seen f USING (g)
+    GROUP BY gr.doc_id ORDER BY gr.doc_id
+    """,
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the curation signal behind
+    dedup-aware sampling and memorization studies: each document is
+    scored by the fraction of its distinct bigrams whose corpus-wide
+    FIRST appearance (minimum doc_id, i.e. earliest in ingest order)
+    is this document. Boilerplate-heavy or templated docs score near
+    zero; fresh content scores near one — the ranking that decides
+    which near-duplicates deserve a second epoch.
+
+    100 TB: in-row distinct (array_distinct before the explode keeps
+    the per-doc dedup shuffle-free), then the postings shape — ONE
+    hash exchange on the gram key serves both the MIN aggregate and
+    the 1:1 join-back (each posting meets exactly one first_seen row:
+    output <= input, linear — no df-cap needed, unlike the pair-
+    generating Jaccard form), then a per-doc agg of integer counters.
+    Novelty is an integer ratio: bit-exact across engines.
+    """
+    from .functions.strings import ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams("text", 2))).alias("g"),
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(novel) * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
