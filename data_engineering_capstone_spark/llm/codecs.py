@@ -109,3 +109,33 @@ def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
     return pixels[ys][:, xs]
+
+
+# ------------------------------------------------------------- dHash
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (dHash) of an RGB uint8 image.
+
+    The standard perceptual fingerprint for image near-dup detection:
+    integer-luma grayscale (299/587/114 per mille — exact integer
+    arithmetic, no float drift), average-pool to an 8-row x 9-column
+    grid (cropping to the largest multiple when the image size isn't
+    divisible), then one bit per horizontally adjacent cell pair:
+    bit = left > right. Visually identical images collide; small
+    edits land within a few bits of Hamming distance.
+
+    Returns the 64-bit value as a SIGNED int (two's complement) so it
+    stores directly in a Spark ``bigint`` column.
+    """
+    px = np.asarray(pixels, dtype=np.int64)
+    g = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    h, w = g.shape
+    if h < 8 or w < 9:
+        raise ValueError(f"image too small for dHash: {h}x{w}")
+    H, W = 8 * (h // 8), 9 * (w // 9)
+    pooled = g[:H, :W].reshape(8, H // 8, 9, W // 9).mean(axis=(1, 3))
+    bits = (pooled[:, :-1] > pooled[:, 1:]).astype(np.uint64).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val

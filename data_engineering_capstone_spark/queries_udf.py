@@ -652,3 +652,118 @@ def llm_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_moji > 0).alias("has_moji"),
         F.length(F.regexp_replace(F.col("text"), pat, F.lit(""))).cast("bigint").alias("clean_len"),
     ).orderBy("doc_id")
+
+
+@query("mm_phash_near_dup")
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup detection — the image twin of
+    MinHash-LSH text dedup and a standard pass in multimodal training
+    pipelines (reference capability tier: notebook cell-7 'duplicate
+    data', applied to the image modality). Deterministic RGB images
+    (pattern family = doc_id % 50; a doc-dependent stripe brightening
+    perturbs each copy) round-trip through REAL 24-bit BMP containers
+    (llm/codecs.py), are dHash-fingerprinted (64-bit difference hash,
+    integer-luma + 8x9 average pool — llm/codecs.dhash64), and near-
+    dups are found by banded LSH over the hash: 8 bands x 8 bits, a
+    candidate iff some band matches, verified by exact Hamming
+    distance (xor + bit_count, JVM-side) <= 6. Pigeonhole makes the
+    banding EXACT for this threshold: 7 differing bits cannot occupy
+    all 8 bands, so every true pair shares a clean band — recall 1.0
+    by construction (same argument as the embedding LSH entry;
+    asserted against brute force in tests/test_multimodal.py).
+
+    Exact-duplicate images (identical hashes) are collapsed to a
+    representative FIRST — the template-spam guard of
+    llm_minhash_collapsed applied to images: a viral image repeated
+    10^6 times otherwise yields 10^12 candidate pairs; after collapse
+    it is one representative with n=10^6, and near-dup pairs carry
+    group sizes (n_a, n_b) so cluster mass is recoverable.
+
+    Rows-only (BMP bytes + dHash aren't SQL-portable); correctness is
+    pinned by the brute-force differential test. 100 TB: decode+hash
+    is one Arrow-batched mapInPandas pass (embarrassingly parallel),
+    the exchange is on 8-byte hashes (images never shuffle), bands are
+    bounded-occupancy after collapse, and verify is a bit_count on
+    joined longs.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from .llm.codecs import dhash64, read_bmp24, write_bmp24
+
+    def hash_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 50
+                x = np.arange(24)[None, :, None]
+                y = np.arange(24)[:, None, None]
+                base = ((k + 1) * (3 * x + 5 * y) + np.array([0, 85, 170])) % 256
+                img = base.copy()
+                s = (did // 50) % 6
+                img[:, 4 * s : 4 * s + 4, :] = (
+                    img[:, 4 * s : 4 * s + 4, :] + 40
+                ) % 256
+                raw = write_bmp24(img.astype(np.uint8))
+                out.append((did, dhash64(read_bmp24(raw))))
+            yield pd.DataFrame(out, columns=["doc_id", "h"])
+
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    hashes = (
+        d.select("doc_id")
+        .repartition(par)
+        .mapInPandas(hash_images, "doc_id long, h long")
+    )
+    # exact-collapse: one representative per identical hash
+    reps = hashes.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n")
+    )
+    bands = reps.select(
+        "doc_id",
+        "h",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("h"), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "h", "n", "bv.band", "bv.val")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("h").alias("h_a"),
+        F.col("n").alias("n_a"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("h").alias("h_b"),
+        F.col("n").alias("n_b"),
+        "band",
+        "val",
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b", "n_a", "n_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .where(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming", "n_a", "n_b")
+        .orderBy("id_a", "id_b")
+    )

@@ -194,3 +194,56 @@ def test_bmp24_roundtrip_and_layout():
     small = resize_nearest(big, 4, 3)
     assert small.shape == (4, 3, 3)
     assert (small[0, 0] == big[0, 0]).all()  # corners are true pixels
+
+
+def test_phash_near_dup_matches_brute_force(spark):
+    """mm_phash_near_dup's banded-LSH pair set must equal exhaustive
+    all-pairs Hamming over the same hashes: 8 bands x 8 bits is EXACT
+    for threshold 6 by pigeonhole (<=7 differing bits can't occupy all
+    8 bands), and exact-hash groups collapse to their min-doc_id rep
+    with the group size carried through."""
+    from itertools import combinations
+
+    from data_engineering_capstone_spark.catalog import load_all
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = [
+        (r["id_a"], r["id_b"], r["hamming"], r["n_a"], r["n_b"])
+        for r in load_all()["mm_phash_near_dup"].fn(spark, sf_dir).collect()
+    ]
+
+    # brute force: same fixture, same dHash, python-side
+    import numpy as np
+
+    from data_engineering_capstone_spark.llm.codecs import (
+        dhash64,
+        read_bmp24,
+        write_bmp24,
+    )
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    hashes = {}
+    for did in range(n_docs):
+        if did % 4 != 1:
+            continue
+        k = did % 50
+        x = np.arange(24)[None, :, None]
+        y = np.arange(24)[:, None, None]
+        base = ((k + 1) * (3 * x + 5 * y) + np.array([0, 85, 170])) % 256
+        img = base.copy()
+        s = (did // 50) % 6
+        img[:, 4 * s : 4 * s + 4, :] = (img[:, 4 * s : 4 * s + 4, :] + 40) % 256
+        hashes[did] = dhash64(read_bmp24(write_bmp24(img.astype(np.uint8))))
+
+    groups = {}
+    for did, h in sorted(hashes.items()):
+        groups.setdefault(h, []).append(did)
+    reps = {min(ds): (h, len(ds)) for h, ds in groups.items()}
+    want = []
+    for a, b in combinations(sorted(reps), 2):
+        ham = bin((reps[a][0] ^ reps[b][0]) & ((1 << 64) - 1)).count("1")
+        if ham <= 6:
+            want.append((a, b, ham, reps[a][1], reps[b][1]))
+
+    assert sorted(got) == sorted(want)
+    assert len(want) > 0  # fixture actually produces near-dups

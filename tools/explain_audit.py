@@ -50,6 +50,9 @@ INTENTIONAL_CROSS = {
     "llm_unigram_logprob",  # vocab x 1-row broadcast total (documented)
     "llm_bm25_search",  # tf table x 1-row broadcast (N, avgdl) corpus
                         # stats — same tiny-broadcast shape (documented)
+    "llm_perplexity_filter",  # token stream x 1-row broadcast (t, v) LM
+                              # stats for the OOV floor — same tiny-
+                              # broadcast shape as llm_unigram_logprob
 }
 
 # Streaming queries execute through the streaming runner; the batch

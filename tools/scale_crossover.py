@@ -87,6 +87,15 @@ LLM_SET = [
     # round-5 verdict task 2: this entry hid a quadratic blocking key
     # for three rounds because it was in no measurement preset
     "llm_fuzzy_prefix_pairs",
+    # round-5 additions, in a preset from birth (the guard's lesson):
+    # perplexity gate is token-heavy (two explodes + LM join);
+    # novelty is the postings join-back; url dedup is the narrow-
+    # exchange canonicalization pass; phash is rows-only (Spark time
+    # published alone, like minhash)
+    "llm_perplexity_filter",
+    "llm_ngram_novelty",
+    "llm_url_dedup_canonical",
+    "mm_phash_near_dup",
 ]
 
 # Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
