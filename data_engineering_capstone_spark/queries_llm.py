@@ -2556,3 +2556,79 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_split_leakage_safe",
+    oracle="""
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+    ), fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM doubled
+    ), h AS (
+      SELECT doc_id, f,
+             ((ascii(substr(md5('gsplit:' || f), 1, 1)) * 31
+               + ascii(substr(md5('gsplit:' || f), 2, 1))) * 31
+               + ascii(substr(md5('gsplit:' || f), 3, 1))) % 100 AS b
+      FROM fp
+    )
+    SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS n_groups,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM h GROUP BY 1 ORDER BY 1
+    """,
+)
+def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the bucket hash is computed
+    from the normalized-content FINGERPRINT, not the document id — so
+    byte-identical duplicates (here: the same doubled-corpus fixture as
+    llm_exact_dedup, where every text exists under two doc_ids) land in
+    the SAME split by construction. Splitting by doc_id hash
+    (llm_dataset_split) silently puts copy A in train and copy B in
+    test — the classic eval-contamination bug this operator exists to
+    prevent; near-dup leakage extends the same move to the MinHash
+    cluster id (rows-only family). Per-split doc and group counts plus
+    the membership-sensitive id_sum digest; zero cross-split groups is
+    asserted in tests/test_llm.py.
+
+    100 TB: fingerprint is a pure projection, split is a pure function
+    of it — the only exchange is the final tiny aggregate (the
+    COUNT DISTINCT group-count rides a two-phase partial agg on the
+    fingerprint, and becomes an HLL sketch when exactness stops
+    mattering).
+    """
+    d0 = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d0.unionAll(
+        d0.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    withf = doubled.select("doc_id", fp.alias("f"))
+    m = F.md5(F.concat(F.lit("gsplit:"), F.col("f")))
+
+    def a(i: int):
+        return F.ascii(F.substring(m, i, 1)).cast("long")
+
+    b = ((a(1) * 31 + a(2)) * 31 + a(3)) % 100
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        withf.select(split.alias("split"), "doc_id", "f")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("f").alias("n_groups"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("split")
+    )

@@ -712,3 +712,43 @@ def test_minhash_index_delta_equals_full_recompute(spark):
     assert got == want
     # and the corpus-internal pair is correctly NOT re-emitted
     assert (1, 3) not in got
+
+
+def test_leakage_safe_split_never_splits_a_group(spark):
+    """llm_split_leakage_safe: no content fingerprint may appear in
+    more than one split (the operator's whole contract), and the
+    doubled corpus must actually contain cross-id duplicates so the
+    property is exercised, not vacuous."""
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    d0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    doubled = d0.unionAll(
+        d0.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    m = F.md5(F.concat(F.lit("gsplit:"), fp))
+
+    def a(i):
+        return F.ascii(F.substring(m, i, 1)).cast("long")
+
+    b = ((a(1) * 31 + a(2)) * 31 + a(3)) % 100
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = doubled.select(fp.alias("f"), split.alias("s"))
+    # a group is leaked iff it has >1 distinct split
+    leaked = (
+        assigned.groupBy("f")
+        .agg(F.countDistinct("s").alias("k"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert leaked == 0
+    # fixture really has multi-member groups (every doc is doubled)
+    multi = (
+        assigned.groupBy("f").count().where(F.col("count") > 1).count()
+    )
+    assert multi > 0
