@@ -139,3 +139,28 @@ def dhash64(pixels: np.ndarray) -> int:
     for b in bits:
         val = (val << 1) | int(b)
     return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def audio_fp64(samples: np.ndarray, n_windows: int = 65) -> int:
+    """64-bit energy-envelope fingerprint of a PCM sample array.
+
+    The chromaprint-shaped reduction that survives re-encoding: split
+    the clip into ``n_windows`` equal windows (cropping the tail),
+    per-window RMS, then one bit per adjacent-window comparison
+    (rms[i+1] > rms[i]) — 64 bits for the default 65 windows. Loudness-
+    scaling an entire clip preserves every bit; localized edits flip
+    only the comparisons they touch, so near-versions land within a
+    small Hamming distance. Returns a signed 64-bit int (two's
+    complement) for direct storage in a Spark ``bigint``.
+    """
+    s = np.asarray(samples, dtype=np.float64)
+    win = len(s) // n_windows
+    if win < 1:
+        raise ValueError(f"clip too short: {len(s)} samples, {n_windows} windows")
+    s = s[: n_windows * win]
+    rms = np.sqrt((s.reshape(n_windows, win) ** 2).mean(axis=1))
+    bits = (rms[1:] > rms[:-1]).astype(np.uint64)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val

@@ -733,3 +733,73 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def hamming_band_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "h",
+    threshold: int = 6,
+) -> DataFrame:
+    """Near-dup pairs over a 64-bit fingerprint column by banded LSH +
+    exact Hamming verify — the shared engine behind image pHash and
+    audio energy-fingerprint dedup (mm_phash_near_dup,
+    mm_audio_fingerprint_dedup).
+
+    Exact-hash groups are collapsed to their min-id representative
+    first (the template-spam guard: a fingerprint repeated k times
+    would otherwise put k rows in every band bucket — k^2 candidates),
+    with group sizes carried through as n_a/n_b. The hash is split
+    into 8 bands of 8 bits; a pair is a candidate iff some band
+    matches, then verified with xor + bit_count JVM-side. Pigeonhole
+    makes recall EXACT for threshold <= 7: 7 differing bits cannot
+    occupy all 8 bands, so every true pair shares a clean band.
+
+    100 TB: the exchange carries (id, 8-byte hash, band byte) — media
+    bytes never shuffle; band buckets are bounded-occupancy after the
+    exact collapse; verify is one bit_count per candidate.
+    """
+    if not 0 <= threshold <= 7:
+        raise ValueError(f"threshold {threshold} breaks the 8-band pigeonhole bound")
+    reps = hashes.groupBy(hash_col).agg(
+        F.min(id_col).alias("id"), F.count(F.lit(1)).alias("n")
+    )
+    bands = reps.select(
+        "id",
+        F.col(hash_col).alias("h"),
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "h", "n", "bv.band", "bv.val")
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("h").alias("h_a"),
+        F.col("n").alias("n_a"), "band", "val",
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("h").alias("h_b"),
+        F.col("n").alias("n_b"), "band", "val",
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b", "n_a", "n_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .where(F.col("hamming") <= threshold)
+        .select("id_a", "id_b", "hamming", "n_a", "n_b")
+    )

@@ -710,6 +710,8 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((did, dhash64(read_bmp24(raw))))
             yield pd.DataFrame(out, columns=["doc_id", "h"])
 
+    from .llm.dedup import hamming_band_pairs
+
     par = spark.sparkContext.defaultParallelism
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
     hashes = (
@@ -717,53 +719,64 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par)
         .mapInPandas(hash_images, "doc_id long, h long")
     )
-    # exact-collapse: one representative per identical hash
-    reps = hashes.groupBy("h").agg(
-        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n")
+    return hamming_band_pairs(hashes, threshold=6).orderBy("id_a", "id_b")
+
+
+@query("mm_audio_fingerprint_dedup")
+def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection — the third modality of the near-dup
+    matrix (text: llm_minhash_near_dup; image: mm_phash_near_dup;
+    audio: this). Deterministic PCM16 clips (family envelope =
+    doc_id % 40, an alternating-window loudness bump perturbs each
+    copy) round-trip through REAL RIFF/WAVE containers
+    (llm/codecs.py), are fingerprinted by the 64-bit energy-envelope
+    hash (llm/codecs.audio_fp64: 65-window RMS, one bit per adjacent-
+    window comparison — the chromaprint-shaped reduction, robust to
+    whole-clip loudness scaling), and near-dups come from the SHARED
+    banded-Hamming engine (llm/dedup.hamming_band_pairs: exact-hash
+    collapse first, 8x8-bit bands, bit_count verify, recall exact for
+    threshold <= 7 by pigeonhole; brute-force differential test in
+    tests/test_multimodal.py).
+
+    Rows-only (WAV bytes + RMS fingerprints aren't SQL-portable).
+    100 TB: decode+fingerprint is one Arrow-batched mapInPandas pass;
+    only (id, 8-byte hash) rows ever shuffle — audio bytes stay where
+    they were scanned; the distinct-waveform space of the fixture is
+    bounded, so pair output grows linearly with corpus size.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from .llm.codecs import audio_fp64, read_wav_pcm16, write_wav_pcm16
+    from .llm.dedup import hamming_band_pairs
+
+    NW, WIN = 65, 16
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 40
+                w = np.arange(NW, dtype=np.int64)
+                env = ((k + 1) * (7 * w + 3)) % 97 + 8
+                j, r = did % NW, 1 + (did // 40) % 14
+                idx = (j + 2 * np.arange(r)) % NW
+                env[idx] = env[idx] + 60
+                t = np.arange(NW * WIN, dtype=np.int64)
+                carrier = ((t * 13) % 17) - 8
+                v = (env.repeat(WIN) * carrier * 23) % 65536 - 32768
+                raw = write_wav_pcm16(v.astype(np.int64))
+                dec, _ = read_wav_pcm16(raw)
+                out.append((did, audio_fp64(dec.astype(np.int64), NW)))
+            yield pd.DataFrame(out, columns=["doc_id", "h"])
+
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+    hashes = (
+        d.select("doc_id")
+        .repartition(par)
+        .mapInPandas(fingerprint, "doc_id long, h long")
     )
-    bands = reps.select(
-        "doc_id",
-        "h",
-        "n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("h"), 8 * i)
-                        .bitwiseAND(F.lit(255))
-                        .alias("val"),
-                    )
-                    for i in range(8)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", "h", "n", "bv.band", "bv.val")
-    a = bands.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("h").alias("h_a"),
-        F.col("n").alias("n_a"),
-        "band",
-        "val",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("h").alias("h_b"),
-        F.col("n").alias("n_b"),
-        "band",
-        "val",
-    )
-    cand = (
-        a.join(b, ["band", "val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b", "n_a", "n_b")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-        )
-        .where(F.col("hamming") <= 6)
-        .select("id_a", "id_b", "hamming", "n_a", "n_b")
-        .orderBy("id_a", "id_b")
-    )
+    return hamming_band_pairs(hashes, threshold=6).orderBy("id_a", "id_b")

@@ -247,3 +247,56 @@ def test_phash_near_dup_matches_brute_force(spark):
 
     assert sorted(got) == sorted(want)
     assert len(want) > 0  # fixture actually produces near-dups
+
+
+def test_audio_fingerprint_dedup_matches_brute_force(spark):
+    """mm_audio_fingerprint_dedup: banded pairs == exhaustive Hamming
+    over the same WAV-round-tripped fingerprints (8x8 banding exact
+    for threshold 6 by pigeonhole), with exact-fingerprint collapse."""
+    from itertools import combinations
+
+    import numpy as np
+
+    from data_engineering_capstone_spark.catalog import load_all
+    from data_engineering_capstone_spark.llm.codecs import (
+        audio_fp64,
+        read_wav_pcm16,
+        write_wav_pcm16,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = [
+        (r["id_a"], r["id_b"], r["hamming"], r["n_a"], r["n_b"])
+        for r in load_all()["mm_audio_fingerprint_dedup"].fn(spark, sf_dir).collect()
+    ]
+
+    NW, WIN = 65, 16
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    hashes = {}
+    for did in range(n_docs):
+        if did % 4 != 2:
+            continue
+        k = did % 40
+        w = np.arange(NW, dtype=np.int64)
+        env = ((k + 1) * (7 * w + 3)) % 97 + 8
+        j, r = did % NW, 1 + (did // 40) % 14
+        idx = (j + 2 * np.arange(r)) % NW
+        env[idx] = env[idx] + 60
+        t = np.arange(NW * WIN, dtype=np.int64)
+        carrier = ((t * 13) % 17) - 8
+        v = (env.repeat(WIN) * carrier * 23) % 65536 - 32768
+        dec, _ = read_wav_pcm16(write_wav_pcm16(v.astype(np.int64)))
+        hashes[did] = audio_fp64(dec.astype(np.int64), NW)
+
+    groups = {}
+    for did, h in sorted(hashes.items()):
+        groups.setdefault(h, []).append(did)
+    reps = {min(ds): (h, len(ds)) for h, ds in groups.items()}
+    want = []
+    for a, b in combinations(sorted(reps), 2):
+        ham = bin((reps[a][0] ^ reps[b][0]) & ((1 << 64) - 1)).count("1")
+        if ham <= 6:
+            want.append((a, b, ham, reps[a][1], reps[b][1]))
+
+    assert sorted(got) == sorted(want)
+    assert len(want) > 0

@@ -96,6 +96,7 @@ LLM_SET = [
     "llm_ngram_novelty",
     "llm_url_dedup_canonical",
     "mm_phash_near_dup",
+    "mm_audio_fingerprint_dedup",
 ]
 
 # Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
