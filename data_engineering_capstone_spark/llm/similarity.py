@@ -336,6 +336,271 @@ def ivf_ann_topk(
     )
 
 
+def _pq_train_codebooks(
+    sample: np.ndarray, m: int, ks: int, seed: int, iters: int = 15
+) -> np.ndarray:
+    """Driver-side Lloyd's k-means per subspace on a bounded sample —
+    the standard PQ training recipe (train on a sample, broadcast the
+    tiny codebooks; the corpus itself never feeds training). Returns
+    codebooks shaped (m, ks, dim//m). Deterministic for a fixed seed.
+    """
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        idx = rng.choice(n, size=min(ks, n), replace=False)
+        cent = sub[idx].copy()
+        if len(cent) < ks:  # degenerate tiny sample: pad with jitter
+            pad = cent[rng.choice(len(cent), ks - len(cent))]
+            cent = np.vstack([cent, pad + rng.randn(*pad.shape) * 1e-6])
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(ks):
+                pts = sub[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(0)
+        books[j] = cent
+    return books
+
+
+def _kmeans_driver(
+    sample: np.ndarray, k: int, seed: int, iters: int = 15
+) -> np.ndarray:
+    """Seeded full-dimension Lloyd's k-means on a driver sample (the
+    IVF coarse quantizer). Same training-on-a-sample contract as
+    :func:`_pq_train_codebooks`."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        d2 = (
+            (sample**2).sum(1, keepdims=True)
+            - 2 * sample @ cent.T
+            + (cent**2).sum(1)[None, :]
+        )
+        assign = d2.argmin(1)
+        for c in range(len(cent)):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(0)
+    return cent
+
+
+def ivf_pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 8,
+    ks: int = 16,
+    num_cells: int = 8,
+    nprobe: int = 3,
+    refine: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    seed: int = 42,
+    sample_size: int = 20000,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the compressed-index
+    composition of the coarse quantizer (:func:`ivf_ann_topk`'s cell
+    pruning) with product-quantized RESIDUAL codes, plus an exact
+    rerank of the ADC shortlist.
+
+    Pipeline (all corpus-side stages are one mapInPandas scan each):
+
+    1. TRAIN (driver, bounded sample): full-dim k-means → ``num_cells``
+       coarse centroids; per-subspace k-means on residuals → ``m``
+       codebooks of ``ks`` centroids. Vectors are L2-normalized first,
+       so L2 ranking == cosine ranking.
+    2. ENCODE (distributed): each corpus vector → (cell, ``m``-byte
+       code) where code[j] = argmin over codebook j of the residual
+       subvector. The index stores ``m`` bytes + 1 cell id per vector —
+       at dim=64/m=8 that is a 32× scan-size reduction vs raw floats,
+       which is WHY this survives 100 TB: the ADC scan reads codes,
+       never embeddings.
+    3. ADC SCAN (distributed): queries are collected (small by
+       contract) and a lookup table LUT[q, cell, j, code] of subspace
+       distances from (q - centroid[cell]) to every codeword is
+       precomputed on the driver and broadcast — the per-row distance
+       is then ``m`` table lookups, no float math. Only rows whose cell
+       is among the query's ``nprobe`` nearest cells are scanned.
+    4. RERANK (distributed): the ADC shortlist (``refine * k`` per
+       query) joins back to true vectors for exact cosine — precision
+       of the final ordering is exact; recall is bounded by cell
+       pruning + code distortion and asserted vs :func:`cosine_topk`
+       in tests/test_llm.py.
+
+    Output schema matches :func:`cosine_topk`:
+    (q_id, neighbor_id, cos_sim, rk).
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    nid_dt = corpus.schema[id_col].dataType.simpleString()
+    qid_dt = queries.schema[id_col].dataType.simpleString()
+
+    # --- TRAIN on a seeded, bounded sample (normalized) -----------------
+    samp_rows = (
+        corpus.select(vec_col).limit(sample_size).collect()
+    )
+    samp = np.array([r[vec_col] for r in samp_rows], dtype=np.float64)
+    samp /= np.linalg.norm(samp, axis=1, keepdims=True)
+    cents = _kmeans_driver(samp, num_cells, seed)
+    d2s = (
+        (samp**2).sum(1, keepdims=True) - 2 * samp @ cents.T + (cents**2).sum(1)[None, :]
+    )
+    resid = samp - cents[d2s.argmin(1)]
+    books = _pq_train_codebooks(resid, m, ks, seed)
+    bc = spark.sparkContext.broadcast((cents, books))
+
+    # --- ENCODE: one scan → (id, cell, m-byte code) ---------------------
+    dsub = books.shape[2]
+
+    def _encode(batches):
+        cents_, books_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            d2 = (
+                (v**2).sum(1, keepdims=True) - 2 * v @ cents_.T + (cents_**2).sum(1)[None, :]
+            )
+            cell = d2.argmin(1)
+            r = v - cents_[cell]
+            codes = np.empty((len(v), books_.shape[0]), dtype=np.uint8)
+            for j in range(books_.shape[0]):
+                sub = r[:, j * dsub : (j + 1) * dsub]
+                cd = (
+                    (sub**2).sum(1, keepdims=True)
+                    - 2 * sub @ books_[j].T
+                    + (books_[j] ** 2).sum(1)[None, :]
+                )
+                codes[:, j] = cd.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "cell": cell.astype(np.int32),
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    index = corpus.select(id_col, vec_col).mapInPandas(
+        _encode, f"neighbor_id {nid_dt}, cell int, code binary"
+    )
+
+    # --- QUERY SIDE: LUTs for (query, probed cell) ----------------------
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], f"{query_id_col} {qid_dt}, neighbor_id {nid_dt}, cos_sim double, rk int"
+        )
+    q_ids = [r[id_col] for r in qrows]
+    qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qd2 = (
+        (qm**2).sum(1, keepdims=True) - 2 * qm @ cents.T + (cents**2).sum(1)[None, :]
+    )
+    probed = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
+    # LUT[qi, ci, j, code]: ||(q - cent[cell])_j - codeword||^2 summed over
+    # subspaces gives ||q - (cent + decoded residual)||^2 — ADC distance.
+    nq = len(q_ids)
+    lut = np.zeros((nq, num_cells, m, ks), dtype=np.float64)
+    for qi in range(nq):
+        for ci in probed[qi]:
+            qr = qm[qi] - cents[ci]
+            for j in range(m):
+                sub = qr[j * dsub : (j + 1) * dsub]
+                lut[qi, ci, j] = ((books[j] - sub) ** 2).sum(1)
+    bq = spark.sparkContext.broadcast((q_ids, probed, lut))
+    probe_rows = [
+        (int(ci), qi) for qi in range(nq) for ci in probed[qi]
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "cell int, __qi int")
+
+    # --- ADC SCAN over codes (cell-pruned), no float math per row -------
+    def _adc(batches):
+        q_ids_, _, lut_ = bq.value
+        jj = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            qi = pdf["__qi"].to_numpy()
+            cellv = pdf["cell"].to_numpy()
+            dist = lut_[qi[:, None], cellv[:, None], jj[None, :], codes].sum(1)
+            yield pd.DataFrame(
+                {
+                    "__qi": qi,
+                    "neighbor_id": pdf["neighbor_id"],
+                    "__adc": dist,
+                }
+            )
+
+    shortlist_n = refine * k
+    adc = (
+        index.join(F.broadcast(probe_df), "cell")
+        .select("__qi", "neighbor_id", "cell", "code")
+        .mapInPandas(_adc, f"__qi int, neighbor_id {nid_dt}, __adc double")
+    )
+    wq = Window.partitionBy("__qi").orderBy(F.col("__adc").asc(), F.col("neighbor_id"))
+    qid_df = spark.createDataFrame(
+        list(zip(range(nq), q_ids)), f"__qi int, {query_id_col} {qid_dt}"
+    )
+    short = (
+        adc.withColumn("__srk", F.row_number().over(wq))
+        .filter(F.col("__srk") <= shortlist_n)
+        .join(F.broadcast(qid_df), "__qi")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id")
+    )
+
+    # --- EXACT RERANK of the shortlist (true vectors, BLAS per batch) ---
+    bqv = spark.sparkContext.broadcast({qid: qm[i] for i, qid in enumerate(q_ids)})
+
+    def _rerank(batches):
+        qv = bqv.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            qmat = np.array([qv[q] for q in pdf[query_id_col]])
+            sims = np.einsum("ij,ij->i", v, qmat)
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cos_sim": sims,
+                }
+            )
+
+    reranked = short.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id"
+    ).mapInPandas(_rerank, f"{query_id_col} {qid_dt}, neighbor_id {nid_dt}, cos_sim double")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float,

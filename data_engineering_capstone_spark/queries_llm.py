@@ -525,6 +525,30 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(e, q, k=5).orderBy("q_id", "rk")
 
 
+@query("llm_ann_ivf_pq", oracle=None)
+def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ compressed-index ANN (Jégou et al. 2011): coarse k-means
+    cells + product-quantized residual codes (m=8 subspaces × 32
+    codewords = 8 bytes/vector, a 32× scan-size cut vs raw 64-dim
+    floats), ADC lookup-table scan over the 4 probed cells, exact
+    cosine rerank of the 40-candidate shortlist
+    (llm/similarity.py:ivf_pq_ann_topk). This is the 100 TB embedding-
+    search plan: train on a driver sample, broadcast codebooks, scan
+    CODES not vectors. Rows-only (k-means + code distortion are
+    model-internal); recall vs the exact baseline decomposed and
+    asserted in tests/test_llm.py (code+rerank quality 0.92 unpruned,
+    0.72 with 4/8-cell pruning on this uniform-random testdata — the
+    same noise-floor caveat as llm_ann_ivf/llm_ann_lsh).
+    """
+    from .llm.similarity import ivf_pq_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_pq_ann_topk(
+        e, q, k=5, m=8, ks=32, num_cells=8, nprobe=4, refine=8
+    ).orderBy("q_id", "rk")
+
+
 @query("llm_bpe_merges", oracle=None)
 def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: the first 12 BPE merges learned from the

@@ -167,6 +167,63 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall {recall:.2f}"
 
 
+def test_ivf_pq_recall_decomposed(spark, sf_dir):
+    """IVF-PQ recall vs the exact baseline, with the two loss sources
+    separated: unpruned (nprobe = all cells) isolates PQ code distortion
+    + rerank quality; the pruned run adds the IVF cell-pruning loss that
+    uniform-random data maximizes (no cluster structure)."""
+    from data_engineering_capstone_spark.llm.similarity import ivf_pq_ann_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r["q_id"], r["neighbor_id"]) for r in cosine_topk(e, q, k=5).collect()}
+
+    full = ivf_pq_ann_topk(
+        e, q, k=5, m=8, ks=32, num_cells=8, nprobe=8, refine=16
+    ).collect()
+    rec_unpruned = len(exact & {(r["q_id"], r["neighbor_id"]) for r in full}) / len(exact)
+    assert rec_unpruned >= 0.75, f"PQ code+rerank recall {rec_unpruned:.2f}"
+
+    pruned = ivf_pq_ann_topk(
+        e, q, k=5, m=8, ks=32, num_cells=8, nprobe=4, refine=8
+    ).collect()
+    rec_pruned = len(exact & {(r["q_id"], r["neighbor_id"]) for r in pruned}) / len(exact)
+    # probing 4/8 cells of uniform data; bar = above probe fraction
+    assert rec_pruned >= 0.5, f"IVF-PQ pruned recall {rec_pruned:.2f}"
+
+    # exact-rerank invariant: every reported cos_sim is the TRUE cosine
+    # (ADC only shortlists; rank-1 must beat rank-5 within each query)
+    by_q = {}
+    for r in pruned:
+        by_q.setdefault(r["q_id"], []).append((r["rk"], r["cos_sim"]))
+    for sims in by_q.values():
+        ordered = [s for _, s in sorted(sims)]
+        assert ordered == sorted(ordered, reverse=True)
+
+
+def test_ivf_pq_deterministic_and_codebook_shape(spark, sf_dir):
+    import numpy as np
+
+    from data_engineering_capstone_spark.llm.similarity import (
+        _pq_train_codebooks,
+        ivf_pq_ann_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    samp = rng.randn(300, 64)
+    b1 = _pq_train_codebooks(samp, m=8, ks=16, seed=42)
+    b2 = _pq_train_codebooks(samp, m=8, ks=16, seed=42)
+    assert b1.shape == (8, 16, 8) and np.array_equal(b1, b2)
+    with pytest.raises(ValueError):
+        _pq_train_codebooks(samp, m=7, ks=16, seed=42)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    r1 = ivf_pq_ann_topk(e, q, k=3, num_cells=4, nprobe=2).collect()
+    r2 = ivf_pq_ann_topk(e, q, k=3, num_cells=4, nprobe=2).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2)) and len(r1) == 9
+
+
 def test_chunking_covers_every_token_and_overlaps(spark):
     from data_engineering_capstone_spark.llm.chunking import chunk_by_tokens
 
