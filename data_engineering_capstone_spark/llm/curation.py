@@ -80,6 +80,95 @@ def repetition_gate(
     )
 
 
+# The 8 Gopher required-stopwords (Rae et al. 2021, appendix A1.1):
+# a document must contain >= 2 distinct members to pass the gate.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher/MassiveText structural quality rules (Rae et al. 2021,
+    appendix A1.1 — the public document-filter spec every modern
+    pretraining pipeline descends from): word-count bounds, mean word
+    length in [3, 10], symbol-to-word ratio ('#' and '...') <= 0.1,
+    <= 90% of lines starting with a bullet, <= 30% ending with an
+    ellipsis, >= 80% of words containing an alphabetic character, and
+    >= 2 distinct hits in the 8-stopword set.
+
+    Returns one row per document with every measured value, a 0/1
+    column per rule, and the conjunctive ``pass_gate``. Pure Column
+    expressions (JVM codegen, shuffle-free scan) chosen to be
+    reproducible verbatim in ANSI/DuckDB SQL — complements
+    :func:`repetition_metrics` (the frequency-based half of the Gopher
+    filter) with the structural half.
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    mean_len = F.length(F.array_join(toks, "")) / n_words
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = (n_hash + n_ell) / n_words
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    bullet_ratio = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).startswith("-")
+            | F.trim(x).startswith("*")
+            | F.trim(x).startswith("•"),
+        )
+    ) / n_lines
+    ellipsis_ratio = F.size(
+        F.filter(lines, lambda x: F.trim(x).endswith("..."))
+    ) / n_lines
+    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_words
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "r_symbol": symbol_ratio <= max_symbol_ratio,
+        "r_bullet": bullet_ratio <= max_bullet_ratio,
+        "r_ellipsis": ellipsis_ratio <= max_ellipsis_ratio,
+        "r_alpha": alpha_frac >= min_alpha_frac,
+        "r_stopwords": stop_hits >= min_stop_hits,
+    }
+    out = [
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+    ]
+    out += [c.cast("int").alias(name) for name, c in rules.items()]
+    gate = None
+    for c in rules.values():
+        gate = c if gate is None else (gate & c)
+    out.append(gate.cast("int").alias("pass_gate"))
+    return df.select(*out)
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

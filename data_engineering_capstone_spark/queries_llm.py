@@ -525,6 +525,79 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(e, q, k=5).orderBy("q_id", "rk")
 
 
+@query(
+    "llm_gopher_rules",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+             len(text) - len(replace(text, '#', '')) AS n_hash,
+             (len(text) - len(replace(text, '...', ''))) / 3 AS n_ell,
+             len(regexp_replace(trim(text), '\\s+', '', 'g')) AS tok_chars
+      FROM documents
+    ), vals AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             tok_chars / len(toks) AS mean_word_len,
+             (n_hash + n_ell) / len(toks) AS symbol_ratio,
+             len(list_filter(lines, x -> starts_with(trim(x), '-')
+                 OR starts_with(trim(x), '*') OR starts_with(trim(x), '•')))
+               / len(lines) AS bullet_ratio,
+             len(list_filter(lines, x -> ends_with(trim(x), '...')))
+               / len(lines) AS ellipsis_ratio,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               / len(toks) AS alpha_frac,
+             len(list_intersect(list_distinct(toks),
+                 ['the','be','to','of','and','that','have','with'])) AS stop_hits
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           ROUND(mean_word_len, 6) AS mean_word_len,
+           ROUND(symbol_ratio, 6) AS symbol_ratio,
+           ROUND(bullet_ratio, 6) AS bullet_ratio,
+           ROUND(ellipsis_ratio, 6) AS ellipsis_ratio,
+           ROUND(alpha_frac, 6) AS alpha_frac,
+           CAST(stop_hits AS INT) AS stop_hits,
+           CAST(n_words BETWEEN 20 AND 80 AS INT) AS r_word_count,
+           CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS r_mean_word_len,
+           CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
+           CAST(bullet_ratio <= 0.9 AS INT) AS r_bullet,
+           CAST(ellipsis_ratio <= 0.3 AS INT) AS r_ellipsis,
+           CAST(alpha_frac >= 0.8 AS INT) AS r_alpha,
+           CAST(stop_hits >= 1 AS INT) AS r_stopwords,
+           CAST(n_words BETWEEN 20 AND 80
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+                AND ellipsis_ratio <= 0.3 AND alpha_frac >= 0.8
+                AND stop_hits >= 1 AS INT) AS pass_gate
+    FROM vals ORDER BY doc_id
+    """,
+)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText structural quality gate (Rae et al. 2021,
+    appendix A1.1): word-count bounds, mean-word-length [3,10],
+    symbol-to-word ratio, bullet/ellipsis line ratios, alpha-word
+    fraction >= 0.8, >= 2 distinct required stopwords — per-rule 0/1
+    verdicts + conjunctive pass_gate (llm/curation.py:gopher_rules).
+    Complements llm_repetition_filter (the frequency half of the Gopher
+    filter). Word-count bounds scaled to the fixture's 10-99-word docs
+    (production: 50..100k); the line-structure rules compute real
+    ratios but cannot fail on this single-line punctuation-free
+    fixture — the discriminating rules here are word-count (358/500
+    pass) and the stopword minimum (1 here vs the published 2: the
+    fixture vocabulary holds only 'the' from the 8-word set, splitting
+    382/118). Shuffle-free single scan, pure codegen Columns.
+    """
+    from .llm.curation import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_rules(
+        d, "text", "doc_id", min_words=20, max_words=80, min_stop_hits=1
+    ).orderBy("doc_id")
+
+
 @query("llm_ann_ivf_pq", oracle=None)
 def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ compressed-index ANN (Jégou et al. 2011): coarse k-means

@@ -167,6 +167,41 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall {recall:.2f}"
 
 
+def test_gopher_rules_structural(spark):
+    """The line/symbol rules the single-line fixture can't exercise:
+    bullet-heavy, ellipsis-heavy, symbol-heavy, and numeric docs must
+    each fail exactly their rule."""
+    from data_engineering_capstone_spark.llm.curation import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and that is it with ease"
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "- one\n- two\n- three\n* four\n• five"),  # all bullets
+            (3, "first line...\nsecond line...\nthird one..."),  # ellipsis ends
+            (4, "the ### tag ## and # more # hash # spam # here"),  # symbols
+            (5, "1 2 3 4 5 6 7 8 9 10 11 12 the"),  # numeric words
+        ],
+        "doc_id int, text string",
+    )
+    r = {
+        row["doc_id"]: row
+        for row in gopher_rules(
+            docs, "text", "doc_id", min_words=5, max_words=100
+        ).collect()
+    }
+    assert r[1]["pass_gate"] == 1
+    assert r[2]["r_bullet"] == 0 and r[2]["bullet_ratio"] == 1.0
+    assert r[3]["r_ellipsis"] == 0 and r[3]["ellipsis_ratio"] == 1.0
+    assert r[4]["r_symbol"] == 0 and r[4]["symbol_ratio"] > 0.1
+    assert r[5]["r_alpha"] == 0 and r[5]["alpha_frac"] < 0.8
+    # every failing doc fails the gate; rule columns are 0/1 ints
+    for row in r.values():
+        flags = [row[c] for c in row.asDict() if c.startswith("r_")]
+        assert set(flags) <= {0, 1}
+        assert row["pass_gate"] == int(all(flags))
+
+
 def test_ivf_pq_recall_decomposed(spark, sf_dir):
     """IVF-PQ recall vs the exact baseline, with the two loss sources
     separated: unpruned (nprobe = all cells) isolates PQ code distortion
