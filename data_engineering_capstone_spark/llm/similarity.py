@@ -391,64 +391,35 @@ def _kmeans_driver(
     return cent
 
 
-def ivf_pq_ann_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int,
+def pq_build_index(
+    corpus: "DataFrame",
     m: int = 8,
     ks: int = 16,
     num_cells: int = 8,
-    nprobe: int = 3,
-    refine: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "q_id",
     seed: int = 42,
     sample_size: int = 20000,
-) -> DataFrame:
-    """IVF-PQ approximate top-k (Jégou et al. 2011, "Product
-    Quantization for Nearest Neighbor Search"): the compressed-index
-    composition of the coarse quantizer (:func:`ivf_ann_topk`'s cell
-    pruning) with product-quantized RESIDUAL codes, plus an exact
-    rerank of the ADC shortlist.
+) -> tuple["DataFrame", dict]:
+    """TRAIN + ENCODE stages of IVF-PQ (Jégou et al. 2011): returns the
+    compressed index DataFrame (neighbor_id, cell, code binary) plus the
+    model payload {"cents", "books"} needed at query time.
 
-    Pipeline (all corpus-side stages are one mapInPandas scan each):
-
-    1. TRAIN (driver, bounded sample): full-dim k-means → ``num_cells``
-       coarse centroids; per-subspace k-means on residuals → ``m``
-       codebooks of ``ks`` centroids. Vectors are L2-normalized first,
-       so L2 ranking == cosine ranking.
-    2. ENCODE (distributed): each corpus vector → (cell, ``m``-byte
-       code) where code[j] = argmin over codebook j of the residual
-       subvector. The index stores ``m`` bytes + 1 cell id per vector —
-       at dim=64/m=8 that is a 32× scan-size reduction vs raw floats,
-       which is WHY this survives 100 TB: the ADC scan reads codes,
-       never embeddings.
-    3. ADC SCAN (distributed): queries are collected (small by
-       contract) and a lookup table LUT[q, cell, j, code] of subspace
-       distances from (q - centroid[cell]) to every codeword is
-       precomputed on the driver and broadcast — the per-row distance
-       is then ``m`` table lookups, no float math. Only rows whose cell
-       is among the query's ``nprobe`` nearest cells are scanned.
-    4. RERANK (distributed): the ADC shortlist (``refine * k`` per
-       query) joins back to true vectors for exact cosine — precision
-       of the final ordering is exact; recall is bounded by cell
-       pruning + code distortion and asserted vs :func:`cosine_topk`
-       in tests/test_llm.py.
-
-    Output schema matches :func:`cosine_topk`:
-    (q_id, neighbor_id, cos_sim, rk).
+    TRAIN runs driver-side on a seeded, bounded sample (the standard PQ
+    recipe — the corpus never feeds training); ENCODE is one distributed
+    scan: each L2-normalized vector lands in its nearest coarse cell and
+    its RESIDUAL is product-quantized to ``m`` uint8 codes. The index
+    stores ``m`` bytes + a cell id per vector — at dim=64/m=8 a 32×
+    scan-size cut vs raw floats, which is WHY this survives 100 TB: ADC
+    scans read codes, never embeddings. Persist the index with
+    ``index.write.parquet(...)`` (partition by cell for cell-pruned
+    scans) and re-query it without re-encoding — the same build-once/
+    query-many shape as llm_minhash_index_delta.
     """
     import pandas as pd
 
-    spark = corpus.sparkSession
     nid_dt = corpus.schema[id_col].dataType.simpleString()
-    qid_dt = queries.schema[id_col].dataType.simpleString()
-
-    # --- TRAIN on a seeded, bounded sample (normalized) -----------------
-    samp_rows = (
-        corpus.select(vec_col).limit(sample_size).collect()
-    )
+    samp_rows = corpus.select(vec_col).limit(sample_size).collect()
     samp = np.array([r[vec_col] for r in samp_rows], dtype=np.float64)
     samp /= np.linalg.norm(samp, axis=1, keepdims=True)
     cents = _kmeans_driver(samp, num_cells, seed)
@@ -457,9 +428,7 @@ def ivf_pq_ann_topk(
     )
     resid = samp - cents[d2s.argmin(1)]
     books = _pq_train_codebooks(resid, m, ks, seed)
-    bc = spark.sparkContext.broadcast((cents, books))
-
-    # --- ENCODE: one scan → (id, cell, m-byte code) ---------------------
+    bc = corpus.sparkSession.sparkContext.broadcast((cents, books))
     dsub = books.shape[2]
 
     def _encode(batches):
@@ -494,8 +463,43 @@ def ivf_pq_ann_topk(
     index = corpus.select(id_col, vec_col).mapInPandas(
         _encode, f"neighbor_id {nid_dt}, cell int, code binary"
     )
+    return index, {"cents": cents, "books": books}
 
-    # --- QUERY SIDE: LUTs for (query, probed cell) ----------------------
+
+def pq_query_index(
+    index: "DataFrame",
+    model: dict,
+    queries: "DataFrame",
+    corpus: "DataFrame",
+    k: int,
+    nprobe: int = 3,
+    refine: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> "DataFrame":
+    """ADC SCAN + EXACT RERANK stages of IVF-PQ over a built (or
+    re-loaded) index from :func:`pq_build_index`.
+
+    Queries are collected (small by contract) and a lookup table
+    LUT[q, cell, j, code] of subspace distances from (q − centroid[cell])
+    to every codeword is precomputed on the driver and broadcast — the
+    per-row ADC distance is then ``m`` table lookups, no float math, and
+    only rows in each query's ``nprobe`` nearest cells are scanned. The
+    ``refine * k`` ADC shortlist joins back to true vectors in ``corpus``
+    for exact cosine, so the FINAL ordering is exact; recall is bounded
+    by cell pruning + code distortion (decomposed in tests/test_llm.py).
+    Output schema matches :func:`cosine_topk`:
+    (q_id, neighbor_id, cos_sim, rk).
+    """
+    import pandas as pd
+
+    spark = index.sparkSession
+    cents, books = model["cents"], model["books"]
+    num_cells, (m, ks, dsub) = len(cents), books.shape
+    nid_dt = dict(index.dtypes)["neighbor_id"]
+    qid_dt = queries.schema[id_col].dataType.simpleString()
+
     qrows = queries.select(id_col, vec_col).collect()
     if not qrows:
         return spark.createDataFrame(
@@ -519,12 +523,9 @@ def ivf_pq_ann_topk(
                 sub = qr[j * dsub : (j + 1) * dsub]
                 lut[qi, ci, j] = ((books[j] - sub) ** 2).sum(1)
     bq = spark.sparkContext.broadcast((q_ids, probed, lut))
-    probe_rows = [
-        (int(ci), qi) for qi in range(nq) for ci in probed[qi]
-    ]
+    probe_rows = [(int(ci), qi) for qi in range(nq) for ci in probed[qi]]
     probe_df = spark.createDataFrame(probe_rows, "cell int, __qi int")
 
-    # --- ADC SCAN over codes (cell-pruned), no float math per row -------
     def _adc(batches):
         q_ids_, _, lut_ = bq.value
         jj = np.arange(m)
@@ -563,7 +564,6 @@ def ivf_pq_ann_topk(
         .select(query_id_col, "neighbor_id")
     )
 
-    # --- EXACT RERANK of the shortlist (true vectors, BLAS per batch) ---
     bqv = spark.sparkContext.broadcast({qid: qm[i] for i, qid in enumerate(q_ids)})
 
     def _rerank(batches):
@@ -598,6 +598,39 @@ def ivf_pq_ann_topk(
             F.round("cos_sim", 6).alias("cos_sim"),
             F.col("rk").cast("int").alias("rk"),
         )
+    )
+
+
+def ivf_pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 8,
+    ks: int = 16,
+    num_cells: int = 8,
+    nprobe: int = 3,
+    refine: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    seed: int = 42,
+    sample_size: int = 20000,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the fused build+query
+    composition of :func:`pq_build_index` (coarse k-means cells +
+    product-quantized residual codes) and :func:`pq_query_index`
+    (broadcast-LUT ADC scan over the probed cells + exact rerank of the
+    shortlist). See those two for the stage-by-stage 100 TB design; use
+    them directly to persist the index and query it many times.
+    """
+    index, model = pq_build_index(
+        corpus, m=m, ks=ks, num_cells=num_cells, id_col=id_col,
+        vec_col=vec_col, seed=seed, sample_size=sample_size,
+    )
+    return pq_query_index(
+        index, model, queries, corpus, k, nprobe=nprobe, refine=refine,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     )
 
 

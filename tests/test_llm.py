@@ -236,6 +236,33 @@ def test_ivf_pq_recall_decomposed(spark, sf_dir):
         assert ordered == sorted(ordered, reverse=True)
 
 
+def test_ivf_pq_index_persist_roundtrip(spark, sf_dir, tmp_path):
+    """Build-once/query-many: the PQ index written to parquet
+    (partitioned by cell) and re-loaded must answer queries identically
+    to the fused build+query path — the batch twin of the streaming/
+    incremental index-reuse entries."""
+    from data_engineering_capstone_spark.llm.similarity import (
+        ivf_pq_ann_topk,
+        pq_build_index,
+        pq_query_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    fused = ivf_pq_ann_topk(e, q, k=4, num_cells=8, nprobe=4, refine=8).collect()
+
+    index, model = pq_build_index(e, num_cells=8)
+    path = str(tmp_path / "pq_index")
+    index.write.partitionBy("cell").parquet(path)
+    reloaded = spark.read.parquet(path)
+    reread = pq_query_index(
+        reloaded, model, q, e, k=4, nprobe=4, refine=8
+    ).collect()
+    assert sorted(map(tuple, fused)) == sorted(map(tuple, reread))
+    # compression invariant: every stored code is exactly m bytes
+    assert {len(r["code"]) for r in reloaded.collect()} == {8}
+
+
 def test_ivf_pq_deterministic_and_codebook_shape(spark, sf_dir):
     import numpy as np
 
