@@ -220,6 +220,34 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_count_min_top_users", oracle=None)
+def stream_count_min_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters via a count-min sketch maintained as
+    streaming state (streaming/windows.py:streaming_count_min): the
+    (row, pos) counter table is an additive aggregation, so the
+    incremental streaming agg IS the sketch-merge and state stays
+    bounded at depth x width counters no matter how long the stream
+    runs — the only frequency state shape that survives unbounded
+    ingestion. The drained sketch is probed with the key universe via
+    count_min_estimate (depth broadcast lookups) for the top-10 users
+    by estimated event count, ties broken by user_id. Rows-only by
+    nature (estimator, same contract as agg_count_min_heavy_hitters);
+    the streaming sketch is differential-tested row-identical to the
+    batch count_min_table and its estimates bounded below by exact
+    counts in tests/test_streaming.py.
+    """
+    from .operators.sketches import count_min_estimate
+    from .sources.testdata import load_table
+    from .streaming.windows import streaming_count_min
+
+    sketch = run_available_now(
+        streaming_count_min(_events(spark, sf_dir)), "complete"
+    )
+    keys = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    est = count_min_estimate(sketch, keys, "user_id")
+    return est.orderBy(F.col("cms_estimate").desc(), "user_id").limit(10)
+
+
 @query("stream_minhash_dedup", oracle=None)
 def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING near-duplicate detection: MinHash-LSH with per-bucket

@@ -448,3 +448,32 @@ def test_streaming_minhash_state_survives_checkpoint_restart(spark, tmp_path):
     assert (1, 3) in want, "fixture must plant a cross-run near-dup"
     # (1,3) can only be emitted if doc 1's signature survived recovery
     assert got == want
+
+
+def test_streaming_count_min_equals_batch_sketch(spark, sf_dir):
+    """Mergeability made executable: the count-min counter table drained
+    from the stream must be ROW-IDENTICAL to the batch sketch over the
+    same events (additive counters + same seeded hash family), and every
+    probe estimate must bound the exact count from above (classic CMS
+    one-sided error)."""
+    from data_engineering_capstone_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+    from data_engineering_capstone_spark.streaming.windows import streaming_count_min
+
+    events = load_table(spark, sf_dir, "events")
+    streamed = run_available_now(
+        streaming_count_min(stream_events(spark, sf_dir)), "complete"
+    )
+    batch = count_min_table(events, "user_id")
+    a = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probed = count_min_estimate(batch, exact, "user_id").collect()
+    assert all(r["cms_estimate"] >= r["exact_n"] for r in probed)
+    # at this key cardinality vs 4x4096 counters, all-rows collisions
+    # are essentially impossible: estimates should be exact
+    assert all(r["cms_estimate"] == r["exact_n"] for r in probed)
