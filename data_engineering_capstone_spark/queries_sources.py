@@ -65,6 +65,51 @@ def _roundtrip_agg(spark: SparkSession, sf_dir: str, customers: DataFrame) -> Da
     )
 
 
+@query(
+    "scan_parquet_schema_evolution",
+    oracle="""
+    SELECT 1 AS batch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_region_nonnull,
+           CAST(NULL AS BIGINT) AS region_sum
+    FROM nation
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(COUNT(n_regionkey) AS BIGINT),
+           CAST(SUM(n_regionkey) AS BIGINT)
+    FROM nation
+    ORDER BY batch
+    """,
+)
+def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: an early batch written WITHOUT
+    n_regionkey and a later batch WITH it land in one dataset directory;
+    ``mergeSchema=true`` reads the union schema and backfills nulls for
+    the pre-drift files. This is how multi-year 100 TB datasets actually
+    look — columns appear over time, and the scan must reconcile footers
+    per file instead of trusting the first one (mergeSchema costs a
+    footer read per file, so production defaults it OFF and flips it on
+    for drifted datasets; at scale, prefer an explicit schema). The
+    oracle recomputes each batch's expected profile from the source
+    nation view. Fixture dir is per-pid (no cross-process staleness).
+    """
+    n = _t(spark, sf_dir, "nation")
+    path = _tmp(sf_dir, f"schema_evo_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    n.select("n_nationkey", "n_name", F.lit(1).alias("batch")).write.parquet(path)
+    n.select(
+        "n_nationkey", "n_name", "n_regionkey", F.lit(2).alias("batch")
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("n_regionkey").alias("n_region_nonnull"),
+            F.sum("n_regionkey").cast("bigint").alias("region_sum"),
+        )
+        .orderBy("batch")
+    )
+
+
 @query("scan_csv_roundtrip", oracle=_NATION_AGG)
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-shaped CSV scan with explicit schema: customer → CSV → read →
