@@ -41,6 +41,35 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def nfc_text(col: Column | str) -> Column:
+    """Unicode canonical composition (NFC), Arrow-batched.
+
+    Exact dedup hashes BYTES, but Unicode admits many byte encodings of
+    the same rendered text (e.g. precomposed U+00E9 'é' vs 'e' +
+    combining U+0301): without canonicalization, canonically-equivalent
+    duplicates hash apart and survive dedup. Run this before
+    :func:`fingerprint_md5` on any corpus that ever touched a non-ASCII
+    source. Spark has no built-in normalizer, so this is the one
+    justified Python hop in the dedup path — Arrow-batched, linear,
+    shuffle-free; output is differential-checked byte-for-byte against
+    DuckDB's utf8proc ``nfc_normalize`` via md5 digests
+    (llm_unicode_nfc) and pinned by composed/decomposed dedup tests.
+    (The pandas_udf is built lazily: the decorator parses its DDL return
+    type against the ACTIVE session, so a module-level definition would
+    break import order — same rule as every other Arrow kernel here.)
+    """
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(F.col(col) if isinstance(col, str) else col)
+
+
 def shingle_set(col: Column | str, n: int = 2) -> Column:
     """Distinct word n-gram shingles (array<string>)."""
     return F.array_distinct(ngrams(col, n))

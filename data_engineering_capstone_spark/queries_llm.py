@@ -598,6 +598,54 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "llm_unicode_nfc",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0 THEN ' caf' || chr(101) || chr(769)
+                          WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+                          ELSE '' END AS t2
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(nfc_normalize(t2) <> t2 AS INT) AS changed,
+           md5(nfc_normalize(t2)) AS nfc_digest
+    FROM seeded ORDER BY doc_id
+    """,
+)
+def llm_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonical composition (NFC) before content hashing: the
+    fixture is ASCII, so a deterministic accent suffix is injected per
+    doc_id residue (decomposed 'e'+U+0301 for 0 mod 3, precomposed
+    U+00E9 for 1 mod 3, none otherwise) in BOTH engines, then each side
+    normalizes with its own implementation — Python unicodedata
+    (llm/dedup.py:nfc_text, Arrow-batched) vs DuckDB utf8proc
+    nfc_normalize — and the md5 digests must agree byte-for-byte. Docs
+    carrying the decomposed form must report changed=1 (NFC composes
+    them); all others changed=0. Without this pre-pass,
+    canonically-equivalent duplicates hash apart in llm_exact_dedup
+    (pinned in tests/test_llm.py).
+    """
+    from .llm.dedup import nfc_text
+
+    d = _t(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        # explicit escapes: the source-file encoding must not decide which
+        # form each branch carries (oracle: chr(101)||chr(769) vs chr(233))
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" caf" + "e\u0301"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" caf\u00e9"))
+        .otherwise(F.lit("")),
+    )
+    seeded = d.select("doc_id", t2.alias("t2"))
+    return seeded.select(
+        "doc_id",
+        (nfc_text(F.col("t2")) != F.col("t2")).cast("int").alias("changed"),
+        F.md5(nfc_text(F.col("t2"))).alias("nfc_digest"),
+    ).orderBy("doc_id")
+
+
 @query("llm_ann_ivf_pq", oracle=None)
 def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ compressed-index ANN (Jégou et al. 2011): coarse k-means

@@ -167,6 +167,23 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"IVF recall {recall:.2f}"
 
 
+def test_nfc_makes_canonical_duplicates_dedup(spark):
+    """Composed U+00E9 and decomposed e+U+0301 encode the same rendered
+    text: exact dedup must miss the pair on raw bytes and catch it after
+    the NFC pre-pass (llm/dedup.py:nfc_text)."""
+    from data_engineering_capstone_spark.llm.dedup import exact_dedup, nfc_text
+
+    docs = spark.createDataFrame(
+        [(1, "un caf\u00e9 fort"), (2, "un cafe\u0301 fort"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    raw = exact_dedup(docs, "text", "doc_id")
+    assert raw.count() == 3  # bytes differ: the pair survives
+    normed = docs.withColumn("text", nfc_text("text"))
+    deduped = exact_dedup(normed, "text", "doc_id")
+    assert {r["doc_id"] for r in deduped.collect()} == {1, 3}
+
+
 def test_gopher_rules_structural(spark):
     """The line/symbol rules the single-line fixture can't exercise:
     bullet-heavy, ellipsis-heavy, symbol-heavy, and numeric docs must
