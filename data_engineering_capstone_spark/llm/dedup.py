@@ -63,8 +63,12 @@ def nfc_text(col: Column | str) -> Column:
     def _nfc(s: pd.Series) -> pd.Series:
         import unicodedata
 
+        # str.isascii() is a C-speed flag check and ASCII is NFC-invariant:
+        # the common case (clean English web text) skips normalize entirely
         return s.map(
-            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+            lambda x: x
+            if x is None or x.isascii()
+            else unicodedata.normalize("NFC", x)
         )
 
     return _nfc(F.col(col) if isinstance(col, str) else col)
@@ -75,13 +79,24 @@ def shingle_set(col: Column | str, n: int = 2) -> Column:
     return F.array_distinct(ngrams(col, n))
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, nfc: bool = False
+) -> DataFrame:
     """Exact dedup: keep the lowest-id row per normalized-text digest.
+
+    ``nfc=True`` applies :func:`nfc_text` (unicode canonical
+    composition) before fingerprinting, so canonically-equivalent
+    byte-variants (precomposed vs combining accents) collapse too. Off
+    by default because it is an Arrow hop over every byte of the corpus
+    — pay it when the corpus ever touched a non-ASCII source, skip it
+    on provably-ASCII data (the fixture entry measures the ASCII path;
+    the flag is one argument away and pinned by test).
 
     (reference: notebook cell-7 'duplicate data' — scaled from
     dropDuplicates to digest-groupBy, SURVEY.md §2 B2/C-llm-dedup.)
     """
-    fp = df.withColumn("__fp", fingerprint_md5(text_col))
+    src = F.col(text_col) if not nfc else nfc_text(text_col)
+    fp = df.withColumn("__fp", F.md5(normalize_text(src)))
     winners = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return fp.join(winners, [id_col, "__fp"], "left_semi").drop("__fp")
 

@@ -599,6 +599,79 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_rate_report",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source || '_m', text FROM documents
+    ), fp AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM corpus
+    ), k AS (
+      SELECT f, MIN(doc_id) AS keeper FROM fp GROUP BY f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+           ROUND(AVG(CASE WHEN doc_id <> keeper THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
+    FROM fp JOIN k USING (f)
+    GROUP BY source ORDER BY source
+    """,
+)
+def llm_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup-rate report — the operational artifact a corpus
+    owner reads after every crawl: for each source, how many documents
+    it contributed and what fraction are duplicates of an
+    earlier-keeper document ANYWHERE in the corpus (global keeper = min
+    doc_id per content digest, so cross-source duplicates attribute to
+    the later source — the mirrored '_m' sources here report
+    dup_frac 1.0 while originals report their natural rate). Plan:
+    digest groupBy for keepers + one narrow join back; document bodies
+    shuffle only as 16-byte digests (SURVEY.md §2 C-llm-dedup
+    reporting tier).
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("source"), F.lit("_m")).alias("source"),
+            "text",
+        )
+    )
+    # one shuffle, not two: keeper-per-group via a window min instead of
+    # aggregate + join-back, over a 128-bit xxhash64 pair instead of an
+    # md5 hex string (half the exchange width, no hex encode; the
+    # differentiating literal folds FIRST so the two lanes are
+    # independent — see llm/spans.py). The oracle groups by md5: group
+    # IDENTITY is what parity needs, not the same hash function.
+    # Bodies are dropped before the exchange (text never shuffles).
+    from .llm.dedup import normalize_text
+
+    norm = normalize_text(F.col("text"))
+    fp = corpus.select(
+        "doc_id",
+        "source",
+        F.xxhash64(F.lit(0), norm).alias("__h1"),
+        F.xxhash64(F.lit(1), norm).alias("__h2"),
+    )
+    w = Window.partitionBy("__h1", "__h2")
+    flagged = fp.withColumn(
+        "__is_dup", (F.col("doc_id") != F.min("doc_id").over(w)).cast("int")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__is_dup").cast("bigint").alias("n_dupes"),
+            F.round(F.avg("__is_dup"), 6).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "llm_unicode_nfc",
     oracle="""
     WITH seeded AS (
@@ -639,11 +712,18 @@ def llm_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
     )
     seeded = d.select("doc_id", t2.alias("t2"))
-    return seeded.select(
-        "doc_id",
-        (nfc_text(F.col("t2")) != F.col("t2")).cast("int").alias("changed"),
-        F.md5(nfc_text(F.col("t2"))).alias("nfc_digest"),
-    ).orderBy("doc_id")
+    # normalize ONCE: each nfc_text call is its own Arrow round-trip of
+    # the full corpus, and deriving both output columns from one
+    # normalized column halves the dominant cost (measured at 64x:
+    # 3.46x -> see BASELINE.md round-5 NFC row)
+    return (
+        seeded.withColumn("__n", nfc_text(F.col("t2")))
+        .select(
+            "doc_id",
+            (F.col("__n") != F.col("t2")).cast("int").alias("changed"),
+            F.md5(F.col("__n")).alias("nfc_digest"),
+        )
+    )
 
 
 @query("llm_ann_ivf_pq", oracle=None)

@@ -182,6 +182,9 @@ def test_nfc_makes_canonical_duplicates_dedup(spark):
     normed = docs.withColumn("text", nfc_text("text"))
     deduped = exact_dedup(normed, "text", "doc_id")
     assert {r["doc_id"] for r in deduped.collect()} == {1, 3}
+    # the engaged form: same result via the flag, no manual pre-pass
+    flagged = exact_dedup(docs, "text", "doc_id", nfc=True)
+    assert {r["doc_id"] for r in flagged.collect()} == {1, 3}
 
 
 def test_gopher_rules_structural(spark):

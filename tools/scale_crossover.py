@@ -97,6 +97,12 @@ LLM_SET = [
     "llm_url_dedup_canonical",
     "mm_phash_near_dup",
     "mm_audio_fingerprint_dedup",
+    # round-5 second session, in a preset from birth: gopher is a
+    # shuffle-free structural-rule scan; nfc is the Arrow NFC kernel +
+    # digest (the one justified Python hop in the dedup path)
+    "llm_gopher_rules",
+    "llm_unicode_nfc",
+    "llm_dedup_rate_report",
 ]
 
 # Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
