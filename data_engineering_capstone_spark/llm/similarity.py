@@ -416,9 +416,6 @@ def pq_build_index(
     scans) and re-query it without re-encoding — the same build-once/
     query-many shape as llm_minhash_index_delta.
     """
-    import pandas as pd
-
-    nid_dt = corpus.schema[id_col].dataType.simpleString()
     samp_rows = corpus.select(vec_col).limit(sample_size).collect()
     samp = np.array([r[vec_col] for r in samp_rows], dtype=np.float64)
     samp /= np.linalg.norm(samp, axis=1, keepdims=True)
@@ -428,8 +425,30 @@ def pq_build_index(
     )
     resid = samp - cents[d2s.argmin(1)]
     books = _pq_train_codebooks(resid, m, ks, seed)
-    bc = corpus.sparkSession.sparkContext.broadcast((cents, books))
-    dsub = books.shape[2]
+    model = {"cents": cents, "books": books}
+    return pq_encode(corpus, model, id_col=id_col, vec_col=vec_col), model
+
+
+def pq_encode(
+    df: "DataFrame",
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """ENCODE a batch of vectors against FROZEN codebooks: one
+    distributed scan -> (neighbor_id, cell, m-byte code). This is the
+    incremental-index primitive: train once (:func:`pq_build_index`),
+    then encode each day's new shard with the same ``model`` and append
+    the codes to the persisted index — no retrain, no recompute of the
+    existing corpus (the embedding twin of llm_minhash_index_delta;
+    appended-delta == encode-everything equality pinned in tests).
+    Retrain only on measured codebook drift (rising ADC residuals).
+    """
+    import pandas as pd
+
+    nid_dt = df.schema[id_col].dataType.simpleString()
+    bc = df.sparkSession.sparkContext.broadcast((model["cents"], model["books"]))
+    dsub = model["books"].shape[2]
 
     def _encode(batches):
         cents_, books_ = bc.value
@@ -460,10 +479,9 @@ def pq_build_index(
                 }
             )
 
-    index = corpus.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInPandas(
         _encode, f"neighbor_id {nid_dt}, cell int, code binary"
     )
-    return index, {"cents": cents, "books": books}
 
 
 def pq_query_index(

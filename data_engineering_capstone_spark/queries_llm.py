@@ -750,6 +750,37 @@ def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rk")
 
 
+@query("llm_pq_index_delta", oracle=None)
+def llm_pq_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ index (the embedding twin of
+    llm_minhash_index_delta): the daily-crawl pattern is "index today's
+    shard against yesterday's corpus without re-encoding it". Codebooks
+    are trained ONCE on the base corpus (pq_build_index); the new shard
+    (ids shifted, vectors deterministically reversed) is encoded with
+    the FROZEN model (llm/similarity.py:pq_encode) and its codes
+    appended to the base index; queries run over the union. Rows-only
+    (code geometry is model-internal); appended-delta == encode-
+    everything equality and persist-reload equivalence pinned in
+    tests/test_llm.py. Retrain is a measured decision (rising ADC
+    residuals), not a per-shard cost.
+    """
+    from .llm.similarity import pq_build_index, pq_encode, pq_query_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    base_index, model = pq_build_index(e, m=8, ks=32, num_cells=8)
+    e = e.select("vec_id", "embedding")
+    shard = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    full_index = base_index.unionByName(pq_encode(shard, model))
+    corpus = e.unionByName(shard)
+    q = e.filter(F.col("vec_id") < 5)
+    return pq_query_index(
+        full_index, model, q, corpus, k=5, nprobe=4, refine=8
+    ).orderBy("q_id", "rk")
+
+
 @query("llm_bpe_merges", oracle=None)
 def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: the first 12 BPE merges learned from the

@@ -283,6 +283,35 @@ def test_ivf_pq_index_persist_roundtrip(spark, sf_dir, tmp_path):
     assert {len(r["code"]) for r in reloaded.collect()} == {8}
 
 
+def test_pq_incremental_delta_equals_full_encode(spark, sf_dir):
+    """Frozen-codebook shard encoding appended to the base index must
+    answer queries identically to encoding the whole (base + shard)
+    corpus with the same model — the contract that makes the index
+    append-only for daily shards."""
+    from data_engineering_capstone_spark.llm.similarity import (
+        pq_build_index,
+        pq_encode,
+        pq_query_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base_index, model = pq_build_index(e, m=8, ks=32, num_cells=8)
+    e = e.select("vec_id", "embedding")
+    shard = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    corpus = e.unionByName(shard)
+    q = e.filter(F.col("vec_id") < 5)
+
+    delta = base_index.unionByName(pq_encode(shard, model))
+    full = pq_encode(corpus, model)
+    r_delta = pq_query_index(delta, model, q, corpus, k=5, nprobe=4, refine=8).collect()
+    r_full = pq_query_index(full, model, q, corpus, k=5, nprobe=4, refine=8).collect()
+    assert sorted(map(tuple, r_delta)) == sorted(map(tuple, r_full))
+    assert len(r_delta) == 25
+
+
 def test_ivf_pq_deterministic_and_codebook_shape(spark, sf_dir):
     import numpy as np
 
