@@ -144,3 +144,32 @@ def rolling_fingerprint(text_col: Column | str, modulus: int = 1_000_000_007) ->
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + F.length(x).cast("long") * 7 + F.ascii(x).cast("long")) % modulus,
     )
+
+
+def strip_markup(text_col: Column | str) -> Column:
+    """Crawl text extraction: markup → clean text, pure Column regex.
+
+    The first pass every web-crawl corpus runs (the boilerplate-removal
+    stage trafilatura/jusText do with DOM heuristics — here the
+    engine-portable regex core): (1) drop <script>/<style> blocks with
+    their CONTENT (code is not prose), (2) drop remaining tags keeping
+    their content, (3) decode the six common entities AFTER tag removal
+    (decoding first would let '&lt;script&gt;' re-materialize as a
+    tag), (4) collapse whitespace. Fully codegen, shuffle-free; the
+    identical regex/replace pipeline runs in ANSI oracles
+    (llm_html_strip).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # (?is): dot-all for multi-line blocks, case-insensitive tag names.
+    # Two separate patterns, not one with a \1 backreference: the oracle
+    # runs under RE2 (DuckDB), which has no backreferences.
+    no_script = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    no_blocks = F.regexp_replace(no_script, r"(?is)<style[^>]*>.*?</style>", " ")
+    no_tags = F.regexp_replace(no_blocks, r"(?s)<[^>]+>", " ")
+    decoded = no_tags
+    for ent, ch in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ]:
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(decoded, r"\s+", " "))

@@ -599,6 +599,73 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_html_strip",
+    oracle="""
+    WITH marked AS (
+      SELECT doc_id,
+             '<html><body><h1>T</h1><p class="x">' || text || '</p>'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '<script>var x = 1 < 2;</script>'
+                     ELSE '<style>p { color: red }</style>' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '<p>Tom &amp; Jerry say 1 &lt; 2 &amp;&nbsp;more</p>'
+                     ELSE '' END
+             || '</body></html>' AS h
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(h, '<script[^>]*>.*?</script>', ' ', 'gis'),
+                     '<style[^>]*>.*?</style>', ' ', 'gis'),
+                   '<[^>]+>', ' ', 'gs'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM marked
+    )
+    SELECT doc_id, CAST(len(clean) AS INT) AS n_chars_clean,
+           md5(clean) AS clean_digest
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl text extraction (llm/text.py:strip_markup): the fixture is
+    plain text, so deterministic markup is synthesized per doc in BOTH
+    engines (tag wrapper, a script-or-style block with droppable
+    content by id parity, an entity-laden paragraph for ids % 3 = 0),
+    then each side strips blocks → tags → decodes entities (amp LAST,
+    after tag removal — decode-first would re-materialize '&lt;script&gt;'
+    as a live tag) → collapses whitespace. md5 digests must agree
+    byte-for-byte, proving the Java-regex and RE2 pipelines implement
+    the same extraction. Fully codegen, shuffle-free scan.
+    """
+    from .llm.text import strip_markup
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.concat(
+        F.lit('<html><body><h1>T</h1><p class="x">'),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("<script>var x = 1 < 2;</script>")
+        ).otherwise(F.lit("<style>p { color: red }</style>")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("<p>Tom &amp; Jerry say 1 &lt; 2 &amp;&nbsp;more</p>"),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        F.length(strip_markup(h)).cast("int").alias("n_chars_clean"),
+        F.md5(strip_markup(h)).alias("clean_digest"),
+    ).orderBy("doc_id")
+
+
+@query(
     "llm_dedup_rate_report",
     oracle="""
     WITH corpus AS (

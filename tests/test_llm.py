@@ -920,3 +920,24 @@ def test_leakage_safe_split_never_splits_a_group(spark):
         assigned.groupBy("f").count().where(F.col("count") > 1).count()
     )
     assert multi > 0
+
+
+def test_strip_markup_semantics(spark):
+    """Script/style CONTENT is dropped, tag content is kept, entities
+    decode only after tag removal (amp last)."""
+    from data_engineering_capstone_spark.llm.text import strip_markup
+
+    rows = [
+        (1, "<p>keep me</p><script>drop();</script> tail"),
+        (2, "<STYLE type='x'>p{a:1}</STYLE><b>bold</b>"),
+        (3, "a &amp;lt; b"),                     # decodes to 'a &lt; b', NOT '<'
+        (4, "x &lt;script&gt;alert()&lt;/script&gt; y"),  # stays literal text
+        (5, "<div\nclass='m'>multi\nline</div>"),
+    ]
+    df = spark.createDataFrame(rows, "id long, h string")
+    got = {r["id"]: r["c"] for r in df.select("id", strip_markup("h").alias("c")).collect()}
+    assert got[1] == "keep me tail"
+    assert got[2] == "bold"
+    assert got[3] == "a &lt; b"
+    assert got[4] == "x <script>alert()</script> y"
+    assert got[5] == "multi line"

@@ -103,6 +103,7 @@ LLM_SET = [
     "llm_gopher_rules",
     "llm_unicode_nfc",
     "llm_dedup_rate_report",
+    "llm_html_strip",
 ]
 
 # Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
