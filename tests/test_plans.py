@@ -159,3 +159,26 @@ def test_i94_star_rollup_plan_broadcasts_all_dims(spark):
         assert shape["broadcast_joins"] >= 5
     finally:
         _sys.path.remove(tools_dir)
+
+
+def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
+    """DPP: a date-partitioned fact joined to a filtered dim must get a
+    dynamicpruning subquery on the partition column — at 100 TB this is
+    the difference between scanning 3 partitions and scanning 3,000.
+    The physical plan carries 'dynamicpruning' inside the scan's
+    PartitionFilters when the feature fires."""
+    o = load_table(spark, sf_dir, "orders")
+    fact_path = str(tmp_path / "orders_by_prio")
+    o.withColumn("prio", F.col("o_orderpriority")).write.partitionBy(
+        "prio"
+    ).parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        o.select(F.col("o_orderpriority").alias("prio")).distinct()
+        .filter(F.col("prio").startswith("1"))
+    )
+    joined = fact.join(dim, "prio").groupBy("prio").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = {r["prio"] for r in joined.collect()}
+    assert got == {"1-URGENT"}
