@@ -110,6 +110,61 @@ def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "scan_npy_roundtrip",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS row_idx,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)))
+                AS BIGINT) AS checksum
+    FROM embeddings ORDER BY row_idx
+    """,
+)
+def scan_npy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy ``.npy`` scan — the ML-artifact interchange format for
+    embedding matrices, read DISTRIBUTED via a Spark 4 Python
+    DataSource (sources/npy.py): the driver parses only the NEP-1
+    header for shape/dtype, each partition seeks its own row-aligned
+    byte range (rowsPerPartition=64 forces 8 parallel range reads even
+    on this 500-row fixture). The embeddings table is written to a real
+    .npy (spec-faithful v1.0 writer, float32) sorted by vec_id, read
+    back, and checksummed per row with integer (order-safe, f4→f8-exact)
+    arithmetic the oracle mirrors from the source view.
+    """
+    import numpy as np
+
+    from .sources.npy import NpyDataSource, write_npy
+
+    e = _t(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    path = _tmp(sf_dir, f"embeddings_{os.getpid()}.npy")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_npy(path, mat)
+    try:
+        spark.dataSource.register(NpyDataSource)
+    except Exception:
+        pass  # already registered in this session
+    back = (
+        spark.read.format("npy")
+        .option("path", path)
+        .option("rowsPerPartition", 64)
+        .load()
+    )
+    checksum = F.aggregate(
+        F.col("value"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast("long"),
+    )
+    return back.select(
+        "row_idx",
+        F.size("value").cast("int").alias("dim"),
+        checksum.alias("checksum"),
+    ).orderBy("row_idx")
+
+
 @query("scan_csv_roundtrip", oracle=_NATION_AGG)
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-shaped CSV scan with explicit schema: customer → CSV → read →
