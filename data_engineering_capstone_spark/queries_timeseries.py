@@ -577,3 +577,75 @@ def ts_rolling_median_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ts_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), lags AS (
+      SELECT unnest(generate_series(1, 7)) AS lag
+    ), pairs AS (
+      SELECT l.lag, a.n AS x, b.n AS y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + CAST(l.lag AS INT)
+    ), sums AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS np,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, CAST(np AS BIGINT) AS n_pairs,
+           ROUND(CAST(np*sxy - sx*sy AS DOUBLE)
+                 / (SQRT(CAST(np*sxx - sx*sx AS DOUBLE))
+                    * SQRT(CAST(np*syy - sy*sy AS DOUBLE))), 6) AS acf
+    FROM sums ORDER BY lag
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series (the
+    seasonality/anomaly primitive: a weekly cycle shows as an acf peak
+    at lag 7). Pearson r is computed from BIGINT sums (n·Σxy − ΣxΣy
+    over exact integer counts) with division/sqrt only at the output
+    boundary, so both engines evaluate the identical double expression
+    — no float-summation order dependence to round away (the module's
+    decimal-sum discipline applied to correlation). Plan: one day
+    aggregate, a 7-row lag explode, one equi-join on shifted day, one
+    partial-aggregated group — dimension-scale shuffles only.
+    """
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # lag expansion via explode, not a crossJoin: each daily row carries
+    # its own 7 lag rows, so the plan is one equi-join on shifted day —
+    # no Cartesian/nested-loop operator anywhere (explain_audit-clean)
+    a = daily.select(
+        F.col("d").alias("da"),
+        F.col("n").alias("x"),
+        F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("lag"),
+    )
+    b = daily.select(F.col("d").alias("db"), F.col("n").alias("y"))
+    pairs = a.join(b, F.col("db") == F.expr("date_add(da, lag)"))
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return sums.select(
+        "lag",
+        F.col("np").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    ).orderBy("lag")
