@@ -182,3 +182,47 @@ def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     got = {r["prio"] for r in joined.collect()}
     assert got == {"1-URGENT"}
+
+
+def test_aqe_skew_join_splits_and_its_boundary(spark, sf_dir):
+    """AQE's skew-join split fires on a skewed sort-merge join
+    (SortMergeJoin(skew=true) + 'skewed' AQEShuffleRead) — AND it is
+    suppressed when a downstream aggregate needs the join's hash
+    distribution on the same key, because splitting would break it.
+    That boundary is exactly why the manual salting entry
+    (skew_salted_agg) exists: AQE insures plain joins, salting insures
+    join+agg-on-the-join-key pipelines."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        a = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("va")
+        ).union(
+            spark.range(9_900).select(
+                (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("va")
+            )
+        )
+        b = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("vb"))
+
+        plain = a.join(b, "k").select(F.sum(F.col("va") + F.col("vb")).alias("s"))
+        plain.collect()
+        p1 = plain._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p1, p1[:1500]
+
+        same_key_agg = a.join(b, "k").groupBy("k").count()
+        same_key_agg.collect()
+        p2 = same_key_agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in p2  # distribution reuse wins; salt instead
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
