@@ -131,8 +131,9 @@ def lsh_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_tables: int = 12,
-    planes_per_table: int = 4,
+    planes_per_table: int | None = None,
     seed: int = 42,
+    target_bucket_rows: int = 32,
 ) -> DataFrame:
     """Near-dup pairs at scale: LSH bucket candidates → exact verify.
 
@@ -149,6 +150,22 @@ def lsh_near_dup_pairs(
     At 100 TB this is the only viable plan: per-table bucket join +
     map-side cosine; the quadratic form exists solely to verify it.
     """
+    if planes_per_table is None:
+        # BUCKET COUNT MUST SCALE WITH THE CORPUS or candidate pairs
+        # grow quadratically: p planes give 2^p buckets per table, so a
+        # FIXED p means expected bucket size n/2^p grows linearly and
+        # within-bucket pairs grow as n² — the same fixed-cardinality
+        # trap as blocking fuzzy matches on (lang, source). One count()
+        # sizes p for ~target_bucket_rows expected rows per bucket.
+        # Recall trade: per-table collision prob for a pair at angle θ
+        # is (1-θ/π)^p, so deeper tables lower per-table recall — for
+        # the production near-DUP regime (cos ≥ 0.9) twelve tables keep
+        # recall ≈ 0.87 even at p=12; LOW thresholds at scale need more
+        # tables, which parallelize horizontally (documented trade).
+        import math
+
+        n = df.count()
+        planes_per_table = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows)))
     tables = _hyperplanes(num_tables, planes_per_table, dim, seed)
     buckets = F.array(*[_bucket_expr(F.col(vec_col), t) for t in tables])
     # ids-only banding, vectors fetched AFTER candidate dedup: carrying
@@ -655,7 +672,7 @@ def ivf_pq_ann_topk(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float,
-    num_centroids: int = 8,
+    num_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -684,6 +701,13 @@ def semantic_dedup(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    if num_centroids is None:
+        # cells must MULTIPLY with the corpus (SemDeDup runs ~11k
+        # clusters on LAION): a fixed k means cell size n/k grows
+        # linearly and the within-cell pair stage grows n² — the
+        # fixed-cardinality trap again. ~250 expected rows per cell
+        # keeps the pairwise stage linear-per-cell at any n.
+        num_centroids = max(8, corpus.count() // 250)
     id_dt = corpus.schema[id_col].dataType.simpleString()
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     train = corpus.select(F.col(id_col), array_to_vector(dbl).alias("features"))

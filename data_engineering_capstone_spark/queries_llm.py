@@ -878,7 +878,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.similarity import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, threshold=0.42, num_centroids=8).orderBy("vec_id")
+    return semantic_dedup(e, threshold=0.42).orderBy("vec_id")
 
 
 @query(

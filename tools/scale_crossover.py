@@ -147,7 +147,7 @@ def build_replica_dir(spark, mult: int) -> str:
     from pyspark.sql import functions as F
 
     out_dir = os.path.join(WORK, f"sf_x{mult}")
-    done = os.path.join(out_dir, "_REPLICA_DONE_v2")
+    done = os.path.join(out_dir, "_REPLICA_DONE_v3")
     if os.path.isfile(done):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -162,6 +162,30 @@ def build_replica_dir(spark, mult: int) -> str:
             if t == "documents":
                 m_src, m_dst = _copy_text_mutation(i)
                 p = p.withColumn("text", F.translate("text", m_src, m_dst))
+            if t == "embeddings" and i > 0:
+                # the embeddings analog of the text alphabet rotation:
+                # a per-copy Rademacher sign flip s (seeded by i) maps
+                # x -> s*x, which PRESERVES every within-copy cosine
+                # exactly (cos(s*x, s*y) = cos(x, y)) while making
+                # cross-copy vectors near-orthogonal (E[cos] = 0) —
+                # byte-identical copies would otherwise give every
+                # vector 63 exact duplicates and any pair-emitting
+                # entry would measure template-spam output blowup,
+                # not scan/join scaling (found by the rows-only 64x
+                # sweep: llm_embedding_near_dup ran 10+ min on the
+                # unmutated replica)
+                import numpy as _np
+
+                signs = _np.random.RandomState(1000 + i).choice(
+                    [-1.0, 1.0], size=64
+                )
+                sarr = F.array(*[F.lit(float(v)) for v in signs])
+                p = p.withColumn(
+                    "embedding",
+                    F.zip_with(
+                        "embedding", sarr, lambda x, sv: (x * sv).cast("float")
+                    ),
+                )
             parts.append(p)
         df = parts[0]
         for p in parts[1:]:
