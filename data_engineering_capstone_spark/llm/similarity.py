@@ -166,59 +166,89 @@ def lsh_near_dup_pairs(
 
         n = df.count()
         planes_per_table = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows)))
-    tables = _hyperplanes(num_tables, planes_per_table, dim, seed)
-    buckets = F.array(*[_bucket_expr(F.col(vec_col), t) for t in tables])
-    # ids-only banding, vectors fetched AFTER candidate dedup: carrying
-    # the vector through the bucket join shuffles every embedding
-    # num_tables× and makes the candidate `distinct` hash full float
-    # arrays — measured 27.7 s vs 2.6 s at sf0.1 for the near-dup query.
-    # Both small tables are checkpointed: each feeds two consumers
-    # (lineage-reuse discipline, see llm/spans.py).
-    vecs = df.select(
-        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
-    ).localCheckpoint()
-    banded = df.select(
-        F.col(id_col), F.posexplode(buckets).alias("table_idx", "bucket")
-    ).localCheckpoint()
-    a = banded.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
-    cands = (
-        a.join(b, ["table_idx", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    withv = cands.join(
-        vecs.select(F.col("__vid").alias("id_a"), F.col("__v").alias("__va")), "id_a"
-    ).join(
-        vecs.select(F.col("__vid").alias("id_b"), F.col("__v").alias("__vb")), "id_b"
-    )
-    # exact-cosine verify as one BLAS product per Arrow batch: the
-    # zip_with/aggregate Column form runs interpreted (CodegenFallback)
-    # and dominated this operator at millions of candidates — same
-    # lesson as cosine_topk (measured there: 3.4× at 38M rows)
     import pandas as pd
 
-    def _verify(batches):
+    id_dt = df.schema[id_col].dataType.simpleString()
+    planes = np.random.RandomState(seed).randn(
+        num_tables * planes_per_table, dim
+    )
+    bits = (2 ** np.arange(planes_per_table, dtype=np.int64))
+    bc_planes = df.sparkSession.sparkContext.broadcast((planes, bits))
+
+    # Stage 1 — banding: ALL table buckets from ONE BLAS projection per
+    # Arrow batch (v @ P.T over the (tables·planes, dim) plane matrix),
+    # replacing num_tables·planes interpreted zip_with dot-folds per
+    # vector. Vectors ride along as float32 (half the exchange width of
+    # double; f4→f8 widening in the verify stage is exact).
+    def _band(batches):
+        P, bb = bc_planes.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            va = np.array(pdf["__va"].tolist(), dtype=np.float64)
-            vb = np.array(pdf["__vb"].tolist(), dtype=np.float64)
-            sims = np.einsum("ij,ij->i", va, vb) / (
-                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
-            )
-            yield pd.DataFrame(
-                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos_sim": sims}
-            )
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            signs = (v @ P.T) >= 0  # (n, tables*planes)
+            signs = signs.reshape(len(v), num_tables, planes_per_table)
+            bucket = (signs * bb[None, None, :]).sum(-1)  # (n, tables)
+            frames = []
+            for t in range(num_tables):
+                frames.append(pd.DataFrame({
+                    "table_idx": t,
+                    "bucket": bucket[:, t],
+                    id_col: pdf[id_col],
+                    "__vec": pdf[vec_col],
+                }))
+            yield pd.concat(frames)
 
-    # id fields keep the input id type (round-3 advice: hardcoded long
-    # broke string/non-long doc ids at runtime)
-    id_dt = df.schema[id_col].dataType.simpleString()
+    banded = df.select(id_col, vec_col).mapInPandas(
+        _band, f"table_idx int, bucket long, {id_col} {id_dt}, __vec array<float>"
+    )
+
+    # Stage 2 — per-bucket gram with FUSED exact verify: each
+    # (table, bucket) group computes its cosine gram blockwise (4096²
+    # tiles bound memory at any bucket size) and emits only pairs >=
+    # threshold. This replaces the previous ids-only candidate
+    # self-join + distinct + two vector-fetch joins, whose pair
+    # materialization dominated at scale (85 s at 64×; measured after
+    # in BASELINE.md). Trade documented: the group shuffle carries each
+    # vector num_tables×, the right choice while bucket occupancy is
+    # bounded (auto-scaled planes keep it ~target_bucket_rows);
+    # exact-duplicate floods should be collapsed upstream (the
+    # minhash exact-collapse guard pattern).
+    thr = threshold
+
+    def _bucket_pairs(pdf):
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        v = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        ids = pdf[id_col].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        B = 4096
+        for i0 in range(0, m, B):
+            vi = v[i0 : i0 + B]
+            for j0 in range(i0, m, B):
+                sims = vi @ v[j0 : j0 + B].T
+                ii, jj = np.nonzero(sims >= thr)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj
+                out_a.append(ids[gi[keep]])
+                out_b.append(ids[gj[keep]])
+                out_s.append(sims[ii[keep], jj[keep]])
+        ia = np.concatenate(out_a) if out_a else np.array([])
+        ib = np.concatenate(out_b) if out_b else np.array([])
+        ss = np.concatenate(out_s) if out_s else np.array([])
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": ss})
+
+    pairs = banded.groupBy("table_idx", "bucket").applyInPandas(
+        _bucket_pairs, f"id_a {id_dt}, id_b {id_dt}, cos_sim double"
+    )
+    # a pair meeting in several tables emits several identical rows —
+    # one narrow group on the id pair dedups them
     return (
-        withv.mapInPandas(_verify, f"id_a {id_dt}, id_b {id_dt}, cos_sim double")
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.round(F.max("cos_sim"), 6).alias("cos_sim"))
     )
 
 
@@ -698,8 +728,7 @@ def semantic_dedup(
     twin (:func:`embedding_near_dup_pairs`) is the verification
     baseline in tests (recall bound asserted).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import pandas as pd
 
     if num_centroids is None:
         # cells must MULTIPLY with the corpus (SemDeDup runs ~11k
@@ -709,74 +738,88 @@ def semantic_dedup(
         # keeps the pairwise stage linear-per-cell at any n.
         num_centroids = max(8, corpus.count() // 250)
     id_dt = corpus.schema[id_col].dataType.simpleString()
-    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    train = corpus.select(F.col(id_col), array_to_vector(dbl).alias("features"))
-    model = KMeans(k=num_centroids, seed=seed, maxIter=20).fit(train)
 
-    # broadcast the tiny centroid table; rank cells per vector by the
-    # same euclidean metric k-means assigns with, keep the top `probes`
-    centroids = [
-        (i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cent_df = corpus.sparkSession.createDataFrame(
-        centroids, "cell int, centroid array<double>"
-    )
-    vecs = corpus.select(F.col(id_col), dbl.alias("__vec"))
-    d2 = F.aggregate(
-        F.zip_with(F.col("__vec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    assigned = (
-        vecs.crossJoin(F.broadcast(cent_df))
-        .withColumn("__d2", d2)
-        .withColumn(
-            "__cell_rank",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("__d2", "cell")
-            ),
-        )
-        .filter(F.col("__cell_rank") <= probes)
-        .select(F.col(id_col), F.col("__vec"), F.col("cell"))
-        # feeds both sides of the cell self-join: materialize once, or
-        # the broadcast+rank assignment subtree runs twice (lineage-
-        # reuse discipline, see llm/spans.py)
-        .localCheckpoint()
-    )
+    # TRAIN on a bounded driver sample (the PQ recipe — at 100 TB you
+    # never run 20 full-corpus k-means passes) and ASSIGN with one BLAS
+    # product per Arrow batch. The previous form (MLlib fit over the
+    # whole corpus + an interpreted zip_with distance per (vector,
+    # centroid) pair under a crossJoin+rank) was the rows-only sweep's
+    # slowest entry: 116 s at 64× with k=512 — 65M CodegenFallback
+    # lambda evaluations in the ranking alone. Measured after this
+    # rewrite in BASELINE.md (rows-only sweep table).
+    samp_rows = corpus.select(vec_col).limit(50_000).collect()
+    samp = np.array([r[vec_col] for r in samp_rows], dtype=np.float64)
+    cents = _kmeans_driver(samp, num_centroids, seed)
+    bc_cents = corpus.sparkSession.sparkContext.broadcast(cents)
 
-    a = assigned.select(
-        F.col(id_col).alias("__id_a"), F.col("__vec").alias("__vec_a"), "cell"
-    )
-    b = assigned.select(
-        F.col(id_col).alias("__id_b"), F.col("__vec").alias("__vec_b"), "cell"
-    )
-    import pandas as pd
-
-    def _pair_sims(batches):
+    def _assign(batches):
+        cents_ = bc_cents.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            va = np.array(pdf["__vec_a"].tolist(), dtype=np.float64)
-            vb = np.array(pdf["__vec_b"].tolist(), dtype=np.float64)
-            sims = np.einsum("ij,ij->i", va, vb) / (
-                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = (
+                (v**2).sum(1, keepdims=True) - 2 * v @ cents_.T + (cents_**2).sum(1)[None, :]
             )
-            yield pd.DataFrame(
-                {"cell": pdf["cell"], "__id_a": pdf["__id_a"],
-                 "__id_b": pdf["__id_b"], "__sim": sims}
-            )
+            # deterministic top-`probes`: full lexsort by (d2, cell) —
+            # same tie-break as the previous row_number ordering
+            order = np.lexsort((np.broadcast_to(np.arange(d2.shape[1]), d2.shape), d2), axis=1)
+            frames = []
+            for j in range(probes):
+                frames.append(pd.DataFrame({
+                    id_col: pdf[id_col],
+                    "__vec": pdf[vec_col],
+                    "cell": order[:, j].astype(np.int32),
+                }))
+            yield pd.concat(frames)
 
-    # within-cell cosine as one BLAS product per Arrow batch (interpreted
-    # zip_with/aggregate was the dominant cost at cell-pair volume)
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("__id_a") < F.col("__id_b"))
-        .select("cell", "__id_a", "__id_b", "__vec_a", "__vec_b")
-        .mapInPandas(
-            _pair_sims,
-            f"cell int, __id_a {id_dt}, __id_b {id_dt}, __sim double",
+    assigned = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(_assign, f"{id_col} {id_dt}, __vec array<double>, cell int")
+        # feeds both sides of the cell self-join: materialize once, or
+        # the assignment subtree runs twice (lineage-reuse discipline,
+        # see llm/spans.py)
+        .localCheckpoint()
+    )
+
+    # within-cell pairs via ONE gram matrix per cell (applyInPandas):
+    # the previous a⋈b cell self-join materialized ~probes²·n·cell/2
+    # joined rows CARRYING BOTH VECTORS (≈65 GB through the shuffle at
+    # 64×, the dominant cost of the rows-only sweep's slowest entry).
+    # Here the only shuffle is the assigned table itself (n·probes rows)
+    # grouped by cell; each cell computes its full cosine gram with one
+    # BLAS product and emits ONLY pairs above threshold. Cell occupancy
+    # is bounded in expectation by the auto-scaled k (~250·probes rows →
+    # a ~500² gram, trivial); pathological k-means skew concentrates a
+    # cell and is the operator's known caveat (same class as LSH
+    # mega-buckets; the exact-collapse guard pattern applies upstream).
+    thr = threshold
+
+    def _cell_pairs(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cell": [], "__id_a": [], "__id_b": [], "__sim": []}
+            )
+        v = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        norms = np.linalg.norm(v, axis=1)
+        sims = (v @ v.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        flat = sims[iu, ju]
+        keep = flat >= thr
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame(
+            {
+                "cell": pdf["cell"].iloc[0],
+                "__id_a": lo,
+                "__id_b": hi,
+                "__sim": flat[keep],
+            }
         )
-        .filter(F.col("__sim") >= threshold)
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        _cell_pairs, f"cell int, __id_a {id_dt}, __id_b {id_dt}, __sim double"
     )
     return (
         pairs.groupBy("__id_b")
