@@ -756,17 +756,40 @@ def simhash_near_dups(
     # plan on both sides of the join.
     hashed = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=True)
     mask = F.lit((1 << bits_per) - 1).cast("long")
+
+    # KEY WIDTH MUST SCALE WITH THE CORPUS: single-block keys have at
+    # most 2^bits_per (256) distinct values per position — a structural
+    # ceiling, so bucket occupancy (and candidate pairs, quadratically)
+    # grows once n passes a few hundred per value. Pigeonhole
+    # generalizes: a pair within max_hamming flips keeps >=
+    # num_blocks - max_hamming blocks intact, so keying on every
+    # r-combination of blocks stays COMPLETE while
+    # r <= num_blocks - max_hamming — the candidate set shrinks but the
+    # exact-verify output is IDENTICAL. Auto-pick the smallest r whose
+    # expected key occupancy n / 2^(r*bits_per) is bounded, capped at
+    # the completeness bound (callers wanting wide radii on huge
+    # corpora need wider signatures, not deeper combinations).
+    from itertools import combinations
+
+    r_cap = num_blocks - max_hamming
+    n_docs = hashed.count()
+    r = 1
+    while r < r_cap and n_docs / (1 << (r * bits_per)) > 256:
+        r += 1
+    block_vals = [
+        F.shiftrightunsigned(F.col("sh"), b * bits_per).bitwiseAND(mask)
+        for b in range(num_blocks)
+    ]
+    keys = []
+    for combo in combinations(range(num_blocks), r):
+        key = F.lit(0).cast("long")
+        for i, b in enumerate(combo):
+            key = key.bitwiseOR(F.shiftleft(block_vals[b], i * bits_per))
+        keys.append(key)
     blocked = hashed.select(
         id_col,
         "sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sh"), b * bits_per).bitwiseAND(mask)
-                    for b in range(num_blocks)
-                ]
-            )
-        ).alias("block_idx", "block_val"),
+        F.posexplode(F.array(*keys)).alias("block_idx", "block_val"),
     )
     a = blocked.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "block_idx", "block_val")
     b = blocked.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "block_idx", "block_val")
