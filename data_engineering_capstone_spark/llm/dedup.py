@@ -831,23 +831,34 @@ def hamming_band_pairs(
     reps = hashes.groupBy(hash_col).agg(
         F.min(id_col).alias("id"), F.count(F.lit(1)).alias("n")
     )
+    # r-combination band keys (same completeness argument and auto-r as
+    # simhash_near_dups): a pair within `threshold` flips keeps >=
+    # 8 - threshold bands intact, so keying every r-combination of
+    # bands stays complete while r <= 8 - threshold — lifting the
+    # structural 256-values-per-band occupancy ceiling on big corpora
+    # with byte-identical output (candidates shrink; verify is exact).
+    from itertools import combinations as _combos
+
+    r_cap = 8 - threshold
+    n_fp = reps.count()
+    r = 1
+    while r < r_cap and n_fp / (1 << (8 * r)) > 256:
+        r += 1
+    band_vals = [
+        F.shiftrightunsigned(F.col(hash_col), 8 * i).bitwiseAND(F.lit(255))
+        for i in range(8)
+    ]
+    keys = []
+    for bi, combo in enumerate(_combos(range(8), r)):
+        key = F.lit(0).cast("long")
+        for i, bidx in enumerate(combo):
+            key = key.bitwiseOR(F.shiftleft(band_vals[bidx], 8 * i))
+        keys.append(F.struct(F.lit(bi).alias("band"), key.alias("val")))
     bands = reps.select(
         "id",
         F.col(hash_col).alias("h"),
         "n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col(hash_col), 8 * i)
-                        .bitwiseAND(F.lit(255))
-                        .alias("val"),
-                    )
-                    for i in range(8)
-                ]
-            )
-        ).alias("bv"),
+        F.explode(F.array(*keys)).alias("bv"),
     ).select("id", "h", "n", "bv.band", "bv.val")
     a = bands.select(
         F.col("id").alias("id_a"), F.col("h").alias("h_a"),
