@@ -32,7 +32,7 @@ from .llm.text import (
     rolling_fingerprint,
     stopword_ratio,
 )
-from .functions.strings import token_count
+from .functions.strings import ngrams, token_count
 from .session import prep
 from .sources.testdata import load_table
 
@@ -2954,4 +2954,278 @@ def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_sum"),
         )
         .orderBy("split")
+    )
+
+
+@query(
+    "llm_boilerplate_lines",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ), blocks AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS pos,
+             unnest(list_transform(
+               generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1),
+               i -> array_to_string(t[i * 10 + 1 : i * 10 + 10], ' '))) AS ptext
+      FROM toks WHERE len(t) >= 1
+    ), flagged AS (
+      SELECT doc_id, pos, ptext,
+             COUNT(*) OVER (PARTITION BY md5(ptext)) AS n_occ,
+             ROW_NUMBER() OVER (PARTITION BY md5(ptext)
+                                ORDER BY doc_id, pos) AS rn
+      FROM blocks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN n_occ >= 2 AND rn > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(
+                 CASE WHEN n_occ = 1 OR rn = 1 THEN ptext END,
+                 ' ' ORDER BY pos), '')) AS clean_digest
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal, CCNet-style (Wenzek et al.
+    2019): hash every paragraph, keep only the FIRST occurrence of any
+    paragraph seen more than once anywhere in the corpus — the pass
+    that strips nav bars, cookie banners, and license footers that
+    within-doc repetition gates (llm_repetition_filter) and whole-doc
+    dedup (llm_exact_dedup) both miss. The fixture text has no
+    newlines, so the paragraph unit is a deterministic segmentation:
+    consecutive 10-token blocks (final partial block kept) — same rule
+    both engines.
+
+    Plan: tokens -> block slices (codegen sequence+posexplode+slice,
+    shuffle-free, same shape as llm/chunking.py), immediately PRUNED to
+    (doc_id, pos, 128-bit xxhash64 digest) — block text never enters an
+    exchange. One window over the digest key yields the occurrence
+    count and the min-(doc,pos) keeper (unbounded frame only, no
+    in-partition sort); the surviving-text reconstruction then runs
+    against the UNSHUFFLED doc table by left-joining only the
+    dropped-position sets and re-slicing kept blocks in place (the
+    span_dedup_clean device). Measured at 64x sf0.1: 5.9 s -> 2.85 s;
+    the first 3 s were the AQE byte-based coalesce folding the 34 MB
+    narrow exchange to ONE partition before the window — the same trap
+    as the capped-postings pair stage, fixed the same way (explicit
+    repartition(defaultParallelism) on the digest key; SCALE.md §13).
+    The oracle partitions by md5 and uses row_number — group IDENTITY
+    and keeper identity match, not the hash or operator choice.
+
+    100 TB: the exchange carries 28-byte rows, never text; a viral
+    boilerplate block (nav bar in 10M docs) makes a hot window
+    partition — at that skew, switch the stats side to a partial-agg
+    groupBy (count + min-struct both partial-aggregable, map-side
+    combine collapses hot keys) + broadcast join of the Zipf-small
+    hot-digest set, the skew_salted_agg split. The dropped-set join is
+    declared plain so AQE picks broadcast vs shuffle from its runtime
+    size (dup-rate-proportional). Reference trail: extension tier
+    (BASELINE.json north star); notebook cell-7 stops at whole-row
+    dedup.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.withColumn(
+        "__tk",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""),
+    ).filter(F.size("__tk") >= 1)
+    nb = F.ceil(F.size("__tk") / F.lit(10.0)).cast("int")
+    starts = F.sequence(F.lit(0), nb - 1)
+    # 128-bit portable-identity key: differentiating literal folds FIRST
+    # so the two lanes are independent (llm/spans.py lesson).
+    pt = F.array_join(F.slice(F.col("__tk"), F.col("__i") * 10 + 1, 10), " ")
+    narrow = (
+        base.select("doc_id", F.posexplode(starts).alias("pos", "__i"), "__tk")
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.lit(0), pt).alias("__h1"),
+            F.xxhash64(F.lit(1), pt).alias("__h2"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "__h1", "__h2")
+    )
+    wu = Window.partitionBy("__h1", "__h2").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    flagged = narrow.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wu).alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).over(wu).alias("kp"),
+    )
+    is_keeper = (F.col("kp")["doc_id"] == F.col("doc_id")) & (
+        F.col("kp")["pos"] == F.col("pos")
+    )
+    dropped = (
+        flagged.where((F.col("n_occ") >= 2) & ~is_keeper)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("pos").alias("dp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dropped"),
+        )
+    )
+    dp = F.coalesce(F.col("dp"), F.array().cast("array<int>"))
+    clean = F.array_join(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda i: F.when(
+                    ~F.array_contains(dp, i.cast("int")),
+                    F.array_join(F.slice(F.col("__tk"), i * 10 + 1, 10), " "),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    return (
+        base.join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            nb.alias("n_blocks"),
+            F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
+            F.md5(clean).alias("clean_digest"),
+        )
+        # no final orderBy: a display sort re-executes the whole plan to
+        # sample ranges (SCALE.md §13); parity/driver compares are
+        # order-insensitive
+    )
+
+
+@query(
+    "llm_dsir_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substr(md5(g), 1, 4))::BIGINT % 64 AS INT) AS b
+      FROM (
+        SELECT doc_id, lang, source,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM toks WHERE len(t) >= 2
+      )
+    ), cr AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS nr FROM bg GROUP BY b
+    ), ct AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS nt
+      FROM bg WHERE source = 'src0' GROUP BY b
+    ), tot AS (
+      SELECT (SELECT SUM(nr) FROM cr) AS sr,
+             (SELECT COALESCE(SUM(nt), 0) FROM ct) AS st
+    ), lam AS (
+      SELECT cr.b,
+             CAST(ln((CAST(COALESCE(ct.nt, 0) AS DOUBLE) + 1.0) /
+                     (CAST(st AS DOUBLE) + 64.0)) AS DECIMAL(18,9))
+           - CAST(ln((CAST(cr.nr AS DOUBLE) + 1.0) /
+                     (CAST(sr AS DOUBLE) + 64.0)) AS DECIMAL(18,9)) AS lam
+      FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot
+    ), scored AS (
+      SELECT bg.doc_id, bg.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             ROUND(CAST(SUM(lam) AS DOUBLE), 6) AS w
+      FROM bg JOIN lam USING (b)
+      GROUP BY bg.doc_id, bg.lang
+    ), thr AS (
+      SELECT quantile_disc(w, 0.5) AS m FROM scored
+    )
+    SELECT doc_id, lang, n_grams, w,
+           CAST(w >= (SELECT m FROM thr) AS INT) AS selected
+    FROM scored ORDER BY doc_id
+    """,
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): score every raw
+    document by its hashed-n-gram importance weight
+    log w(d) = sum_b c_d[b] * (ln p_target[b] - ln p_raw[b]), where the
+    features are bigrams hashed into 64 buckets (hashing trick, no
+    vocabulary fit — same portable md5-prefix bucket as
+    llm_feature_hashing), p_target is add-one-smoothed over the
+    trusted subset (source = 'src0', the same stand-in
+    llm_perplexity_filter trains on) and p_raw over the whole corpus.
+    High weight = looks like the target domain. Output: every scored
+    doc with its weight and a selected flag for the top half —
+    importance RESAMPLING at full fidelity replaces the flag with
+    Gumbel-top-k over w, which is RNG-policy, not plan shape.
+
+    Determinism: the two ln terms are each cast to DECIMAL(18,9) before
+    subtraction and the per-doc sum runs in decimal (order-independent,
+    the llm_perplexity_filter device); the selection threshold is
+    percentile_disc over ROUNDED weights so the gate compares against
+    an actual member value.
+
+    Plan: one shuffle-free bigram explode -> 64-row bucket-count
+    aggregates (map-side combine collapses each partition to <=64
+    rows) -> broadcast lambda table joined back -> per-doc agg. The
+    corpus never shuffles; only the per-doc score agg exchanges, and
+    it exchanges (doc_id, bucket) pairs. 100 TB: bucket count B grows
+    to 10k-1M buckets (paper uses 10k) and stays broadcastable;
+    everything else is scan-shaped.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    bg = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(ngrams(F.col("text"), 2)).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("bigint") % 64)
+        .cast("int")
+        .alias("b"),
+    )
+    cr = bg.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+    ct = (
+        bg.where(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    )
+    tot = cr.agg(F.sum("nr").alias("sr")).crossJoin(
+        ct.agg(F.coalesce(F.sum("nt"), F.lit(0)).alias("st"))
+    )
+    lam = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("nt"), F.lit(0)).cast("double") + F.lit(1.0))
+                    / (F.col("st").cast("double") + F.lit(64.0))
+                ).cast("decimal(18,9)")
+                - F.log(
+                    (F.col("nr").cast("double") + F.lit(1.0))
+                    / (F.col("sr").cast("double") + F.lit(64.0))
+                ).cast("decimal(18,9)")
+            ).alias("lam"),
+        )
+    )
+    scored = (
+        bg.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("lam").cast("double"), 6).alias("w"),
+        )
+    )
+    scored.createOrReplaceTempView("dsir_scored")
+    return spark.sql(
+        """
+        WITH thr AS (
+          SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY w) AS m
+          FROM dsir_scored
+        )
+        SELECT s.doc_id, s.lang, s.n_grams, s.w,
+               CAST(s.w >= thr.m AS INT) AS selected
+        FROM dsir_scored s CROSS JOIN thr
+        ORDER BY s.doc_id
+        """
     )

@@ -941,3 +941,77 @@ def test_strip_markup_semantics(spark):
     assert got[3] == "a &lt; b"
     assert got[4] == "x <script>alert()</script> y"
     assert got[5] == "multi line"
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_boilerplate_lines_first_occurrence_kept(spark, tmp_path):
+    """CCNet paragraph-hash semantics on the 10-token-block unit: a
+    block shared by 3 docs survives only in its first (doc_id, pos)
+    occurrence; unique text is untouched; the cleaned digest equals the
+    md5 of the surviving blocks rejoined in order."""
+    import hashlib
+
+    from data_engineering_capstone_spark.queries_llm import llm_boilerplate_lines
+
+    boiler = "nav bar link home about contact privacy terms copyright footer"
+    u = [
+        " ".join(f"w{d}x{i}" for i in range(10)) for d in range(4)
+    ]  # unique 10-token blocks per doc
+    rows = [
+        (1, boiler + " " + u[0], "en", "src0"),   # first occurrence -> kept
+        (2, boiler + " " + u[1], "en", "src0"),   # later copy -> dropped
+        (3, u[2] + " " + boiler, "en", "src1"),   # later copy at pos 1 -> dropped
+        (4, u[3] + " tail word trio", "en", "src1"),  # 13 tokens, all unique
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    r = {x["doc_id"]: x for x in llm_boilerplate_lines(spark, sf).collect()}
+    assert (r[1]["n_blocks"], r[1]["n_dropped"]) == (2, 0)
+    assert (r[2]["n_blocks"], r[2]["n_dropped"]) == (2, 1)
+    assert (r[3]["n_blocks"], r[3]["n_dropped"]) == (2, 1)
+    assert (r[4]["n_blocks"], r[4]["n_dropped"]) == (2, 0)
+    assert r[2]["clean_digest"] == hashlib.md5(u[1].encode()).hexdigest()
+    assert r[3]["clean_digest"] == hashlib.md5(u[2].encode()).hexdigest()
+    assert r[1]["clean_digest"] == hashlib.md5(rows[0][1].encode()).hexdigest()
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
+    """DSIR importance weights: raw docs written in the target subset's
+    vocabulary must outscore raw docs in a disjoint vocabulary, and the
+    selected flag must equal (w >= median of rounded weights)."""
+    from data_engineering_capstone_spark.queries_llm import llm_dsir_weights
+
+    tgt = "alpha beta gamma delta epsilon zeta eta theta"
+    off = "zonk quux blorp flerb snark grizzle wombat plonk"
+    rows = (
+        # the trusted subset (source=src0) defines the target distribution
+        [(i, tgt, "en", "src0") for i in range(1, 5)]
+        # raw pool: two target-like, two off-vocabulary
+        + [
+            (10, tgt, "en", "src1"),
+            # rotated: same length, 6/7 bigrams shared with the target
+            (11, "beta gamma delta epsilon zeta eta theta alpha", "en", "src1"),
+        ]
+        + [(20, off, "en", "src1"), (21, off + " zonk quux", "en", "src1")]
+    )
+    sf = _write_docs(spark, tmp_path, rows)
+    r = {x["doc_id"]: x for x in llm_dsir_weights(spark, sf).collect()}
+    assert len(r) == 8
+    w_target_like = min(r[i]["w"] for i in (1, 2, 3, 4, 10, 11))
+    w_off = max(r[i]["w"] for i in (20, 21))
+    assert w_target_like > w_off
+    med = sorted(x["w"] for x in r.values())[len(r) // 2 - 1]  # disc median (0.5)
+    for x in r.values():
+        assert x["selected"] == int(x["w"] >= med)
+    # docs whose bigram distribution EQUALS the target's are always in
+    # the kept half; off-vocabulary docs never are. (Doc 11 sits between:
+    # its one novel boundary bigram may land either side of the discrete
+    # median — the per-row flag check above already pins its behavior.)
+    assert all(r[i]["selected"] == 1 for i in (1, 2, 3, 4, 10))
+    assert all(r[i]["selected"] == 0 for i in (20, 21))

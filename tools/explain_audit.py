@@ -53,6 +53,9 @@ INTENTIONAL_CROSS = {
     "llm_perplexity_filter",  # token stream x 1-row broadcast (t, v) LM
                               # stats for the OOV floor — same tiny-
                               # broadcast shape as llm_unigram_logprob
+    "llm_dsir_weights",  # 64-row bucket table x 1-row broadcast (sr, st)
+                         # totals, and doc scores x 1-row broadcast
+                         # median threshold — same tiny-broadcast shape
 }
 
 # Streaming queries execute through the streaming runner; the batch

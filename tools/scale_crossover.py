@@ -104,6 +104,16 @@ LLM_SET = [
     "llm_unicode_nfc",
     "llm_dedup_rate_report",
     "llm_html_strip",
+    # rows-only members (Spark time published alone, like minhash):
+    # the three entries the rows-only audit rewrote — keep them raced
+    "llm_semantic_dedup",
+    "llm_embedding_near_dup",
+    "llm_simhash_near_dup",
+    # round-5 third session, in a preset from birth: boilerplate is the
+    # digest-keyed window keeper pass; dsir is the hashed-bucket
+    # importance-weight scan
+    "llm_boilerplate_lines",
+    "llm_dsir_weights",
 ]
 
 # Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
