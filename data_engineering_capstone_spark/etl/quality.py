@@ -129,6 +129,58 @@ def assert_checks(*results: CheckResult) -> None:
         raise AssertionError(f"quality checks failed: {lines}")
 
 
+def fk_orphan_stats(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    relation: str,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Referential-integrity stats for one FK edge, as a 1-row DataFrame:
+    ``fk, n_rows, n_keys, n_orphan_keys, n_null_rows``.
+
+    Extends the reference's specified quality tier (notebook cell-12
+    lists unique-key/type/completeness; orphan detection is the natural
+    cross-table member of the same family). Plan: distinct parent keys
+    LEFT-joined under the child keys (broadcast when the parent is a
+    dim; shuffle hash join fact-to-fact), then ONE aggregate — nulls,
+    distinct keys, and unmatched keys all counted in a single pass, so
+    the check costs one join + one agg regardless of table size.
+    """
+    ck = child.select(F.col(child_key).alias("__k"))
+    pk = parent.select(F.col(parent_key).alias("__k")).distinct().withColumn(
+        "__p", F.lit(1)
+    )
+    if broadcast_parent:
+        pk = F.broadcast(pk)
+    joined = ck.join(pk, "__k", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("__k")).alias("n_keys"),
+        F.count_distinct(
+            F.when(F.col("__p").isNull() & F.col("__k").isNotNull(), F.col("__k"))
+        ).alias("n_orphan_keys"),
+        F.count(F.when(F.col("__k").isNull(), F.lit(1))).alias("n_null_rows"),
+    ).select(
+        F.lit(relation).alias("fk"),
+        "n_rows", "n_keys", "n_orphan_keys", "n_null_rows",
+    )
+
+
+def fk_integrity_report(
+    edges: Sequence[tuple[DataFrame, str, DataFrame, str, str, bool]],
+) -> DataFrame:
+    """Union of :func:`fk_orphan_stats` over a list of FK edges, ordered
+    by relation name — the whole-schema integrity report a pipeline runs
+    after each load."""
+    out = None
+    for child, ck, parent, pk, rel, bcast in edges:
+        row = fk_orphan_stats(child, ck, parent, pk, rel, broadcast_parent=bcast)
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk")
+
+
 def results_df(spark, results: Sequence[CheckResult]) -> DataFrame:
     """Materialize check results as a DataFrame (for reporting sinks)."""
     schema = T.StructType(

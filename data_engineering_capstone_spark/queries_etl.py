@@ -999,3 +999,112 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("priority_sk")
     )
+
+
+@query(
+    "etl_fk_integrity",
+    oracle="""
+    WITH edge1 AS (
+      SELECT 'customer.c_nationkey->nation.n_nationkey' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT c.c_nationkey) AS BIGINT) AS n_keys,
+             CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL AND c.c_nationkey IS NOT NULL
+                                      THEN c.c_nationkey END) AS BIGINT) AS n_orphan_keys,
+             CAST(COUNT(CASE WHEN c.c_nationkey IS NULL THEN 1 END) AS BIGINT) AS n_null_rows
+      FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        ON c.c_nationkey = p.k
+    ), edge2 AS (
+      SELECT 'events.user_id->customer.c_custkey' AS fk,
+             CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT e.user_id) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL AND e.user_id IS NOT NULL
+                                      THEN e.user_id END) AS BIGINT),
+             CAST(COUNT(CASE WHEN e.user_id IS NULL THEN 1 END) AS BIGINT)
+      FROM events e LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        ON e.user_id = p.k
+    ), edge3 AS (
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk,
+             CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL AND l.l_orderkey IS NOT NULL
+                                      THEN l.l_orderkey END) AS BIGINT),
+             CAST(COUNT(CASE WHEN l.l_orderkey IS NULL THEN 1 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        ON l.l_orderkey = p.k
+    ), edge4 AS (
+      SELECT 'lineitem.l_partkey->part.p_partkey' AS fk,
+             CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL AND l.l_partkey IS NOT NULL
+                                      THEN l.l_partkey END) AS BIGINT),
+             CAST(COUNT(CASE WHEN l.l_partkey IS NULL THEN 1 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        ON l.l_partkey = p.k
+    ), edge5 AS (
+      SELECT 'lineitem.l_suppkey->supplier.s_suppkey' AS fk,
+             CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL AND l.l_suppkey IS NOT NULL
+                                      THEN l.l_suppkey END) AS BIGINT),
+             CAST(COUNT(CASE WHEN l.l_suppkey IS NULL THEN 1 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        ON l.l_suppkey = p.k
+    ), edge6 AS (
+      SELECT 'nation.n_regionkey->region.r_regionkey' AS fk,
+             CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT n.n_regionkey) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL AND n.n_regionkey IS NOT NULL
+                                      THEN n.n_regionkey END) AS BIGINT),
+             CAST(COUNT(CASE WHEN n.n_regionkey IS NULL THEN 1 END) AS BIGINT)
+      FROM nation n LEFT JOIN (SELECT DISTINCT r_regionkey AS k FROM region) p
+        ON n.n_regionkey = p.k
+    ), edge7 AS (
+      SELECT 'orders.o_custkey->customer.c_custkey' AS fk,
+             CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL AND o.o_custkey IS NOT NULL
+                                      THEN o.o_custkey END) AS BIGINT),
+             CAST(COUNT(CASE WHEN o.o_custkey IS NULL THEN 1 END) AS BIGINT)
+      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        ON o.o_custkey = p.k
+    ), edge8 AS (
+      SELECT 'supplier.s_nationkey->nation.n_nationkey' AS fk,
+             CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT s.s_nationkey) AS BIGINT),
+             CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL AND s.s_nationkey IS NOT NULL
+                                      THEN s.s_nationkey END) AS BIGINT),
+             CAST(COUNT(CASE WHEN s.s_nationkey IS NULL THEN 1 END) AS BIGINT)
+      FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        ON s.s_nationkey = p.k
+    )
+    SELECT * FROM edge1 UNION ALL SELECT * FROM edge2 UNION ALL
+    SELECT * FROM edge3 UNION ALL SELECT * FROM edge4 UNION ALL
+    SELECT * FROM edge5 UNION ALL SELECT * FROM edge6 UNION ALL
+    SELECT * FROM edge7 UNION ALL SELECT * FROM edge8
+    ORDER BY fk
+    """,
+)
+def etl_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity report: one row per FK edge
+    with row/key/orphan-key/null counts (etl/quality.py:fk_orphan_stats)
+    — the cross-table member of the reference's specified quality tier
+    (notebook cell-12 names unique-key/type/completeness; orphan FKs are
+    what actually breaks the star-schema joins it builds). Each edge is
+    distinct-parent-keys LEFT-joined under the child keys (broadcast for
+    dims, shuffle-hash for the fact-fact edge) + one single-pass agg, so
+    the whole report costs 8 bounded jobs at any corpus size.
+    """
+    from .etl.quality import fk_integrity_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    ev = _t(spark, sf_dir, "events")
+    edges = [
+        (c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation.n_nationkey", True),
+        (ev, "user_id", c, "c_custkey", "events.user_id->customer.c_custkey", True),
+        (li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders.o_orderkey", False),
+        (li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part.p_partkey", True),
+        (li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey->supplier.s_suppkey", True),
+        (n, "n_regionkey", r, "r_regionkey", "nation.n_regionkey->region.r_regionkey", True),
+        (o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer.c_custkey", True),
+        (s, "s_nationkey", n, "n_nationkey", "supplier.s_nationkey->nation.n_nationkey", True),
+    ]
+    return fk_integrity_report(edges)

@@ -3229,3 +3229,78 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.doc_id
         """
     )
+
+
+@query(
+    "llm_kl_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ), st AS (
+      SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY 1, 2
+    ), src_tot AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1
+    ), corpus AS (
+      SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM st
+    ), terms AS (
+      SELECT s.source,
+             CAST((s.c_st * 1.0 / t.n_s)
+                  * LN((s.c_st * 1.0 / t.n_s) / (c.c_t * 1.0 / g.n))
+                  AS DECIMAL(28, 15)) AS d
+      FROM st s
+      JOIN src_tot t USING (source)
+      JOIN corpus c USING (term), tot g
+    )
+    SELECT s.source,
+           ROUND(CAST(SUM(d) AS DOUBLE), 6) AS kl_unigram,
+           CAST(MIN(t.n_s) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM terms s JOIN src_tot t USING (source)
+    GROUP BY s.source ORDER BY source
+    """,
+)
+def llm_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift: KL(P_source || P_corpus) over unigram
+    distributions — the distribution-shift monitor a training-data
+    pipeline runs per crawl shard / per source before mixing (a drifting
+    source changes the token mix downstream models see). Every source
+    term also appears in the corpus distribution, so KL is finite by
+    construction. Plan: one token explode → (source, term) partial-
+    aggregated counts; source totals and the 1-row corpus total
+    broadcast back; per-term contributions are computed as an identical
+    double expression tree in both engines, then summed as DECIMAL —
+    decimal addition is exact and order-independent, so the sum is
+    engine- and partitioning-exact (the llm_dsir_weights pattern). At
+    100 TB the only shuffle is the (source, term) aggregate; the term-
+    keyed corpus join shuffles vocab-sized tables, never documents.
+    """
+    from .functions.strings import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    src_tot = st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    corpus = st.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    tot = st.agg(F.sum("c_st").cast("bigint").alias("n"))
+    p = F.col("c_st") * 1.0 / F.col("n_s")
+    q = F.col("c_t") * 1.0 / F.col("n")
+    terms = (
+        st.join(F.broadcast(src_tot), "source")
+        .join(corpus, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("source", (p * F.log(p / q)).cast("decimal(28,15)").alias("d"))
+    )
+    return (
+        terms.join(F.broadcast(src_tot), "source")
+        .groupBy("source")
+        .agg(
+            F.round(F.sum("d").cast("double"), 6).alias("kl_unigram"),
+            F.min("n_s").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+        .orderBy("source")
+    )

@@ -175,3 +175,38 @@ def test_quality_single_pass_suite_matches_individual_checks(spark):
                  check_suite_single_pass(bad, ["k"], ["k", "v"])}
     assert fused_bad["unique(k)"] is False
     assert fused_bad["no_nulls(k,v)"] is False
+
+
+def test_fk_orphan_stats_planted(spark):
+    from data_engineering_capstone_spark.etl.quality import (
+        fk_integrity_report,
+        fk_orphan_stats,
+    )
+
+    # child: 6 rows — keys 1,1,2 match; 9 is an orphan twice (ONE orphan
+    # key); one NULL row (not a key, not an orphan)
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (None,)], "fk_col long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = fk_orphan_stats(child, "fk_col", parent, "pk", "child->parent").collect()[0]
+    assert row.fk == "child->parent"
+    assert row.n_rows == 6
+    assert row.n_keys == 3          # 1, 2, 9 (null excluded)
+    assert row.n_orphan_keys == 1   # 9, counted once
+    assert row.n_null_rows == 1
+
+    # duplicate parent keys must not multiply child rows
+    dup_parent = spark.createDataFrame([(1,), (1,), (2,)], "pk long")
+    row2 = fk_orphan_stats(child, "fk_col", dup_parent, "pk", "e").collect()[0]
+    assert row2.n_rows == 6 and row2.n_orphan_keys == 1
+
+    # report unions edges and orders by relation name
+    rep = fk_integrity_report(
+        [
+            (child, "fk_col", parent, "pk", "z_edge", True),
+            (child, "fk_col", dup_parent, "pk", "a_edge", False),
+        ]
+    ).collect()
+    assert [r.fk for r in rep] == ["a_edge", "z_edge"]
+    assert all(r.n_orphan_keys == 1 for r in rep)

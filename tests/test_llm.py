@@ -1015,3 +1015,29 @@ def test_dsir_weights_rank_target_like_docs_higher(spark, tmp_path):
     # median — the per-row flag check above already pins its behavior.)
     assert all(r[i]["selected"] == 1 for i in (1, 2, 3, 4, 10))
     assert all(r[i]["selected"] == 0 for i in (20, 21))
+
+
+def test_kl_drift_zero_iff_source_matches_corpus(spark, tmp_path):
+    """KL(P_s || Q) is 0 exactly when the source's unigram distribution
+    equals the corpus mix, and strictly positive for a skewed source."""
+    from data_engineering_capstone_spark.queries_llm import llm_kl_drift
+
+    # two sources with IDENTICAL token distributions -> corpus mix ==
+    # each source's distribution -> KL == 0 for both
+    rows = [
+        (1, "a a b c", "en", "s1"),
+        (2, "a a b c", "en", "s2"),
+    ]
+    r = {x["source"]: x for x in llm_kl_drift(spark, _write_docs(spark, tmp_path, rows)).collect()}
+    assert r["s1"]["kl_unigram"] == 0.0 and r["s2"]["kl_unigram"] == 0.0
+    assert r["s1"]["n_tokens"] == 4 and r["s1"]["n_terms"] == 3
+
+    # skew one source -> both diverge from the pooled corpus mix
+    rows = [
+        (1, "a a a a a a b", "en", "s1"),
+        (2, "b b b b b b a", "en", "s2"),
+    ]
+    r = {x["source"]: x for x in llm_kl_drift(spark, _write_docs(spark, tmp_path, rows)).collect()}
+    assert r["s1"]["kl_unigram"] > 0.0 and r["s2"]["kl_unigram"] > 0.0
+    # symmetric construction -> identical divergences
+    assert r["s1"]["kl_unigram"] == r["s2"]["kl_unigram"]

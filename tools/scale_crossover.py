@@ -71,6 +71,9 @@ RATIO_SET = [
     "llm_cosine_topk",
     "llm_text_stats",
     "stream_tumbling_counts",
+    # round-5 fourth session, in a preset from birth: the whole-schema
+    # FK report includes the fact-fact (lineitem->orders) orphan join
+    "etl_fk_integrity",
 ]
 
 # the LLM/dedup-family scale set (round-3 verdict task 2): the slowest
@@ -114,6 +117,9 @@ LLM_SET = [
     # importance-weight scan
     "llm_boilerplate_lines",
     "llm_dsir_weights",
+    # round-5 fourth session, in a preset from birth: kl_drift is the
+    # (source, term) aggregate + vocab-keyed join shape
+    "llm_kl_drift",
 ]
 
 # Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
