@@ -967,9 +967,19 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute the identical fp expression tree (operation order mirrored
     term by term), rounded to 6 decimals.
     """
+    return (
+        _bm25_scored(spark, sf_dir, ["spark", "query", "batch"])
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str, qterms: list[str]) -> DataFrame:
+    """Per-document BM25 score table (doc_id, bm25 rounded 6, n_terms)
+    for a fixed query — the shared retrieval stage behind
+    ``llm_bm25_search`` and the hybrid-RRF entry."""
     from .functions.strings import tokens
 
-    qterms = ["spark", "query", "batch"]
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -995,14 +1005,9 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.round(F.sum("sc"), 6).alias("bm25"),
-            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-        )
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(10)
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("sc"), 6).alias("bm25"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
     )
 
 
@@ -3304,3 +3309,105 @@ def llm_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "llm_hybrid_rrf_search",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ), dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN ('spark', 'query', 'batch') GROUP BY 1, 2
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    bscored AS (
+      SELECT t.doc_id,
+             (LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * (t.tf * 2.2))
+             / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS sc
+      FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term), stats s
+    ), bagg AS (
+      SELECT doc_id, ROUND(SUM(sc), 6) AS bm25 FROM bscored GROUP BY doc_id
+    ), btop AS (
+      SELECT doc_id, r_bm25 FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+        FROM bagg
+      ) WHERE r_bm25 <= 50
+    ), dense AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+    ), dtop AS (
+      SELECT doc_id, r_dense FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS r_dense
+        FROM dense
+      ) WHERE r_dense <= 50
+    )
+    SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + b.r_bm25), 0)
+                 + COALESCE(1.0 / (60 + d.r_dense), 0), 6) AS rrf,
+           CAST(b.r_bm25 AS INT) AS r_bm25,
+           CAST(d.r_dense AS INT) AS r_dense
+    FROM btop b FULL OUTER JOIN dtop d ON b.doc_id = d.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def llm_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (k=60): the lexical
+    BM25 ranking (shared stage with llm_bm25_search) fused with a dense
+    cosine ranking against a query embedding (vec_id 0), the standard
+    first-stage retriever for RAG-style curation — each ranker's top-50
+    contributes 1/(60+rank); docs surfaced by only one ranker keep the
+    other term at 0. Plan: both rankings resolve as bounded top-k
+    (TakeOrdered — per-partition heads then a 50-row merge, never a
+    global sort), rank assignment is a window over 50 rows, and the
+    fusion is a full-outer join of two 50-row lists — so the fusion
+    stage is O(k) at any corpus size; the corpus-scale work is the two
+    retrieval scans, each the proven shape of its standalone entry.
+    Scores are rounded to 6 decimals BEFORE ranking in both engines so
+    rank boundaries are engine-exact (doc_id tie-break).
+    """
+    from .llm.similarity import cosine
+
+    bm = _bm25_scored(spark, sf_dir, ["spark", "query", "batch"])
+    btop = bm.orderBy(F.col("bm25").desc(), "doc_id").limit(50)
+    br = btop.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("r_bm25"),
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dscored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("sim"),
+        )
+    )
+    dtop = dscored.orderBy(F.col("sim").desc(), "doc_id").limit(50)
+    dr = dtop.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), "doc_id"))
+        .alias("r_dense"),
+    )
+
+    fused = br.join(dr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_bm25")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_dense")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.col("r_bm25").cast("int").alias("r_bm25"),
+        F.col("r_dense").cast("int").alias("r_dense"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)

@@ -1041,3 +1041,41 @@ def test_kl_drift_zero_iff_source_matches_corpus(spark, tmp_path):
     assert r["s1"]["kl_unigram"] > 0.0 and r["s2"]["kl_unigram"] > 0.0
     # symmetric construction -> identical divergences
     assert r["s1"]["kl_unigram"] == r["s2"]["kl_unigram"]
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark, tmp_path):
+    """A doc ranked #1 by BOTH rankers must win the fusion, and every
+    rrf value must equal 1/(60+r_bm25) + 1/(60+r_dense) with an absent
+    rank contributing 0."""
+    from data_engineering_capstone_spark.queries_llm import llm_hybrid_rrf_search
+
+    # doc 1: strong lexical match AND embedding identical to the query
+    # (vec_id 0); doc 2: lexical only; doc 3: dense only
+    rows = [
+        (1, "spark query batch spark query batch", "en", "s"),
+        (2, "spark query batch filler words here", "en", "s"),
+        (3, "nothing relevant lexically at all xx", "en", "s"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),     # the query vector
+            (1, [1.0, 0.0, 0.0, 0.0], 0),     # cos = 1.0 -> dense rank 1
+            (2, [0.0, 0.0, 0.0, 1.0], 0),     # orthogonal
+            (3, [0.9, 0.1, 0.0, 0.0], 0),     # cos ~0.99 -> dense rank 2
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = llm_hybrid_rrf_search(spark, str(tmp_path)).collect()
+    byid = {r.doc_id: r for r in out}
+    assert out[0].doc_id == 1  # top both rankers -> top fused
+    for r in out:
+        expect = (1.0 / (60 + r.r_bm25) if r.r_bm25 else 0.0) + (
+            1.0 / (60 + r.r_dense) if r.r_dense else 0.0
+        )
+        assert abs(r.rrf - expect) < 1e-6
+    assert byid[1].r_dense == 1 and byid[3].r_dense == 2
+    # doc 2 beats doc 3 lexically; doc 3 has no bm25 rank at all
+    assert byid[2].r_bm25 is not None and byid[3].r_bm25 is None

@@ -56,6 +56,11 @@ INTENTIONAL_CROSS = {
     "llm_dsir_weights",  # 64-row bucket table x 1-row broadcast (sr, st)
                          # totals, and doc scores x 1-row broadcast
                          # median threshold — same tiny-broadcast shape
+    "llm_kl_drift",  # (source, term) counts x 1-row broadcast corpus
+                     # total — same tiny-broadcast shape
+    "llm_hybrid_rrf_search",  # corpus scan x 1-row broadcast query
+                              # vector (dense stage), plus the inherited
+                              # bm25 1-row stats broadcast
 }
 
 # Streaming queries execute through the streaming runner; the batch

@@ -118,8 +118,10 @@ LLM_SET = [
     "llm_boilerplate_lines",
     "llm_dsir_weights",
     # round-5 fourth session, in a preset from birth: kl_drift is the
-    # (source, term) aggregate + vocab-keyed join shape
+    # (source, term) aggregate + vocab-keyed join shape; hybrid fuses
+    # the bm25 explode with the dense broadcast-cosine scan
     "llm_kl_drift",
+    "llm_hybrid_rrf_search",
 ]
 
 # Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
