@@ -148,20 +148,31 @@ def fk_orphan_stats(
     distinct keys, and unmatched keys all counted in a single pass, so
     the check costs one join + one agg regardless of table size.
     """
-    ck = child.select(F.col(child_key).alias("__k"))
+    # Aggregate the child down to (key, multiplicity) FIRST: the join
+    # then runs on DISTINCT keys (4x smaller for lineitem->orders), and
+    # no count_distinct ever materializes — a double count_distinct
+    # over the raw joined rows costs an Expand x3 of the whole fact
+    # (measured 13.3s -> this shape at 16x replication).
+    per_key = (
+        child.select(F.col(child_key).alias("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     pk = parent.select(F.col(parent_key).alias("__k")).distinct().withColumn(
         "__p", F.lit(1)
     )
     if broadcast_parent:
         pk = F.broadcast(pk)
-    joined = ck.join(pk, "__k", "left")
+    joined = per_key.join(pk, "__k", "left")
     return joined.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct(F.col("__k")).alias("n_keys"),
-        F.count_distinct(
-            F.when(F.col("__p").isNull() & F.col("__k").isNotNull(), F.col("__k"))
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("__k").isNotNull(), F.lit(1))).alias("n_keys"),
+        F.count(
+            F.when(F.col("__p").isNull() & F.col("__k").isNotNull(), F.lit(1))
         ).alias("n_orphan_keys"),
-        F.count(F.when(F.col("__k").isNull(), F.lit(1))).alias("n_null_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("__k").isNull(), F.col("__c"))), F.lit(0)
+        ).cast("bigint").alias("n_null_rows"),
     ).select(
         F.lit(relation).alias("fk"),
         "n_rows", "n_keys", "n_orphan_keys", "n_null_rows",
@@ -171,14 +182,121 @@ def fk_orphan_stats(
 def fk_integrity_report(
     edges: Sequence[tuple[DataFrame, str, DataFrame, str, str, bool]],
 ) -> DataFrame:
-    """Union of :func:`fk_orphan_stats` over a list of FK edges, ordered
-    by relation name — the whole-schema integrity report a pipeline runs
-    after each load."""
-    out = None
-    for child, ck, parent, pk, rel, bcast in edges:
-        row = fk_orphan_stats(child, ck, parent, pk, rel, broadcast_parent=bcast)
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("fk")
+    """Whole-schema FK integrity report over numeric-keyed edges, as ONE
+    fused pipeline instead of per-edge sub-plans (per-edge sub-plans
+    cost a scan + join + agg EACH — measured 9.8 s for 8 edges at 16x
+    replication vs ~2 s fused). Two measured scale rules shape the plan:
+
+    * row/null counts come from a MAP-SIDE one-row aggregate per child
+      table (never keyed by anything) — carrying per-key multiplicities
+      through the key shuffle is pure waste;
+    * the key path repartitions on an EXPLICIT width before the global
+      distinct: the distinct-key table is bytes-small but groups-large,
+      so AQE's byte-based coalesce folds the reducer to ONE partition
+      and runs the aggregate single-core (measured 6.4 s -> 1.9 s at
+      16x; same trap as the capped-postings and window-input cases,
+      SCALE.md). A partition-local pre-dedup keyed by
+      spark_partition_id() was measured WORSE (10.3 s — the
+      nondeterministic column breaks codegen and its own exchange
+      coalesces), so raw keys shuffle once, narrow.
+
+    Edge ids are integers — relation strings never enter an exchange.
+    Keys are cast to long (use :func:`fk_orphan_stats` per edge for
+    non-numeric keys)."""
+    by_child: dict[int, list[int]] = {}
+    for i, (child, *_rest) in enumerate(edges):
+        by_child.setdefault(id(child), []).append(i)
+
+    # --- map-side stats: one scan + one-row agg per child TABLE -------
+    stat_parts = []
+    key_parts = []
+    for idxs in by_child.values():
+        child = edges[idxs[0]][0]
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.count(F.when(F.col(edges[i][1]).isNull(), F.lit(1))).alias(f"nn_{i}")
+            for i in idxs
+        ]
+        srow = child.agg(*aggs)
+        stat_parts.append(
+            srow.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("e"),
+                                F.col("n_rows").alias("n_rows"),
+                                F.col(f"nn_{i}").alias("n_null_rows"),
+                            )
+                            for i in idxs
+                        ]
+                    )
+                ).alias("s")
+            ).select("s.e", "s.n_rows", "s.n_null_rows")
+        )
+        structs = [
+            F.struct(
+                F.lit(i).alias("e"),
+                F.col(edges[i][1]).cast("long").alias("__k"),
+            )
+            for i in idxs
+        ]
+        key_parts.append(
+            child.select(F.explode(F.array(*structs)).alias("s"))
+            .select(F.col("s.e").alias("e"), F.col("s.__k").alias("__k"))
+            .where(F.col("__k").isNotNull())
+        )
+    tiny = stat_parts[0]
+    for p in stat_parts[1:]:
+        tiny = tiny.unionByName(p)
+
+    ckeys = key_parts[0]
+    for p in key_parts[1:]:
+        ckeys = ckeys.unionByName(p)
+    par = ckeys.sparkSession.sparkContext.defaultParallelism * 2
+    dkeys = ckeys.repartition(par, "e", "__k").distinct()
+
+    parent_parts = []
+    for i, (_c, _ck, parent, pkc, _rel, _b) in enumerate(edges):
+        parent_parts.append(
+            parent.select(
+                F.lit(i).alias("e"), F.col(pkc).cast("long").alias("__k")
+            ).where(F.col("__k").isNotNull())
+        )
+    pkeys = parent_parts[0]
+    for p in parent_parts[1:]:
+        pkeys = pkeys.unionByName(p)
+    pkeys = (
+        pkeys.repartition(par, "e", "__k").distinct().withColumn("__p", F.lit(1))
+    )
+
+    key_agg = (
+        dkeys.join(pkeys, ["e", "__k"], "left")
+        .groupBy("e")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.count(F.when(F.col("__p").isNull(), F.lit(1))).alias(
+                "n_orphan_keys"
+            ),
+        )
+    )
+
+    rel_map = F.when(F.lit(False), F.lit(""))
+    for i, (_c, _ck, _p, _pk, rel, _b) in enumerate(edges):
+        rel_map = rel_map.when(F.col("e") == i, F.lit(rel))
+
+    return (
+        tiny.join(F.broadcast(key_agg), "e", "left")
+        .select(
+            rel_map.alias("fk"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.coalesce(F.col("n_keys"), F.lit(0)).cast("bigint").alias("n_keys"),
+            F.coalesce(F.col("n_orphan_keys"), F.lit(0))
+            .cast("bigint")
+            .alias("n_orphan_keys"),
+            F.col("n_null_rows").cast("bigint").alias("n_null_rows"),
+        )
+        .orderBy("fk")
+    )
 
 
 def results_df(spark, results: Sequence[CheckResult]) -> DataFrame:

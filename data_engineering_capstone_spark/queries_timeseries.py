@@ -649,3 +649,108 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").alias("n_pairs"),
         F.round(num / den, 6).alias("acf"),
     ).orderBy("lag")
+
+
+@query(
+    "ts_downsample_lttb",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), pts AS (
+      SELECT CAST(DATE_DIFF('day', DATE '1970-01-01', d) AS INT) AS x, d, y,
+             CAST(FLOOR(DATE_DIFF('day', DATE '1970-01-01', d) / 7.0) AS BIGINT) AS bucket
+      FROM daily
+    ), bs AS (
+      SELECT bucket,
+             CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mx,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS my
+      FROM pts GROUP BY 1
+    ), anch AS (
+      SELECT bucket,
+             LAG(mx)  OVER (ORDER BY bucket) AS xp,
+             LAG(my)  OVER (ORDER BY bucket) AS yp,
+             LEAD(mx) OVER (ORDER BY bucket) AS xn,
+             LEAD(my) OVER (ORDER BY bucket) AS yn
+      FROM bs
+    ), scored AS (
+      SELECT p.bucket, p.x, p.d, p.y,
+             CASE WHEN a.xp IS NULL THEN -CAST(p.x AS DOUBLE)
+                  WHEN a.xn IS NULL THEN CAST(p.x AS DOUBLE)
+                  ELSE ROUND(ABS((a.xp - a.xn) * (CAST(p.y AS DOUBLE) - a.yp)
+                               - (a.xp - CAST(p.x AS DOUBLE)) * (a.yn - a.yp)), 6)
+             END AS score
+      FROM pts p JOIN anch a USING (bucket)
+    ), sel AS (
+      SELECT bucket, x, d, y,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY score DESC, x) AS rk
+      FROM scored
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, x, d, y
+    FROM sel WHERE rk = 1 ORDER BY bucket
+    """,
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style downsampling of the daily event series: one visually
+    representative point per 7-day bucket, chosen by the largest
+    triangle area against the NEIGHBOR-BUCKET MEAN anchors (the
+    fixed-anchor variant of Steinarsson's largest-triangle-three-buckets
+    — classic LTTB anchors on the previously SELECTED point, which is
+    inherently sequential; anchoring on bucket means keeps the pick
+    embarrassingly parallel per bucket with near-identical selections).
+    First/last buckets keep their first/last point, as in LTTB. Plan:
+    calendar-bucket assignment is a pure projection (no global row
+    numbering), bucket means are one narrow aggregate, lag/lead anchors
+    run over the BUCKET SUMMARY (n/7 rows, not points), and the argmax
+    is a per-bucket window. Means are computed as exact-integer
+    SUM/COUNT then divided, so anchor doubles are bit-identical across
+    engines and partitionings; the area score rounds to 6 before
+    ranking with an x tie-break.
+    """
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    pts = daily.select(
+        F.datediff("d", F.lit("1970-01-01").cast("date")).alias("x"),
+        "d",
+        "y",
+        F.floor(
+            F.datediff("d", F.lit("1970-01-01").cast("date")) / 7.0
+        ).cast("bigint").alias("bucket"),
+    )
+    bs = pts.groupBy("bucket").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mx"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("my"),
+    )
+    w = Window.orderBy("bucket")
+    anch = bs.select(
+        "bucket",
+        F.lag("mx").over(w).alias("xp"),
+        F.lag("my").over(w).alias("yp"),
+        F.lead("mx").over(w).alias("xn"),
+        F.lead("my").over(w).alias("yn"),
+    )
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    area = F.round(
+        F.abs(
+            (F.col("xp") - F.col("xn")) * (yd - F.col("yp"))
+            - (F.col("xp") - xd) * (F.col("yn") - F.col("yp"))
+        ),
+        6,
+    )
+    scored = pts.join(F.broadcast(anch), "bucket").select(
+        "bucket", "x", "d", "y",
+        F.when(F.col("xp").isNull(), -xd)
+        .when(F.col("xn").isNull(), xd)
+        .otherwise(area)
+        .alias("score"),
+    )
+    ws = Window.partitionBy("bucket").orderBy(F.col("score").desc(), "x")
+    return (
+        scored.withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") == 1)
+        .select("bucket", "x", "d", "y")
+        .orderBy("bucket")
+    )

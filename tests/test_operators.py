@@ -258,3 +258,46 @@ def test_versioned_uncommitted_dir_is_invisible_and_skipped(spark, tmp_path):
     # next writer skips the torn v=2 instead of colliding forever
     assert write_version(spark.createDataFrame([(2,)], "k int"), t) == 3
     assert list_versions(t) == [1, 3]
+
+
+def test_lttb_downsample_picks_spike_and_endpoints(spark, tmp_path):
+    """Fixed-anchor LTTB: the first/last buckets keep their first/last
+    day; a middle bucket must surface its spike day (the point with the
+    largest triangle area against the neighbor-bucket means)."""
+    import datetime
+
+    from data_engineering_capstone_spark.queries_timeseries import (
+        ts_downsample_lttb,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    eid = 0
+    spike = datetime.date(2024, 1, 10)  # middle of the date range
+    for i in range(21):
+        d = base + datetime.timedelta(days=i)
+        n = 50 if d == spike else 1
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"{d} 12:00:00", 1, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = ts_downsample_lttb(spark, str(tmp_path)).collect()
+    by_bucket = {r.bucket: r for r in out}
+    xs = [(base + datetime.timedelta(days=i)).toordinal() - datetime.date(1970, 1, 1).toordinal() for i in range(21)]
+    buckets = sorted({x // 7 for x in xs})
+    # one selected point per non-empty bucket
+    assert sorted(by_bucket) == buckets
+    # endpoint conventions
+    first_b, last_b = buckets[0], buckets[-1]
+    assert by_bucket[first_b].x == min(x for x in xs if x // 7 == first_b)
+    assert by_bucket[last_b].x == max(x for x in xs if x // 7 == last_b)
+    # the spike day dominates its (middle) bucket
+    spike_x = spike.toordinal() - datetime.date(1970, 1, 1).toordinal()
+    sb = spike_x // 7
+    if sb not in (first_b, last_b):
+        assert by_bucket[sb].x == spike_x and by_bucket[sb].y == 50

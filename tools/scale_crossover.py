@@ -72,8 +72,11 @@ RATIO_SET = [
     "llm_text_stats",
     "stream_tumbling_counts",
     # round-5 fourth session, in a preset from birth: the whole-schema
-    # FK report includes the fact-fact (lineitem->orders) orphan join
+    # FK report includes the fact-fact (lineitem->orders) orphan join;
+    # lttb reduces to a ~30-row daily series at any scale (its ratio
+    # measures the Spark scheduling floor, recorded as such)
     "etl_fk_integrity",
+    "ts_downsample_lttb",
 ]
 
 # the LLM/dedup-family scale set (round-3 verdict task 2): the slowest
