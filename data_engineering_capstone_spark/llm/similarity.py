@@ -835,3 +835,62 @@ def semantic_dedup(
             F.round("__best", 6).alias("cos_sim"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: every corpus vector is
+    scored by its max cosine against the (bounded, broadcastable)
+    benchmark set; rows at or above ``threshold`` are returned as
+    contaminated, with the nearest benchmark id.
+
+    The embedding twin of the exact n-gram forms
+    (``llm_bloom_decontamination`` / ``llm_span_decontamination``):
+    paraphrased eval leakage survives token-level filters but not a
+    similarity gate. Plan: ONE corpus scan, benchmark matrix broadcast,
+    one BLAS product per Arrow batch — linear at any corpus size, no
+    shuffle at all until the (tiny) contaminated output is sorted.
+    Similarities are rounded HALF-UP to 6 decimals INSIDE the kernel
+    (sign-aware floor(|x|*1e6+0.5), matching SQL ROUND) so the max and
+    its min-id tie-break are engine-exact.
+    """
+    import pandas as pd
+
+    nid_dt = corpus.schema[id_col].dataType.simpleString()
+    brows = bench.select(F.col(id_col), F.col(vec_col)).collect()
+    b_ids = np.array([r[id_col] for r in brows])
+    bm = np.array([r[vec_col] for r in brows], dtype=np.float64)
+    bn = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+    bcast = corpus.sparkSession.sparkContext.broadcast((b_ids, bn))
+
+    def _score(batches):
+        ids_b, mat_b = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cn @ mat_b.T
+            # SQL-ROUND (half away from zero) to 6, then tie-break the
+            # argmax by MIN benchmark id on the ROUNDED values
+            r = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+            mx = r.max(axis=1)
+            big = np.where(r == mx[:, None], ids_b[None, :], np.iinfo(np.int64).max)
+            nearest = big.min(axis=1)
+            keep = mx >= threshold
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    "nearest_bench_id": nearest[keep],
+                    "max_cos": mx[keep],
+                }
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _score, f"{id_col} {nid_dt}, nearest_bench_id {nid_dt}, max_cos double"
+    )

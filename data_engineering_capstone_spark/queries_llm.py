@@ -3411,3 +3411,51 @@ def llm_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_dense").cast("int").alias("r_dense"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@query(
+    "llm_semantic_decontamination",
+    oracle="""
+    WITH bench AS (
+      SELECT vec_id AS b_id, embedding AS be FROM embeddings WHERE vec_id < 50
+    ), corp AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 50
+    ), sims AS (
+      SELECT c.vec_id, b.b_id,
+             ROUND(list_cosine_similarity(c.embedding::DOUBLE[], b.be::DOUBLE[]), 6) AS cs
+      FROM corp c, bench b
+    ), agg AS (
+      SELECT vec_id, MAX(cs) AS max_cos FROM sims GROUP BY 1
+    )
+    SELECT a.vec_id,
+           CAST(MIN(s.b_id) AS BIGINT) AS nearest_bench_id,
+           a.max_cos
+    FROM agg a JOIN sims s ON s.vec_id = a.vec_id AND s.cs = a.max_cos
+    WHERE a.max_cos >= 0.35
+    GROUP BY a.vec_id, a.max_cos
+    ORDER BY a.vec_id
+    """,
+)
+def llm_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination — the third member of
+    the decontamination family (bloom = exact n-gram membership, span =
+    surgical text removal, THIS = similarity gate that catches
+    paraphrased eval leakage token filters miss, as in SemDeDup-style
+    eval-overlap audits). Benchmark = vec_id < 50 (bounded by contract,
+    like the cosine_topk query set); corpus rows with max cosine >= 0.35
+    against any benchmark vector are flagged with their nearest
+    benchmark id. Plan: broadcast benchmark matrix + one BLAS product
+    per Arrow batch over a single corpus scan — linear, shuffle-free;
+    rounding happens half-away-from-zero INSIDE the kernel so the
+    max/argmax tie-break is engine-exact (llm/similarity.py).
+    """
+    from .llm.similarity import semantic_decontaminate
+
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") < 50)
+    corpus = e.filter(F.col("vec_id") >= 50)
+    return (
+        semantic_decontaminate(corpus, bench, threshold=0.35)
+        .select("vec_id", "nearest_bench_id", F.round("max_cos", 6).alias("max_cos"))
+        .orderBy("vec_id")
+    )

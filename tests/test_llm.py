@@ -1079,3 +1079,28 @@ def test_hybrid_rrf_fuses_both_rankers(spark, tmp_path):
     assert byid[1].r_dense == 1 and byid[3].r_dense == 2
     # doc 2 beats doc 3 lexically; doc 3 has no bm25 rank at all
     assert byid[2].r_bm25 is not None and byid[3].r_bm25 is None
+
+
+def test_semantic_decontamination_planted(spark, tmp_path):
+    """A corpus vector equal to a benchmark vector is contaminated at
+    cos == 1.0 with the right nearest id; an orthogonal one is clean;
+    the min-id tie-break resolves equal similarities."""
+    from data_engineering_capstone_spark.llm.similarity import (
+        semantic_decontaminate,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # bench 0
+        (1, [0.0, 1.0, 0.0, 0.0]),   # bench 1 (same direction as bench 2)
+        (2, [0.0, 2.0, 0.0, 0.0]),   # bench 2 — cos-identical to bench 1
+        (100, [3.0, 0.0, 0.0, 0.0]), # corpus: parallel to bench 0
+        (101, [0.0, 0.0, 1.0, 0.0]), # corpus: orthogonal to all -> clean
+        (102, [0.0, 5.0, 0.0, 0.0]), # corpus: ties bench 1 and 2 -> min id 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bench = df.filter(F.col("vec_id") < 50)
+    corpus = df.filter(F.col("vec_id") >= 50)
+    out = {r.vec_id: r for r in semantic_decontaminate(corpus, bench, 0.5).collect()}
+    assert set(out) == {100, 102}
+    assert out[100].nearest_bench_id == 0 and out[100].max_cos == 1.0
+    assert out[102].nearest_bench_id == 1 and out[102].max_cos == 1.0

@@ -125,6 +125,9 @@ LLM_SET = [
     # the bm25 explode with the dense broadcast-cosine scan
     "llm_kl_drift",
     "llm_hybrid_rrf_search",
+    # semantic decontamination: broadcast-BLAS linear scan (the cosine
+    # family's scale shape), in a preset from birth
+    "llm_semantic_decontamination",
 ]
 
 # Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
