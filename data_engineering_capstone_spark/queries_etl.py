@@ -1108,3 +1108,73 @@ def etl_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s, "s_nationkey", n, "n_nationkey", "supplier.s_nationkey->nation.n_nationkey", True),
     ]
     return fk_integrity_report(edges)
+
+
+@query(
+    "etl_outlier_iqr",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ), q AS (
+      SELECT o_orderpriority,
+             quantile_cont(c, 0.25) AS q1,
+             quantile_cont(c, 0.75) AS q3,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM cents GROUP BY 1
+    ), flagged AS (
+      SELECT c.o_orderpriority, c.c, q.n_rows,
+             q.q1 - 1.5 * (q.q3 - q.q1) AS lo,
+             q.q3 + 1.5 * (q.q3 - q.q1) AS hi
+      FROM cents c JOIN q USING (o_orderpriority)
+    )
+    SELECT o_orderpriority,
+           CAST(MIN(n_rows) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN c < lo OR c > hi THEN 1 END) AS BIGINT) AS n_outliers,
+           ROUND(MIN(lo) / 100.0, 4) AS lo_bound,
+           ROUND(MIN(hi) / 100.0, 4) AS hi_bound
+    FROM flagged
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def etl_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust outlier report (Tukey fences): order totals
+    outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] per priority — the
+    distribution-shape data-quality gate (z-scores break on heavy
+    tails; quartiles don't). Money is floored to integer CENTS first
+    (the repo's established codegen-path pattern), so quartile
+    interpolation (×0.25/0.75) and the 1.5·IQR fences are exact binary
+    fractions in BOTH engines — the outlier comparison is exact, never
+    an fp-boundary coin flip. Plan: one grouped exact-percentile agg
+    (bounded group count), fences broadcast back onto the fact, one
+    counting agg. At 100 TB swap the exact percentile for the KLL
+    sketch (ts_rolling_median_kll) — same plan shape.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    q = cents.groupBy("o_orderpriority").agg(
+        F.percentile("c", 0.25).alias("q1"),
+        F.percentile("c", 0.75).alias("q3"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    flagged = cents.join(F.broadcast(q), "o_orderpriority").select(
+        "o_orderpriority", "c", "n_rows",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.min("n_rows").cast("bigint").alias("n_rows"),
+            F.count(
+                F.when((F.col("c") < F.col("lo")) | (F.col("c") > F.col("hi")), F.lit(1))
+            ).alias("n_outliers"),
+            F.round(F.min("lo") / 100.0, 4).alias("lo_bound"),
+            F.round(F.min("hi") / 100.0, 4).alias("hi_bound"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -754,3 +754,76 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "x", "d", "y")
         .orderBy("bucket")
     )
+
+
+@query(
+    "ts_ewma_trailing",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DECIMAL(20,6)) AS y
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT d, y,
+             LAG(y, 1) OVER (ORDER BY d) AS y1,
+             LAG(y, 2) OVER (ORDER BY d) AS y2,
+             LAG(y, 3) OVER (ORDER BY d) AS y3,
+             LAG(y, 4) OVER (ORDER BY d) AS y4,
+             LAG(y, 5) OVER (ORDER BY d) AS y5,
+             LAG(y, 6) OVER (ORDER BY d) AS y6
+      FROM daily
+    )
+    SELECT d, CAST(y AS BIGINT) AS y,
+           ROUND(CAST(
+             y * CAST(1.0 AS DECIMAL(8,6))
+             + COALESCE(y1 * CAST(0.5 AS DECIMAL(8,6)), 0)
+             + COALESCE(y2 * CAST(0.25 AS DECIMAL(8,6)), 0)
+             + COALESCE(y3 * CAST(0.125 AS DECIMAL(8,6)), 0)
+             + COALESCE(y4 * CAST(0.0625 AS DECIMAL(8,6)), 0)
+             + COALESCE(y5 * CAST(0.03125 AS DECIMAL(8,6)), 0)
+             + COALESCE(y6 * CAST(0.015625 AS DECIMAL(8,6)), 0)
+           AS DOUBLE) / CAST(
+             CAST(1.0 AS DECIMAL(8,6))
+             + CASE WHEN y1 IS NULL THEN 0 ELSE CAST(0.5 AS DECIMAL(8,6)) END
+             + CASE WHEN y2 IS NULL THEN 0 ELSE CAST(0.25 AS DECIMAL(8,6)) END
+             + CASE WHEN y3 IS NULL THEN 0 ELSE CAST(0.125 AS DECIMAL(8,6)) END
+             + CASE WHEN y4 IS NULL THEN 0 ELSE CAST(0.0625 AS DECIMAL(8,6)) END
+             + CASE WHEN y5 IS NULL THEN 0 ELSE CAST(0.03125 AS DECIMAL(8,6)) END
+             + CASE WHEN y6 IS NULL THEN 0 ELSE CAST(0.015625 AS DECIMAL(8,6)) END
+           AS DOUBLE), 6) AS ewma
+    FROM lagged ORDER BY d
+    """,
+)
+def ts_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average (alpha = 0.5,
+    window 7) of the daily event count — the smoothing primitive behind
+    load forecasting and anomaly baselines. The classic recursive EWMA
+    is inherently sequential; truncating at 7 lags (residual weight
+    2^-7 < 1%) turns it into a PARALLEL window expression. Weights are
+    exact binary fractions held as DECIMAL, the weighted sum and the
+    present-lag normalizer accumulate in DECIMAL (exact, order-free),
+    and the single division happens in double on both engines — so the
+    result is bit-exact despite being float-valued. The window runs
+    over the DAILY AGGREGATE (n/86400 rows), never over raw events.
+    """
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("decimal(20,6)").alias("y")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d", "y",
+        *[F.lag("y", k).over(w).alias(f"y{k}") for k in range(1, 7)],
+    )
+    wts = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625]
+    dec = lambda v: F.lit(v).cast("decimal(8,6)")  # noqa: E731
+    num = F.col("y") * dec(wts[0])
+    den = dec(wts[0])
+    for k in range(1, 7):
+        num = num + F.coalesce(F.col(f"y{k}") * dec(wts[k]), F.lit(0))
+        den = den + F.when(F.col(f"y{k}").isNull(), F.lit(0)).otherwise(dec(wts[k]))
+    return lagged.select(
+        "d",
+        F.col("y").cast("bigint").alias("y"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
+    ).orderBy("d")

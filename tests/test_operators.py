@@ -301,3 +301,53 @@ def test_lttb_downsample_picks_spike_and_endpoints(spark, tmp_path):
     sb = spike_x // 7
     if sb not in (first_b, last_b):
         assert by_bucket[sb].x == spike_x and by_bucket[sb].y == 50
+
+
+def test_ewma_trailing_hand_computed(spark, tmp_path):
+    """Truncated EWMA (alpha=0.5, 7 lags) equals the hand-computed
+    weighted mean, including the short-history normalization at the
+    series start."""
+    from data_engineering_capstone_spark.queries_timeseries import (
+        ts_ewma_trailing,
+    )
+
+    # daily counts: day1 -> 2 events, day2 -> 4, day3 -> 8
+    rows = []
+    eid = 0
+    for day, n in (("2024-01-01", 2), ("2024-01-02", 4), ("2024-01-03", 8)):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"{day} 01:00:00", 1, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = {str(r.d): r.ewma for r in ts_ewma_trailing(spark, str(tmp_path)).collect()}
+    assert out["2024-01-01"] == 2.0                      # no history
+    assert out["2024-01-02"] == round((4 + 0.5 * 2) / 1.5, 6)
+    assert out["2024-01-03"] == round((8 + 0.5 * 4 + 0.25 * 2) / 1.75, 6)
+
+
+def test_outlier_iqr_planted(spark, tmp_path):
+    """Tukey fences flag exactly the planted extreme value and the
+    integer-cents fences are the hand-computed quartile bounds."""
+    from data_engineering_capstone_spark.queries_etl import etl_outlier_iqr
+
+    # one priority group: values 10..14 dollars plus one wild 1000
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+    rows = [(i, 1, "O", v, "2024-01-01", "1-URGENT", "c", 0, "x") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate string, o_orderpriority string, o_clerk string, o_shippriority int, o_comment string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    r = etl_outlier_iqr(spark, str(tmp_path)).collect()[0]
+    assert r.n_rows == 6 and r.n_outliers == 1
+    # cents: [1000,1100,1200,1300,1400,100000]; q1 = 1125, q3 = 1375
+    # (quantile_cont at positions 1.25 / 3.75); iqr = 250
+    assert r.lo_bound == round((1125 - 375) / 100.0, 4)
+    assert r.hi_bound == round((1375 + 375) / 100.0, 4)

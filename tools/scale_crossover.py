@@ -77,6 +77,11 @@ RATIO_SET = [
     # measures the Spark scheduling floor, recorded as such)
     "etl_fk_integrity",
     "ts_downsample_lttb",
+    # IQR fences are a grouped exact-percentile + broadcast-back pass
+    # over the orders fact; ewma reduces to the ~30-row daily series
+    # (scheduling-floor class, like lttb)
+    "etl_outlier_iqr",
+    "ts_ewma_trailing",
 ]
 
 # the LLM/dedup-family scale set (round-3 verdict task 2): the slowest
