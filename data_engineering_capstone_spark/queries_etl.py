@@ -1178,3 +1178,169 @@ def etl_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "etl_psi_drift",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+             (CAST(o_orderdate AS DATE) < DATE '1998-01-01') AS is_ref
+      FROM orders
+    ), bounds AS (
+      SELECT quantile_cont(c, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM cents WHERE is_ref
+    ), binned AS (
+      SELECT CAST(LEN(list_filter(b.bs, x -> x <= cn.c)) AS INT) AS bucket,
+             cn.is_ref
+      FROM cents cn, bounds b
+    ), counts AS (
+      SELECT bucket,
+             CAST(COUNT(CASE WHEN is_ref THEN 1 END) AS BIGINT) AS n_ref,
+             CAST(COUNT(CASE WHEN NOT is_ref THEN 1 END) AS BIGINT) AS n_cur
+      FROM binned GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
+    ), terms AS (
+      SELECT bucket, n_ref, n_cur,
+             CAST((GREATEST(n_cur * 1.0 / t.t_cur, 1e-6)
+                   - GREATEST(n_ref * 1.0 / t.t_ref, 1e-6))
+                  * LN(GREATEST(n_cur * 1.0 / t.t_cur, 1e-6)
+                       / GREATEST(n_ref * 1.0 / t.t_ref, 1e-6))
+                  AS DECIMAL(28, 15)) AS d
+      FROM counts, tot t
+    )
+    SELECT bucket, n_ref, n_cur,
+           ROUND(CAST(d AS DOUBLE), 6) AS psi_term,
+           ROUND(CAST(SUM(d) OVER () AS DOUBLE), 6) AS psi_total
+    FROM terms ORDER BY bucket
+    """,
+)
+def etl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference period (orders
+    before 1998) and the current period — THE standard production
+    drift gate for a numeric feature (PSI < 0.1 stable, > 0.25 shifted)
+    run before a model or mix decision consumes a new data slice.
+    Bins are the reference period's own deciles, so the report reads
+    "how did the current mass move across the old quantiles". Money is
+    integer CENTS (codegen-path pattern); decile boundaries come from
+    one exact-percentile pass over the reference slice (at 100 TB swap
+    in the KLL sketch — same plan, same swap as etl_outlier_iqr);
+    bucket assignment is a 9-element broadcast array scanned with a
+    codegen lambda (count of boundaries <= value), so the fact table
+    is read ONCE and never shuffled by value. Both probability floors
+    (1e-6, the standard empty-bin guard) and the per-bucket PSI term
+    use identical double expression trees in both engines; terms are
+    summed as DECIMAL (exact, order-free) and rounded at the boundary,
+    so the total is partitioning-exact.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+        (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date")).alias(
+            "is_ref"
+        ),
+    )
+    bounds = (
+        cents.where("is_ref")
+        .agg(F.percentile("c", F.lit([i / 10 for i in range(1, 10)])).alias("bs"))
+    )
+    binned = cents.join(F.broadcast(bounds)).select(
+        F.size(F.filter("bs", lambda x: x <= F.col("c"))).cast("int").alias("bucket"),
+        "is_ref",
+    )
+    counts = binned.groupBy("bucket").agg(
+        F.count(F.when(F.col("is_ref"), F.lit(1))).cast("bigint").alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), F.lit(1))).cast("bigint").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = F.greatest(F.col("n_cur") * 1.0 / F.col("t_cur"), F.lit(1e-6))
+    p_ref = F.greatest(F.col("n_ref") * 1.0 / F.col("t_ref"), F.lit(1e-6))
+    terms = counts.join(F.broadcast(tot)).select(
+        "bucket", "n_ref", "n_cur",
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).cast("decimal(28,15)").alias("d"),
+    )
+    w = Window.partitionBy()
+    return terms.select(
+        "bucket", "n_ref", "n_cur",
+        F.round(F.col("d").cast("double"), 6).alias("psi_term"),
+        F.round(F.sum("d").over(w).cast("double"), 6).alias("psi_total"),
+    ).orderBy("bucket")
+
+
+@query(
+    "etl_benford_report",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice > 0
+    ), counts AS (
+      SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cents GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS t FROM counts),
+    terms AS (
+      SELECT digit, n, t.t,
+             n * 1.0 / t.t AS p_obs,
+             LN(1.0 + 1.0 / digit) / LN(10.0) AS p_exp
+      FROM counts, tot t
+    )
+    SELECT digit, n,
+           ROUND(p_obs, 6) AS p_obs,
+           ROUND(p_exp, 6) AS p_benford,
+           ROUND(ABS(p_obs - p_exp), 6) AS abs_dev,
+           ROUND(CAST(SUM(CAST((p_obs - p_exp) * (p_obs - p_exp) / p_exp
+                               AS DECIMAL(28, 15))) OVER () AS DOUBLE) * t, 4)
+             AS chi2
+    FROM terms ORDER BY digit
+    """,
+)
+def etl_benford_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over line-item prices —
+    the classic fabricated-amounts / upstream-generator sanity check a
+    warehouse runs on money columns (organic amounts follow
+    P(d) = log10(1 + 1/d); synthetic or truncated feeds don't). The
+    leading digit is taken from the DECIMAL STRING of integer cents
+    (scaling by 100 preserves the leading significant digit), never via
+    floating log10 — so digit extraction has no fp boundary. One
+    9-group aggregate over the fact; observed shares, Benford expected
+    shares, and the chi-square statistic use identical double trees in
+    both engines with the chi-square terms summed as DECIMAL (exact,
+    order-free). Plan: single scan, single tiny shuffle (9 groups),
+    1-row total broadcast back — linear and partitioning-exact at any
+    scale.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    counts = (
+        l.where(F.col("l_extendedprice") > 0)
+        .select(
+            F.substring(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").cast("string"),
+                1, 1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    p_obs = F.col("n") * 1.0 / F.col("t")
+    p_exp = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    terms = counts.join(F.broadcast(tot)).select(
+        "digit", "n", "t",
+        p_obs.alias("p_obs"), p_exp.alias("p_exp"),
+        ((p_obs - p_exp) * (p_obs - p_exp) / p_exp)
+        .cast("decimal(28,15)")
+        .alias("chi_d"),
+    )
+    w = Window.partitionBy()
+    return terms.select(
+        "digit", "n",
+        F.round("p_obs", 6).alias("p_obs"),
+        F.round("p_exp", 6).alias("p_benford"),
+        F.round(F.abs(F.col("p_obs") - F.col("p_exp")), 6).alias("abs_dev"),
+        F.round(F.sum("chi_d").over(w).cast("double") * F.col("t"), 4).alias("chi2"),
+    ).orderBy("digit")

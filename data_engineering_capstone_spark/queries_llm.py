@@ -3459,3 +3459,99 @@ def llm_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "nearest_bench_id", F.round("max_cos", 6).alias("max_cos"))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "llm_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ), top AS (
+      SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r
+      FROM tf QUALIFY r <= 1000
+    ), xy AS (
+      SELECT CAST(LN(r) AS DECIMAL(28, 15)) AS x,
+             CAST(LN(c) AS DECIMAL(28, 15)) AS y,
+             CAST(LN(r) * LN(r) AS DECIMAL(28, 15)) AS xx,
+             CAST(LN(r) * LN(c) AS DECIMAL(28, 15)) AS xyp,
+             CAST(LN(c) * LN(c) AS DECIMAL(28, 15)) AS yy
+      FROM top
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(xx) AS DOUBLE) AS sxx, CAST(SUM(xyp) AS DOUBLE) AS sxy,
+             CAST(SUM(yy) AS DOUBLE) AS syy
+      FROM xy
+    )
+    SELECT n AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: least-
+    squares slope of log(frequency) vs log(rank) for the top-1000
+    terms — the corpus-health fingerprint (natural language sits near
+    slope -1; template spam, boilerplate floods, or tokenizer damage
+    bend the curve) reported next to llm_corpus_report before a crawl
+    shard enters the mix. Plan: the corpus-scale work is one token
+    explode + term aggregate (the llm_token_frequency shape); the
+    top-1000 cut is a bounded TakeOrdered (freq desc, term asc — rank
+    ties engine-exact), and the regression runs over 1000 rows. The
+    log/product terms are identical double trees in both engines,
+    CAST to DECIMAL per term and summed exactly (order-free), so the
+    closed-form slope/intercept/r2 from those sums match bit-for-bit
+    at the 6-decimal boundary regardless of partitioning.
+    """
+    from .functions.strings import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = tf.orderBy(F.col("c").desc(), "term").limit(1000)
+    ranked = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "term"))
+        .alias("r"),
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    dec = lambda e: e.cast("decimal(28,15)")  # noqa: E731
+    xy = ranked.select(
+        dec(lx).alias("x"), dec(ly).alias("y"),
+        dec(lx * lx).alias("xx"), dec(lx * ly).alias("xyp"),
+        dec(ly * ly).alias("yy"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xyp").cast("double").alias("sxy"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

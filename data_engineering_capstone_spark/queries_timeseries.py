@@ -827,3 +827,71 @@ def ts_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("bigint").alias("y"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
     ).orderBy("d")
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), seq AS (
+      SELECT d, x,
+             ROW_NUMBER() OVER (ORDER BY d) AS t,
+             SUM(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(x) OVER () AS tot,
+             COUNT(*) OVER () AS n
+      FROM daily
+    )
+    SELECT d, x,
+           CAST(n * cum - t * tot AS BIGINT) AS cusum_num,
+           CAST(CASE WHEN n * cum - t * tot > 0 THEN 1
+                     WHEN n * cum - t * tot < 0 THEN -1 ELSE 0 END AS INT) AS side
+    FROM seq
+    ORDER BY ABS(n * cum - t * tot) DESC, d
+    LIMIT 5
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan over the daily revenue series: the days
+    where the cumulative deviation from the series mean peaks — the
+    standard level-shift detector behind pipeline-health monitors
+    (CUSUM_t = sum_{i<=t}(x_i - mean); its argmax |.| is the classic
+    single-change-point estimate). The float mean is eliminated by
+    scaling through by n: D_t = n*cumsum_t - t*total is INTEGER cents
+    arithmetic end-to-end — exact, no fp boundary, no rounding. Plan:
+    the corpus-scale work is the daily aggregate (one shuffle on day);
+    the prefix sums and the whole-frame total run as windows over the
+    ~n_days-row daily series (bounded: days, not events — same
+    single-partition-over-aggregate shape as ts_ewma_trailing), and
+    the result is a bounded top-5 (TakeOrdered, never a global sort).
+    """
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    wo = Window.orderBy("d")
+    wall = Window.partitionBy()
+    seq = daily.select(
+        "d", "x",
+        F.row_number().over(wo).alias("t"),
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("x").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    dstat = F.col("n") * F.col("cum") - F.col("t") * F.col("tot")
+    return (
+        seq.select(
+            "d", "x",
+            dstat.cast("bigint").alias("cusum_num"),
+            F.when(dstat > 0, 1).when(dstat < 0, -1).otherwise(0)
+            .cast("int")
+            .alias("side"),
+        )
+        .orderBy(F.abs(F.col("cusum_num")).desc(), "d")
+        .limit(5)
+    )

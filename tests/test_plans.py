@@ -226,3 +226,57 @@ def test_aqe_skew_join_splits_and_its_boundary(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction (Spark 3.5+/4,
+    `spark.sql.optimizer.runtime.bloomFilter.enabled`, default on): a
+    selective filter on one join side gets distilled into a bloom
+    filter that prunes the OTHER side's scan before the shuffle — at
+    100 TB this cuts the fact-side shuffle of a filtered fact-fact
+    join by the filter's selectivity, the same lever DPP provides for
+    partition columns but for arbitrary join keys. Default thresholds
+    (application side > 10 GB) are cluster-scale: correctly NOT firing
+    on test-sized inputs, firing once the application-side threshold
+    admits the scan. Asserts both sides of that boundary and result
+    equality with the filter on/off."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def build():
+        o = load_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") < 10000)
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    # default thresholds: no injection at test scale (the 10 GB
+    # application-side gate is the no-regression guard for small joins)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = build()
+        p0 = base._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in p0.lower()
+        expected = {(r["l_returnflag"], r["n"]) for r in base.collect()}
+
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = build()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+        assert "bloom_filter_agg" in plan.lower()
+        got = {(r["l_returnflag"], r["n"]) for r in j.collect()}
+        assert got == expected
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

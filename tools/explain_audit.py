@@ -61,6 +61,11 @@ INTENTIONAL_CROSS = {
     "llm_hybrid_rrf_search",  # corpus scan x 1-row broadcast query
                               # vector (dense stage), plus the inherited
                               # bm25 1-row stats broadcast
+    "etl_psi_drift",  # fact scan x 1-row broadcast decile-boundary
+                      # array, and 10-row bucket table x 1-row totals
+    "etl_benford_report",  # 9-row digit table x 1-row broadcast total
+    "llm_zipf_fit",  # 1000-row top-terms x single-row regression sums
+                     # (final select over a 1-row aggregate)
 }
 
 # Streaming queries execute through the streaming runner; the batch

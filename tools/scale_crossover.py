@@ -82,6 +82,13 @@ RATIO_SET = [
     # (scheduling-floor class, like lttb)
     "etl_outlier_iqr",
     "ts_ewma_trailing",
+    # round-5 fifth session, in a preset from birth: PSI is the
+    # exact-percentile + broadcast-bucket scan over the orders fact;
+    # benford is a single lineitem scan into a 9-group aggregate;
+    # cusum reduces to the daily series (floor class, like ewma)
+    "etl_psi_drift",
+    "etl_benford_report",
+    "ts_cusum_changepoint",
 ]
 
 # the LLM/dedup-family scale set (round-3 verdict task 2): the slowest
@@ -133,6 +140,9 @@ LLM_SET = [
     # semantic decontamination: broadcast-BLAS linear scan (the cosine
     # family's scale shape), in a preset from birth
     "llm_semantic_decontamination",
+    # round-5 fifth session, in a preset from birth: zipf is the token
+    # explode + term aggregate shape with a bounded top-1000 cut
+    "llm_zipf_fit",
 ]
 
 # Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
