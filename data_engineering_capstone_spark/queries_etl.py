@@ -1235,16 +1235,26 @@ def etl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the total is partitioning-exact.
     """
     o = _t(spark, sf_dir, "orders")
-    cents = o.select(
+    cents = _psi_cents(o)
+    bounds = (
+        cents.where("is_ref")
+        .agg(F.percentile("c", F.lit([i / 10 for i in range(1, 10)])).alias("bs"))
+    )
+    return _psi_report(cents, bounds)
+
+
+def _psi_cents(o: DataFrame) -> DataFrame:
+    return o.select(
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
         (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date")).alias(
             "is_ref"
         ),
     )
-    bounds = (
-        cents.where("is_ref")
-        .agg(F.percentile("c", F.lit([i / 10 for i in range(1, 10)])).alias("bs"))
-    )
+
+
+def _psi_report(cents: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Shared PSI tail: bin against a 1-row broadcast boundary array,
+    count per bucket, decimal-sum the floored PSI terms."""
     binned = cents.join(F.broadcast(bounds)).select(
         F.size(F.filter("bs", lambda x: x <= F.col("c"))).cast("int").alias("bucket"),
         "is_ref",
@@ -1268,6 +1278,39 @@ def etl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("d").cast("double"), 6).alias("psi_term"),
         F.round(F.sum("d").over(w).cast("double"), 6).alias("psi_total"),
     ).orderBy("bucket")
+
+
+@query("etl_psi_drift_kll")
+def etl_psi_drift_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``etl_psi_drift``: identical report, but the
+    reference-decile boundaries come from a Datasketches KLL quantile
+    sketch (``kll_sketch_agg_double``, k=400) instead of the exact
+    percentile. The exact percentile is an ObjectHashAggregate that
+    buffers every group value; the KLL sketch is a mergeable few-KB
+    summary whose partials combine map-side — the only quantile form
+    that survives a 100 TB reference slice. Rank error at k=400 is
+    ~0.36% (Datasketches bound), so bucket populations deviate from
+    exact deciles by at most that rank slice; the PSI TAIL is the same
+    shared plan as the exact entry. Rows-only by nature (the sketch is
+    an estimator — no SQL oracle can reproduce its boundaries);
+    differential-tested against the exact entry in
+    ``tests/test_etl.py`` (identical-distribution PSI stays ~0 and
+    the two entries' totals agree within the rank-error tolerance).
+    """
+    o = _t(spark, sf_dir, "orders")
+    cents = _psi_cents(o)
+    sk = cents.where("is_ref").agg(
+        F.kll_sketch_agg_double(F.col("c").cast("double"), F.lit(400)).alias("sk")
+    )
+    bounds = sk.select(
+        F.array(
+            *[
+                F.kll_sketch_get_quantile_double("sk", F.lit(i / 10))
+                for i in range(1, 10)
+            ]
+        ).alias("bs")
+    )
+    return _psi_report(cents, bounds)
 
 
 @query(

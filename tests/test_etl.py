@@ -210,3 +210,28 @@ def test_fk_orphan_stats_planted(spark):
     ).collect()
     assert [r.fk for r in rep] == ["a_edge", "z_edge"]
     assert all(r.n_orphan_keys == 1 for r in rep)
+
+
+def test_psi_kll_twin_matches_exact_within_rank_error(spark):
+    """The KLL-boundary PSI (etl_psi_drift_kll) must agree with the
+    exact-percentile PSI on total drift within the sketch's rank-error
+    envelope: boundaries off by <=0.36% of rank move <=0.36% of mass
+    one bucket over, bounding the PSI delta far below the 0.1
+    stable/drift decision threshold the metric exists to serve."""
+    from data_engineering_capstone_spark.queries_etl import (
+        etl_psi_drift,
+        etl_psi_drift_kll,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    exact = etl_psi_drift(spark, sf_dir).collect()
+    kll = etl_psi_drift_kll(spark, sf_dir).collect()
+    assert len(exact) == 10 and len(kll) == 10
+    t_exact = exact[0]["psi_total"]
+    t_kll = kll[0]["psi_total"]
+    assert abs(t_kll - t_exact) < 0.02, (t_exact, t_kll)
+    # bucket populations deviate by at most ~rank_error * N per side
+    n_ref_total = sum(r["n_ref"] for r in exact)
+    tol = int(0.01 * n_ref_total) + 1
+    for re_, rk in zip(exact, kll):
+        assert abs(re_["n_ref"] - rk["n_ref"]) <= tol, (re_, rk)

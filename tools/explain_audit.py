@@ -66,6 +66,8 @@ INTENTIONAL_CROSS = {
     "etl_benford_report",  # 9-row digit table x 1-row broadcast total
     "llm_zipf_fit",  # 1000-row top-terms x single-row regression sums
                      # (final select over a 1-row aggregate)
+    "etl_psi_drift_kll",  # same shape as etl_psi_drift with KLL-sketch
+                          # boundaries (1-row broadcasts)
 }
 
 # Streaming queries execute through the streaming runner; the batch
