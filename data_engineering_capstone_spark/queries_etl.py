@@ -1152,15 +1152,25 @@ def etl_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch (ts_rolling_median_kll) — same plan shape.
     """
     o = _t(spark, sf_dir, "orders")
-    cents = o.select(
-        "o_orderpriority",
-        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
-    )
+    cents = _iqr_cents(o)
     q = cents.groupBy("o_orderpriority").agg(
         F.percentile("c", 0.25).alias("q1"),
         F.percentile("c", 0.75).alias("q3"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
+    return _iqr_fence_report(cents, q)
+
+
+def _iqr_cents(o: DataFrame) -> DataFrame:
+    return o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+
+
+def _iqr_fence_report(cents: DataFrame, q: DataFrame) -> DataFrame:
+    """Shared Tukey-fence tail: broadcast the per-group quartiles back
+    onto the fact, count fence violations per group."""
     flagged = cents.join(F.broadcast(q), "o_orderpriority").select(
         "o_orderpriority", "c", "n_rows",
         (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
@@ -1178,6 +1188,36 @@ def etl_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query("etl_outlier_iqr_kll")
+def etl_outlier_iqr_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``etl_outlier_iqr``: identical Tukey-fence
+    report, but the per-group quartiles come from GROUPED Datasketches
+    KLL sketches (``kll_sketch_agg_double`` per priority, k=400)
+    instead of the exact grouped percentile, whose ObjectHashAggregate
+    buffers every group's values. One sketch per group is a few KB
+    regardless of group size, and sketch partials merge map-side — the
+    per-group twin of ``etl_psi_drift_kll``'s global swap. Rows-only by
+    nature (estimator); differential-tested against the exact entry in
+    ``tests/test_etl.py`` (fences within KLL rank error, outlier counts
+    within the corresponding mass tolerance).
+    """
+    o = _t(spark, sf_dir, "orders")
+    cents = _iqr_cents(o)
+    q = (
+        cents.groupBy("o_orderpriority")
+        .agg(
+            F.kll_sketch_agg_double(F.col("c").cast("double"), F.lit(400)).alias("sk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "o_orderpriority", "n_rows",
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.25)).alias("q1"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.75)).alias("q3"),
+        )
+    )
+    return _iqr_fence_report(cents, q)
 
 
 @query(

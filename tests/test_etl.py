@@ -235,3 +235,31 @@ def test_psi_kll_twin_matches_exact_within_rank_error(spark):
     tol = int(0.01 * n_ref_total) + 1
     for re_, rk in zip(exact, kll):
         assert abs(re_["n_ref"] - rk["n_ref"]) <= tol, (re_, rk)
+
+
+def test_iqr_kll_twin_matches_exact_within_rank_error(spark):
+    """The grouped-KLL Tukey fences (etl_outlier_iqr_kll) must agree
+    with the exact-percentile fences per priority group: quartiles off
+    by <=0.36% of rank shift each fence by at most that rank slice, so
+    outlier counts differ by at most the mass near the fences."""
+    from data_engineering_capstone_spark.queries_etl import (
+        etl_outlier_iqr,
+        etl_outlier_iqr_kll,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    exact = {r["o_orderpriority"]: r for r in etl_outlier_iqr(spark, sf_dir).collect()}
+    kll = {r["o_orderpriority"]: r for r in etl_outlier_iqr_kll(spark, sf_dir).collect()}
+    assert set(exact) == set(kll) and len(exact) == 5
+    for prio, re_ in exact.items():
+        rk = kll[prio]
+        assert re_["n_rows"] == rk["n_rows"]
+        # fences within 2% of the exact IQR width
+        width = re_["hi_bound"] - re_["lo_bound"]
+        assert abs(re_["lo_bound"] - rk["lo_bound"]) <= 0.02 * width, (re_, rk)
+        assert abs(re_["hi_bound"] - rk["hi_bound"]) <= 0.02 * width, (re_, rk)
+        # outlier counts within 1% of group size
+        assert abs(re_["n_outliers"] - rk["n_outliers"]) <= 0.01 * re_["n_rows"] + 1, (
+            re_,
+            rk,
+        )
