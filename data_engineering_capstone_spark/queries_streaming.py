@@ -471,3 +471,126 @@ def stream_custom_sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_psi_drift",
+    oracle="""
+    WITH cents AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ), bounds AS (
+      SELECT quantile_cont(c, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM cents
+    ), binned AS (
+      SELECT window_start,
+             CAST(LEN(list_filter(b.bs, x -> x <= cn.c)) AS INT) AS bucket
+      FROM cents cn, bounds b
+    ), ref AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_ref FROM binned GROUP BY 1
+    ), reft AS (SELECT SUM(n_ref) AS t_ref FROM ref),
+    wtot AS (
+      SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM binned GROUP BY 1
+    ), wcounts AS (
+      SELECT window_start, bucket, CAST(COUNT(*) AS BIGINT) AS n_wb
+      FROM binned GROUP BY 1, 2
+    ), grid AS (
+      SELECT w.window_start, r.bucket, COALESCE(c.n_wb, 0) AS n_wb,
+             w.n_events, r.n_ref, t.t_ref
+      FROM wtot w CROSS JOIN ref r
+      LEFT JOIN wcounts c
+        ON c.window_start = w.window_start AND c.bucket = r.bucket, reft t
+    ), terms AS (
+      SELECT window_start, n_events,
+             CAST((GREATEST(n_wb * 1.0 / n_events, 1e-6)
+                   - GREATEST(n_ref * 1.0 / t_ref, 1e-6))
+                  * LN(GREATEST(n_wb * 1.0 / n_events, 1e-6)
+                       / GREATEST(n_ref * 1.0 / t_ref, 1e-6))
+                  AS DECIMAL(28, 15)) AS d
+      FROM grid
+    )
+    SELECT window_start, CAST(MIN(n_events) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(d) AS DOUBLE), 6) AS psi
+    FROM terms GROUP BY window_start ORDER BY window_start
+    """,
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift gate: per-DAY Population Stability Index of the
+    event value distribution against the corpus decile profile — the
+    ``etl_psi_drift`` metric run as an ingestion monitor, flagging the
+    window where a feed's distribution shifted instead of discovering
+    it at training time. The static side (decile boundary array + the
+    10-bucket reference profile) is computed ONCE batch-side; the
+    STREAM does only what must be incremental — bin each event against
+    the 1-row broadcast boundary array (stream-static join) and count
+    per (day window, bucket), a stateless windowed aggregate whose
+    state is 10 rows per window regardless of event volume. The PSI
+    assembly (dense window×bucket grid so empty buckets contribute
+    their floored term, decimal-summed per window) runs post-drain
+    over the window×10 summary — dimension-scale at any corpus size.
+    Drained with availableNow (complete mode), so the batch SQL oracle
+    reproduces it exactly.
+    """
+    from .sources.testdata import load_table
+
+    events = _events(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "events")
+    cents_b = batch.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c")
+    )
+    bounds = cents_b.agg(
+        F.percentile("c", F.lit([i / 10 for i in range(1, 10)])).alias("bs")
+    )
+    bucket_of = lambda c: F.size(  # noqa: E731
+        F.filter("bs", lambda x: x <= F.col(c))
+    ).cast("int")
+    ref = (
+        cents_b.join(F.broadcast(bounds))
+        .select(bucket_of("c").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ref"))
+    )
+    reft = ref.agg(F.sum("n_ref").alias("t_ref"))
+
+    binned_s = (
+        events.select(
+            "ts", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c")
+        )
+        .join(F.broadcast(bounds))
+        .select("ts", bucket_of("c").alias("bucket"))
+    )
+    wcounts_s = (
+        binned_s.groupBy(F.window("ts", "1 day").alias("w"), "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_wb"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "n_wb")
+    )
+    out = run_available_now(wcounts_s, "complete")
+
+    wtot = out.groupBy("window_start").agg(
+        F.sum("n_wb").cast("bigint").alias("n_events")
+    )
+    grid = (
+        wtot.crossJoin(F.broadcast(ref))
+        .join(out, ["window_start", "bucket"], "left")
+        .crossJoin(F.broadcast(reft))
+        .select(
+            "window_start", "n_events", "n_ref", "t_ref",
+            F.coalesce(F.col("n_wb"), F.lit(0)).alias("n_wb"),
+        )
+    )
+    p_w = F.greatest(F.col("n_wb") * 1.0 / F.col("n_events"), F.lit(1e-6))
+    p_r = F.greatest(F.col("n_ref") * 1.0 / F.col("t_ref"), F.lit(1e-6))
+    terms = grid.select(
+        "window_start", "n_events",
+        ((p_w - p_r) * F.log(p_w / p_r)).cast("decimal(28,15)").alias("d"),
+    )
+    return (
+        terms.groupBy("window_start")
+        .agg(
+            F.min("n_events").cast("bigint").alias("n_events"),
+            F.round(F.sum("d").cast("double"), 6).alias("psi"),
+        )
+        .orderBy("window_start")
+    )

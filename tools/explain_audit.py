@@ -99,6 +99,7 @@ SKIP = {
     "stream_stream_join",
     "stream_static_join_segments",
     "stream_stateful_user_stats",
+    "stream_psi_drift",
 }
 
 
