@@ -3555,3 +3555,93 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "llm_embedding_drift",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), lsum AS (
+      SELECT label, pos,
+             SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28, 15))) AS s_dec,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ex GROUP BY 1, 2
+    ), csum AS (
+      SELECT pos, SUM(s_dec) AS s_dec, SUM(n) AS n FROM lsum GROUP BY 1
+    ), lmean AS (
+      SELECT label, pos, CAST(s_dec AS DOUBLE) / n AS m, n FROM lsum
+    ), cmean AS (
+      SELECT pos, CAST(s_dec AS DOUBLE) / n AS m FROM csum
+    ), dots AS (
+      SELECT l.label, CAST(MIN(l.n) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(l.m * c.m AS DECIMAL(28, 15))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(l.m * l.m AS DECIMAL(28, 15))) AS DOUBLE) AS nl,
+             CAST(SUM(CAST(c.m * c.m AS DECIMAL(28, 15))) AS DOUBLE) AS nc
+      FROM lmean l JOIN cmean c USING (pos) GROUP BY 1
+    )
+    SELECT label, n_vecs,
+           ROUND(dot / (SQRT(nl) * SQRT(nc)), 6) AS cos_to_corpus,
+           ROUND(SQRT(nl) / SQRT(nc), 6) AS norm_ratio
+    FROM dots ORDER BY label
+    """,
+)
+def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic drift monitor in EMBEDDING space: for each label group
+    (source/shard in production), the cosine between the group's mean
+    vector and the corpus mean vector, plus the mean-norm ratio — the
+    companion to token-level ``llm_kl_drift`` that catches topical /
+    semantic shift token statistics miss (a feed can keep its unigram
+    mix while its content drifts). Plan: ONE posexplode of the vectors
+    into (label, pos) decimal-summed partials — the bounded-key
+    aggregate (labels × dim) is the only corpus-scale shuffle; the
+    corpus profile is DERIVED from the per-label partials by a second
+    decimal-exact re-aggregate (decimal adds are associative, so
+    sum-of-group-sums equals the whole — no second scan of the fact);
+    the cosine reduces dim-sized mean tables. All float32 elements
+    widen to double exactly, sums accumulate as DECIMAL (order-free),
+    and products use identical double trees — bit-exact across engines
+    and partitionings. n_vecs = group size rides the pos partials
+    (MIN over equal per-pos counts).
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v"))
+    lsum = ex.groupBy("label", "pos").agg(
+        F.sum(F.col("v").cast("decimal(28,15)")).alias("s_dec"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    csum = lsum.groupBy("pos").agg(
+        F.sum("s_dec").alias("s_dec"), F.sum("n").alias("n")
+    )
+    lmean = lsum.select(
+        "label", "pos", (F.col("s_dec").cast("double") / F.col("n")).alias("m"), "n"
+    )
+    cmean = csum.select(
+        "pos", (F.col("s_dec").cast("double") / F.col("n")).alias("cm")
+    )
+    dots = (
+        lmean.join(cmean, "pos")
+        .groupBy("label")
+        .agg(
+            F.min("n").cast("bigint").alias("n_vecs"),
+            F.sum((F.col("m") * F.col("cm")).cast("decimal(28,15)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("m") * F.col("m")).cast("decimal(28,15)"))
+            .cast("double")
+            .alias("nl"),
+            F.sum((F.col("cm") * F.col("cm")).cast("decimal(28,15)"))
+            .cast("double")
+            .alias("nc"),
+        )
+    )
+    return dots.select(
+        "label", "n_vecs",
+        F.round(F.col("dot") / (F.sqrt("nl") * F.sqrt("nc")), 6).alias("cos_to_corpus"),
+        F.round(F.sqrt("nl") / F.sqrt("nc"), 6).alias("norm_ratio"),
+    ).orderBy("label")

@@ -141,8 +141,11 @@ LLM_SET = [
     # family's scale shape), in a preset from birth
     "llm_semantic_decontamination",
     # round-5 fifth session, in a preset from birth: zipf is the token
-    # explode + term aggregate shape with a bounded top-1000 cut
+    # explode + term aggregate shape with a bounded top-1000 cut;
+    # embedding_drift is the vector posexplode into bounded-key
+    # (label, pos) decimal partials
     "llm_zipf_fit",
+    "llm_embedding_drift",
 ]
 
 # Q1 integer-cents form for the legacy fine-grained curve (--q1-curve)
