@@ -846,11 +846,16 @@ def ts_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     )
     SELECT d, x,
-           CAST(n * cum - t * tot AS BIGINT) AS cusum_num,
-           CAST(CASE WHEN n * cum - t * tot > 0 THEN 1
-                     WHEN n * cum - t * tot < 0 THEN -1 ELSE 0 END AS INT) AS side
+           CAST(CAST(n AS DECIMAL(38, 0)) * cum - CAST(t AS DECIMAL(38, 0)) * tot
+                AS BIGINT) AS cusum_num,
+           CAST(CASE WHEN CAST(n AS DECIMAL(38, 0)) * cum
+                          - CAST(t AS DECIMAL(38, 0)) * tot > 0 THEN 1
+                     WHEN CAST(n AS DECIMAL(38, 0)) * cum
+                          - CAST(t AS DECIMAL(38, 0)) * tot < 0 THEN -1
+                     ELSE 0 END AS INT) AS side
     FROM seq
-    ORDER BY ABS(n * cum - t * tot) DESC, d
+    ORDER BY ABS(CAST(n AS DECIMAL(38, 0)) * cum
+                 - CAST(t AS DECIMAL(38, 0)) * tot) DESC, d
     LIMIT 5
     """,
 )
@@ -883,7 +888,14 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(wall).alias("tot"),
         F.count(F.lit(1)).over(wall).alias("n"),
     )
-    dstat = F.col("n") * F.col("cum") - F.col("t") * F.col("tot")
+    # D_t in DECIMAL(38,0): n*cumsum at extreme scale (1e19+ cents-days)
+    # would silently wrap BIGINT in Spark while DuckDB raises — decimal
+    # keeps both engines exact and identical far past any daily-revenue
+    # magnitude; the output cast to BIGINT is a visible boundary choice.
+    dstat = (
+        F.col("n").cast("decimal(38,0)") * F.col("cum")
+        - F.col("t").cast("decimal(38,0)") * F.col("tot")
+    )
     return (
         seq.select(
             "d", "x",
