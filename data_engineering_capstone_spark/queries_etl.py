@@ -1294,10 +1294,12 @@ def _psi_cents(o: DataFrame) -> DataFrame:
 
 def _psi_report(cents: DataFrame, bounds: DataFrame) -> DataFrame:
     """Shared PSI tail: bin against a 1-row broadcast boundary array,
-    count per bucket, decimal-sum the floored PSI terms."""
+    count per bucket, decimal-sum the floored PSI terms (metric
+    definition single-sourced in ``functions.drift``)."""
+    from .functions.drift import bucket_expr, psi_term
+
     binned = cents.join(F.broadcast(bounds)).select(
-        F.size(F.filter("bs", lambda x: x <= F.col("c"))).cast("int").alias("bucket"),
-        "is_ref",
+        bucket_expr("bs", "c").alias("bucket"), "is_ref"
     )
     counts = binned.groupBy("bucket").agg(
         F.count(F.when(F.col("is_ref"), F.lit(1))).cast("bigint").alias("n_ref"),
@@ -1306,11 +1308,12 @@ def _psi_report(cents: DataFrame, bounds: DataFrame) -> DataFrame:
     tot = counts.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
-    p_cur = F.greatest(F.col("n_cur") * 1.0 / F.col("t_cur"), F.lit(1e-6))
-    p_ref = F.greatest(F.col("n_ref") * 1.0 / F.col("t_ref"), F.lit(1e-6))
     terms = counts.join(F.broadcast(tot)).select(
         "bucket", "n_ref", "n_cur",
-        ((p_cur - p_ref) * F.log(p_cur / p_ref)).cast("decimal(28,15)").alias("d"),
+        psi_term(
+            F.col("n_cur") * 1.0 / F.col("t_cur"),
+            F.col("n_ref") * 1.0 / F.col("t_ref"),
+        ).alias("d"),
     )
     w = Window.partitionBy()
     return terms.select(

@@ -543,12 +543,11 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = cents_b.agg(
         F.percentile("c", F.lit([i / 10 for i in range(1, 10)])).alias("bs")
     )
-    bucket_of = lambda c: F.size(  # noqa: E731
-        F.filter("bs", lambda x: x <= F.col(c))
-    ).cast("int")
+    from .functions.drift import bucket_expr, psi_term
+
     ref = (
         cents_b.join(F.broadcast(bounds))
-        .select(bucket_of("c").alias("bucket"))
+        .select(bucket_expr("bs", "c").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ref"))
     )
@@ -559,7 +558,7 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c")
         )
         .join(F.broadcast(bounds))
-        .select("ts", bucket_of("c").alias("bucket"))
+        .select("ts", bucket_expr("bs", "c").alias("bucket"))
     )
     wcounts_s = (
         binned_s.groupBy(F.window("ts", "1 day").alias("w"), "bucket")
@@ -580,11 +579,12 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_wb"), F.lit(0)).alias("n_wb"),
         )
     )
-    p_w = F.greatest(F.col("n_wb") * 1.0 / F.col("n_events"), F.lit(1e-6))
-    p_r = F.greatest(F.col("n_ref") * 1.0 / F.col("t_ref"), F.lit(1e-6))
     terms = grid.select(
         "window_start", "n_events",
-        ((p_w - p_r) * F.log(p_w / p_r)).cast("decimal(28,15)").alias("d"),
+        psi_term(
+            F.col("n_wb") * 1.0 / F.col("n_events"),
+            F.col("n_ref") * 1.0 / F.col("t_ref"),
+        ).alias("d"),
     )
     return (
         terms.groupBy("window_start")

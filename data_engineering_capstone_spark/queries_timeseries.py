@@ -896,14 +896,22 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("decimal(38,0)") * F.col("cum")
         - F.col("t").cast("decimal(38,0)") * F.col("tot")
     )
-    return (
-        seq.select(
-            "d", "x",
-            dstat.cast("bigint").alias("cusum_num"),
-            F.when(dstat > 0, 1).when(dstat < 0, -1).otherwise(0)
-            .cast("int")
-            .alias("side"),
-        )
-        .orderBy(F.abs(F.col("cusum_num")).desc(), "d")
+    # rank on the DECIMAL dstat, not the bigint output cast: past
+    # 2^63 cents-days the cast nulls (non-ANSI) and desc ordering
+    # would silently drop the true peaks — the exact failure the
+    # decimal intermediate exists to prevent (oracle orders the same
+    # decimal expression)
+    picked = (
+        seq.select("d", "x", dstat.alias("__dstat"))
+        .orderBy(F.abs(F.col("__dstat")).desc(), "d")
         .limit(5)
+    )
+    return picked.select(
+        "d", "x",
+        F.col("__dstat").cast("bigint").alias("cusum_num"),
+        F.when(F.col("__dstat") > 0, 1)
+        .when(F.col("__dstat") < 0, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("side"),
     )

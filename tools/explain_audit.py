@@ -64,8 +64,6 @@ INTENTIONAL_CROSS = {
     "etl_psi_drift",  # fact scan x 1-row broadcast decile-boundary
                       # array, and 10-row bucket table x 1-row totals
     "etl_benford_report",  # 9-row digit table x 1-row broadcast total
-    "llm_zipf_fit",  # 1000-row top-terms x single-row regression sums
-                     # (final select over a 1-row aggregate)
     "etl_psi_drift_kll",  # same shape as etl_psi_drift with KLL-sketch
                           # boundaries (1-row broadcasts)
 }
