@@ -780,3 +780,58 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(fingerprint, "doc_id long, h long")
     )
     return hamming_band_pairs(hashes, threshold=6).orderBy("id_a", "id_b")
+
+
+@query(
+    "udf_apply_in_arrow",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CAST(c - MIN(c) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+             AS c_off
+    FROM cents ORDER BY o_orderkey
+    """,
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow group-map (Spark 4): the Arrow-native twin of
+    ``udf_apply_in_pandas`` — the function receives each group as a raw
+    ``pyarrow.Table`` and returns one, skipping the pandas
+    materialization entirely (the right tier when the per-group kernel
+    is pure columnar compute: one serialization boundary, Arrow
+    kernels end to end). Completes the Python-kernel surface matrix:
+    pandas scalar / pandas UDAF / applyInPandas / applyInPandasWithState
+    / UDTF / mapInArrow / applyInArrow. Kernel: per-priority rebase of
+    integer order cents to the group minimum (pc.min + pc.subtract) —
+    integer-exact, so the oracle's window-MIN reproduction matches
+    bit-for-bit. Group-map shuffles each group to one task like any
+    grouped aggregate; per-group state here is one scalar.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    prep(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+
+    def rebase(table: pa.Table) -> pa.Table:
+        c = table.column("c")
+        mn = pc.min(c)
+        return pa.table(
+            {
+                "o_orderkey": table.column("o_orderkey"),
+                "o_orderpriority": table.column("o_orderpriority"),
+                "c_off": pc.subtract(c, mn),
+            }
+        )
+
+    return (
+        o.groupBy("o_orderpriority")
+        .applyInArrow(rebase, "o_orderkey bigint, o_orderpriority string, c_off bigint")
+        .orderBy("o_orderkey")
+    )
