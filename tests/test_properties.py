@@ -352,3 +352,88 @@ def test_ngrams_regex_matches_reference(spark, texts, n):
     }
     for i, t in rows:
         assert got[i] == ref(t, n), (t, n, got[i], ref(t, n))
+
+
+# ---------------------------------------------------------------------------
+# Drift family: PSI identity/positivity, CUSUM planted-shift recovery
+# ---------------------------------------------------------------------------
+
+
+def test_psi_identical_distribution_is_zero_and_shift_positive(spark):
+    """PSI axioms, independent of any oracle: (a) a slice whose ref and
+    cur periods carry the IDENTICAL value multiset scores psi_total ==
+    0.0 exactly (every bucket has p_cur == p_ref, each decimal term is
+    exactly 0); (b) a shifted current period scores strictly positive
+    (PSI is a symmetrized KL — nonnegative, 0 iff identical)."""
+    import pyspark.sql.functions as F
+
+    from data_engineering_capstone_spark.queries_etl import _psi_report
+
+    vals = list(range(1, 2001))
+    same = spark.createDataFrame(
+        [(v, True) for v in vals] + [(v, False) for v in vals], "c long, is_ref boolean"
+    )
+    bounds = same.where("is_ref").agg(
+        F.percentile("c", F.lit([i / 10 for i in range(1, 10)])).alias("bs")
+    )
+    rows = _psi_report(same, bounds).collect()
+    assert all(r["psi_total"] == 0.0 for r in rows)
+    assert all(r["psi_term"] == 0.0 for r in rows)
+    assert all(r["n_ref"] == r["n_cur"] for r in rows)
+
+    shifted = spark.createDataFrame(
+        [(v, True) for v in vals] + [(v + 1500, False) for v in vals],
+        "c long, is_ref boolean",
+    )
+    b2 = shifted.where("is_ref").agg(
+        F.percentile("c", F.lit([i / 10 for i in range(1, 10)])).alias("bs")
+    )
+    rows2 = _psi_report(shifted, b2).collect()
+    assert rows2[0]["psi_total"] > 0.25  # well past the drift threshold
+
+
+def test_cusum_recovers_planted_level_shift(spark):
+    """CUSUM semantics pinned on a synthetic series: a flat daily series
+    with a single level shift at day k has |n*cumsum_t - t*total|
+    maximized exactly at t = k-1 (the last pre-shift day) — the entry's
+    top-1 must be that day. Verified against a brute-force numpy argmax
+    of the same statistic."""
+    import numpy as np
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    # 40 days at 100, then 20 days at 300 — shift after day 40
+    xs = [100] * 40 + [300] * 20
+    n = len(xs)
+    cum = np.cumsum(xs, dtype=np.int64)
+    tot = int(cum[-1])
+    d_stat = n * cum - np.arange(1, n + 1, dtype=np.int64) * tot
+    expect_idx = int(np.abs(d_stat).argmax())  # 0-based day index
+
+    df = spark.createDataFrame(
+        [(f"2024-01-{i+1:02d}" if i < 31 else f"2024-02-{i-30:02d}", int(x))
+         for i, x in enumerate(xs)],
+        "d string, x long",
+    ).select(F.to_date("d").alias("d"), "x")
+    wo = Window.orderBy("d")
+    wall = Window.partitionBy()
+    seq = df.select(
+        "d", "x",
+        F.row_number().over(wo).alias("t"),
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("x").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    dstat = (
+        F.col("n").cast("decimal(38,0)") * F.col("cum")
+        - F.col("t").cast("decimal(38,0)") * F.col("tot")
+    )
+    top = (
+        seq.select("d", "t", dstat.alias("ds"))
+        .orderBy(F.abs(F.col("ds")).desc(), "d")
+        .limit(1)
+        .collect()[0]
+    )
+    assert top["t"] - 1 == expect_idx
+    assert int(top["ds"]) == int(d_stat[expect_idx])
