@@ -437,3 +437,64 @@ def test_cusum_recovers_planted_level_shift(spark):
     )
     assert top["t"] - 1 == expect_idx
     assert int(top["ds"]) == int(d_stat[expect_idx])
+
+
+def test_zipf_fit_recovers_synthetic_power_law(spark, sf_dir, tmp_path, monkeypatch):
+    """Zipf regression pinned on a synthetic exact power law: a corpus
+    whose term frequencies are c_r = round(C / r) must fit slope ~ -1
+    with r2 ~ 1. Builds a documents table whose token counts realize
+    those frequencies and runs the actual catalog entry against it."""
+    import pyspark.sql.functions as F
+
+    from data_engineering_capstone_spark.queries_llm import llm_zipf_fit
+
+    # 200 terms, c_r = round(4000 / r): term t001 appears 4000 times...
+    docs = []
+    doc_id = 0
+    for r in range(1, 201):
+        c = round(4000 / r)
+        # pack each term's occurrences into docs of <=500 tokens
+        while c > 0:
+            take = min(c, 500)
+            docs.append((doc_id, " ".join([f"t{r:03d}"] * take), "en", "syn", take))
+            doc_id += 1
+            c -= take
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(d)
+    row = llm_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert row["n_terms"] == 200
+    assert abs(row["zipf_slope"] + 1.0) < 0.02, row
+    assert row["r2"] > 0.999, row
+
+
+def test_embedding_drift_identity_and_direction(spark, tmp_path):
+    """Embedding-drift axioms: when every group's vectors are drawn as
+    copies of the same vector, each group's mean IS the corpus mean —
+    cos_to_corpus == 1.0 and norm_ratio == 1.0 exactly; a group pointing
+    elsewhere scores strictly lower cosine."""
+    from data_engineering_capstone_spark.queries_llm import llm_embedding_drift
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, base, i % 3) for i in range(30)]
+    p = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(p)
+    out = {r["label"]: r for r in llm_embedding_drift(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 2}
+    for r in out.values():
+        assert r["cos_to_corpus"] == 1.0 and r["norm_ratio"] == 1.0, r
+
+    rows2 = [(i, base, 0) for i in range(20)] + [
+        (100 + i, [4.0, -3.0, 2.0, -1.0], 1) for i in range(10)
+    ]
+    p2 = tmp_path / "two"
+    p2.mkdir()
+    spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(p2 / "embeddings.parquet"))
+    out2 = {r["label"]: r for r in llm_embedding_drift(spark, str(p2)).collect()}
+    assert out2[1]["cos_to_corpus"] < out2[0]["cos_to_corpus"]
+    assert out2[1]["cos_to_corpus"] < 0.9
