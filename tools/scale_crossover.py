@@ -89,6 +89,9 @@ RATIO_SET = [
     "etl_psi_drift",
     "etl_benford_report",
     "ts_cusum_changepoint",
+    # applyInArrow group-map: the Arrow serialization boundary IS the
+    # thing to watch at scale — raced like the rest
+    "udf_apply_in_arrow",
 ]
 
 # the LLM/dedup-family scale set (round-3 verdict task 2): the slowest
