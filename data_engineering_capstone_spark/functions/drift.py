@@ -31,6 +31,13 @@ def bucket_expr(bounds_col: str, value_col: str) -> Column:
     boundary table joined onto the fact); the lambda stays inside the
     codegen'd projection (measured equal to a when-chain, BASELINE.md
     round-5 fifth session).
+
+    NULL handling: a NULL ``value_col`` makes every lambda result NULL,
+    which ``F.filter`` drops, so NULL values land in bucket 0 alongside
+    the lowest-value range (identically in the callers' SQL oracles,
+    where ``NULL <= bound`` is never true). Callers gating on columns
+    that can be NULL should exclude or count NULLs separately before
+    bucketing if conflating them with the low bucket would mask drift.
     """
     return (
         F.size(F.filter(bounds_col, lambda x: x <= F.col(value_col)))

@@ -1365,7 +1365,7 @@ def etl_psi_drift_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), counts AS (
       SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM cents GROUP BY 1
+      FROM cents WHERE c >= 1 GROUP BY 1
     ), tot AS (SELECT SUM(n) AS t FROM counts),
     terms AS (
       SELECT digit, n, t.t,
@@ -1402,13 +1402,13 @@ def etl_benford_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         l.where(F.col("l_extendedprice") > 0)
         .select(
-            F.substring(
-                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").cast("string"),
-                1, 1,
-            )
-            .cast("int")
-            .alias("digit")
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("c")
         )
+        # amounts in (0, 0.005) round to 0 cents → digit 0, where the
+        # Benford expectation log10(1 + 1/0) diverges (Spark Infinity vs
+        # DuckDB NULL); zero-cent rows carry no leading significant digit
+        .where(F.col("c") >= 1)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

@@ -532,6 +532,17 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the window×10 summary — dimension-scale at any corpus size.
     Drained with availableNow (complete mode), so the batch SQL oracle
     reproduces it exactly.
+
+    Reference-profile trade-off: the baseline here is the FULL corpus,
+    which includes each scored window's own events, so the drift
+    signal is diluted for windows that are large relative to the
+    corpus (a self-contaminated baseline can never flag the whole
+    corpus as drifted). In production the boundary/profile batch would
+    be a frozen historical slice — exactly what ``etl_psi_drift`` does
+    with its pre-1998 reference split; this entry keeps the full-corpus
+    profile because the monitor's job is "did THIS window deviate from
+    the norm", and every window participating in the norm is the
+    steady-state shape of a rolling ingestion monitor.
     """
     from .sources.testdata import load_table
 

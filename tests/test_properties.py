@@ -439,7 +439,7 @@ def test_cusum_recovers_planted_level_shift(spark):
     assert int(top["ds"]) == int(d_stat[expect_idx])
 
 
-def test_zipf_fit_recovers_synthetic_power_law(spark, sf_dir, tmp_path, monkeypatch):
+def test_zipf_fit_recovers_synthetic_power_law(spark, tmp_path):
     """Zipf regression pinned on a synthetic exact power law: a corpus
     whose term frequencies are c_r = round(C / r) must fit slope ~ -1
     with r2 ~ 1. Builds a documents table whose token counts realize
