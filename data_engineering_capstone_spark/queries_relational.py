@@ -193,6 +193,8 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01'
     GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
     ORDER BY revenue DESC, o_orderkey
     LIMIT 10
@@ -201,21 +203,43 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: filter a dim, join fact, aggregate, global top-k.
 
+    Carries the canonical Q3 selectivity predicates — ``o_orderdate <
+    cutoff`` and ``l_shipdate > cutoff`` ("orders placed before, not yet
+    shipped by, the date") — with the cutoff at this corpus's midpoint
+    (synthetic dates span 1995-2001, so 1998-06-01 keeps ~52% of orders
+    and ~50% of lineitems, the canonical shape's selectivity). Both
+    predicates push down to the parquet scans, so the fact-fact shuffle
+    carries roughly a quarter of the unfiltered rows.
+
     ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — only k
     rows per partition cross to the driver, never the full sort.
     """
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    par = spark.sparkContext.defaultParallelism
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     # customer⋈orders broadcasts (filtered dim); the surviving orders
-    # (~1/5 after the segment filter) then SHUFFLE_HASH against
+    # (~1/10 after segment × date filters) then SHUFFLE_HASH against
     # lineitem: the build side is the provably smaller filtered one and
     # orderkey is unique → no skew, so the hint deletes the sort of the
-    # 38M-row probe side. Measured 4.64 s -> 3.67 s at 64× sf0.1.
+    # probe side. Measured 4.64 s -> 3.67 s at 64× sf0.1.
+    #
+    # The explicit by-key repartitions pin the exchange width: with
+    # ENSURE_REQUIREMENTS exchanges AQE's byte-target coalesce shrinks
+    # the join+agg stage below the core count (the groups-large trap,
+    # SCALE.md §17, 4th instance — a JOIN this time). Measured at 128×:
+    # 2.56 s -> 1.82 s, rows identical; raced against 5 alternatives
+    # (runtime bloom semi-join 3.77 s, per-order pre-agg 4.63 s,
+    # broadcast semi-reduce 4.99 s, pre-join units projection 3.25 s —
+    # the join is selective, so computing revenue on the ~10× smaller
+    # joined output beats narrowing the exchange — and unhinted AQE
+    # 3.06 s).
+    fo = c.join(o, c.c_custkey == o.o_custkey).repartition(par, "o_orderkey")
+    lr = l.repartition(par, "l_orderkey")
     agg = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .hint("SHUFFLE_HASH")
-        .join(l, l.l_orderkey == o.o_orderkey)
+        fo.hint("SHUFFLE_HASH")
+        .join(lr, lr.l_orderkey == fo.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         # per-order int64 units cannot overflow (bounded by order size);
         # one double division at the boundary
