@@ -498,3 +498,132 @@ def test_embedding_drift_identity_and_direction(spark, tmp_path):
     out2 = {r["label"]: r for r in llm_embedding_drift(spark, str(p2)).collect()}
     assert out2[1]["cos_to_corpus"] < out2[0]["cos_to_corpus"]
     assert out2[1]["cos_to_corpus"] < 0.9
+
+
+# ---------------------------------------------------------------------------
+# Retrieval family: oracle-independent axioms (round-5 verdict task 8).
+# BM25/RRF/DSIR have oracle parity; these pin the SEMANTICS — monotonicity,
+# rank-fusion arithmetic, importance-weight sign — on planted corpora where
+# the right answer is derivable by hand, so an oracle that drifted in
+# lockstep with the implementation could not hide a scoring inversion.
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_bm25_tf_monotonic_and_idf_direction(spark, tmp_path):
+    """BM25 axioms on a fixed-length planted corpus (every doc exactly
+    20 tokens, so dl == avgdl and the length normalizer is constant):
+    (1) with df fixed, score is strictly increasing in tf — docs with
+    1..5 'spark' occurrences must rank in tf order; (2) with tf and dl
+    fixed, the rarer term outscores the common one — the single
+    'query' doc (df=1) must beat every 'batch' doc (df=8) and, with
+    these counts, top the whole ranking."""
+    from data_engineering_capstone_spark.queries_llm import llm_bm25_search
+
+    def doc(i, toks):
+        text = " ".join(toks)
+        return (i, text, "en", "src0", len(text))
+
+    rows = []
+    for i in range(1, 6):  # tf ladder: i of 'spark', padded to 20 tokens
+        rows.append(doc(i, ["spark"] * i + ["xx"] * (20 - i)))
+    rows.append(doc(10, ["query"] + ["xx"] * 19))  # rare term, df=1
+    for i in range(11, 19):  # common term, df=8
+        rows.append(doc(i, ["batch"] + ["xx"] * 19))
+    for i in range(20, 25):  # no query terms: shape n_docs/avgdl only
+        rows.append(doc(i, ["xx"] * 20))
+    _write_docs(spark, tmp_path, rows)
+
+    out = llm_bm25_search(spark, str(tmp_path)).collect()
+    score = {r["doc_id"]: r["bm25"] for r in out}
+    # (1) tf monotonicity at fixed df/dl
+    assert score[1] < score[2] < score[3] < score[4] < score[5], score
+    # (2) IDF direction: rare 'query' doc beats every 'batch' doc and
+    # is the global top-1 (idf ratio dominates the tf=5 saturation)
+    assert out[0]["doc_id"] == 10, out
+    batch_scores = [v for k, v in score.items() if 11 <= k <= 18]
+    assert batch_scores and max(batch_scores) < score[10]
+    # saturation sanity: tf=5 gains less over tf=4 than tf=2 over tf=1
+    assert (score[5] - score[4]) < (score[2] - score[1])
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark, tmp_path):
+    """RRF invariants on a planted corpus where doc 7 is rank-1 in BOTH
+    rankers (highest 'spark' tf lexically; embedding colinear with the
+    query vector densely): it must be the fused top-1 with exactly
+    rrf = round(2/61, 6); every returned row's rrf must equal the
+    1/(60+r) formula recomputed from its own returned ranks; and the
+    output must be sorted by (rrf desc, doc_id)."""
+    from data_engineering_capstone_spark.queries_llm import llm_hybrid_rrf_search
+
+    rows = []
+    for i in range(1, 21):
+        tf = 10 if i == 7 else (i % 3)  # doc 7 clear lexical winner
+        toks = ["spark"] * tf + ["xx"] * (20 - tf)
+        text = " ".join(toks)
+        rows.append((i, text, "en", "src0", len(text)))
+    _write_docs(spark, tmp_path, rows)
+
+    # vec 0 is the query; vec 7 colinear (cos=1); others strictly lower
+    emb = [(0, [1.0, 0.0, 0.0, 0.0], 0)]
+    for i in range(1, 21):
+        if i == 7:
+            v = [2.0, 0.0, 0.0, 0.0]
+        else:
+            v = [1.0, 0.5 + 0.02 * i, 0.0, 0.0]
+        emb.append((i, v, 0))
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = llm_hybrid_rrf_search(spark, str(tmp_path)).collect()
+    assert out, "no fused results"
+    top = out[0]
+    assert top["doc_id"] == 7 and top["r_bm25"] == 1 and top["r_dense"] == 1, top
+    assert top["rrf"] == round(2.0 / 61.0, 6)
+    for r in out:
+        expect = round(
+            (1.0 / (60 + r["r_bm25"]) if r["r_bm25"] is not None else 0.0)
+            + (1.0 / (60 + r["r_dense"]) if r["r_dense"] is not None else 0.0),
+            6,
+        )
+        assert r["rrf"] == expect, r
+    keys = [(-r["rrf"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys), out
+
+
+def test_dsir_weights_sign_on_planted_split(spark, tmp_path):
+    """DSIR sign axiom on a planted target/raw split: target docs
+    (source='src0') are pure 'aa' bigrams, raw-only docs pure 'bb'
+    bigrams, and the two bigrams hash to distinct buckets (13 vs 39,
+    asserted here with the same md5-prefix rule the kernel uses) — so
+    target-domain docs must score strictly positive importance weight,
+    off-domain docs strictly negative, and every target doc must carry
+    the selected=1 flag (they are exactly the top half)."""
+    import hashlib
+
+    from data_engineering_capstone_spark.queries_llm import llm_dsir_weights
+
+    bucket = lambda g: int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % 64
+    assert bucket("aa aa") != bucket("bb bb")  # pre-condition of the plant
+
+    rows = []
+    for i in range(5):  # target: 10 'aa' tokens -> 9 'aa aa' bigrams
+        text = " ".join(["aa"] * 10)
+        rows.append((i, text, "en", "src0", len(text)))
+    for i in range(5, 10):  # raw-only: distinct lengths, disjoint bigrams
+        text = " ".join(["bb"] * (6 + 2 * (i - 5)))
+        rows.append((i, text, "en", "src1", len(text)))
+    _write_docs(spark, tmp_path, rows)
+
+    out = {r["doc_id"]: r for r in llm_dsir_weights(spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(10))
+    target_w = [out[i]["w"] for i in range(5)]
+    raw_w = [out[i]["w"] for i in range(5, 10)]
+    assert min(target_w) > 0 > max(raw_w), (target_w, raw_w)
+    assert all(out[i]["selected"] == 1 for i in range(5)), out
