@@ -477,3 +477,114 @@ def test_streaming_count_min_equals_batch_sketch(spark, sf_dir):
     # at this key cardinality vs 4x4096 counters, all-rows collisions
     # are essentially impossible: estimates should be exact
     assert all(r["cms_estimate"] == r["exact_n"] for r in probed)
+
+
+def test_stateful_user_stats_survives_checkpoint_restart(spark, tmp_path):
+    """Round-5 verdict task 5a: the applyInPandasWithState per-user
+    state must survive a checkpoint restart. Run 1 drains batch1 and
+    terminates; run 2 is a BRAND-NEW query resuming from the same
+    checkpoint over newly arrived files. User 1 has events in BOTH
+    runs — its final counter can only equal the whole-corpus aggregate
+    if run 2 recovered (n=2, total=3.0) from the state store before
+    folding in batch2 (a cold run 2 would emit n=1 and the max-n pick
+    below would surface run 1's stale (2, 3.0) instead of (3, 7.0))."""
+    import os
+
+    from data_engineering_capstone_spark.streaming.windows import stateful_user_stats
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stateful_user_stats(stream)
+            .writeStream.foreachBatch(
+                lambda b, _bid: b.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1 = [(1, 1.0), (1, 2.0), (2, 10.0)]
+    batch2 = [(1, 4.0), (3, 5.0)]
+    spark.createDataFrame(batch1, "user_id long, value double").coalesce(1) \
+        .write.mode("append").parquet(src)
+    drain()  # run 1: state now holds users 1 and 2, then the query STOPS
+
+    spark.createDataFrame(batch2, "user_id long, value double").coalesce(1) \
+        .write.mode("append").parquet(src)
+    drain()  # run 2: fresh query, state recovered from the checkpoint
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert final == {1: (3, 7.0), 2: (1, 10.0), 3: (1, 5.0)}, final
+
+
+def test_streaming_count_min_survives_checkpoint_restart(spark, tmp_path):
+    """Round-5 verdict task 5b: the count-min counter table is streaming
+    AGGREGATION state — a restart must resume the counters, not restart
+    them. Run 1 drains batch1 through a checkpoint and stops; run 2
+    resumes over batch2 only. The final complete-mode snapshot must be
+    ROW-IDENTICAL to the batch sketch over batch1+batch2 — achievable
+    only if run 2 recovered batch1's counters from the state store (a
+    cold run 2 would emit a sketch of batch2 alone)."""
+    import os
+
+    from data_engineering_capstone_spark.operators.sketches import count_min_table
+    from data_engineering_capstone_spark.streaming.windows import streaming_count_min
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("user_id bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            streaming_count_min(stream)
+            .writeStream.foreachBatch(
+                lambda b, _bid: b.write.mode("overwrite").parquet(sink)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1 = [(u,) for u in [1] * 5 + [2] * 3]
+    batch2 = [(u,) for u in [1] * 2 + [3] * 4]
+    spark.createDataFrame(batch1, "user_id long").coalesce(1) \
+        .write.mode("append").parquet(src)
+    drain()
+
+    spark.createDataFrame(batch2, "user_id long").coalesce(1) \
+        .write.mode("append").parquet(src)
+    drain()
+
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    both = spark.createDataFrame(batch1 + batch2, "user_id long")
+    want = {tuple(r) for r in count_min_table(both, "user_id").collect()}
+    assert got == want and len(got) > 0
