@@ -148,3 +148,42 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_partitioned_sized(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    target_rows_per_file: int,
+    n_rows: int | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Partitioned parquet sink with the small-file policy engaged —
+    the production form of the reference's job ending (reference:
+    dags/transform/airport.py:6-7 writes unpartitioned overwrite
+    parquet; notebook cell-15 asks how the pipeline changes at 100x).
+
+    A naive ``partitionBy`` write emits one file per (task x partition
+    value): at scale that is EITHER thousands of tiny shards (many
+    input tasks) or one multi-GB file (``repartition(partition_by)``
+    funnels every row of a value through one task). This helper sizes
+    the write instead: round-robin ``repartition(n_files)`` spreads
+    rows evenly across exactly ``n_files = ceil(n / target)`` writer
+    tasks (even file sizes, full cluster parallelism), and
+    ``maxRecordsPerFile`` backstops any residual overfill. Sized for
+    the single-partition-value load shape (the reference ingests one
+    i94 month per run); multi-value loads should size per value or
+    z-order instead (``write_zordered``). Returns ``n_files``.
+    """
+    import math
+
+    n = df.count() if n_rows is None else n_rows
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    (
+        df.repartition(n_files)
+        .write.mode(mode)
+        .partitionBy(*partition_by)
+        .option("maxRecordsPerFile", str(target_rows_per_file))
+        .parquet(path)
+    )
+    return n_files

@@ -323,3 +323,49 @@ def test_kll_rolling_median_rank_error(spark, sf_dir):
         rank = sum(1 for v in window if v <= e) / len(window)
         # KLL k=200 normalized rank error ~1.65%; allow generous 6%
         assert 0.44 <= rank <= 0.56, f"{day}: rank {rank:.3f} of {len(window)}"
+
+
+def test_partitioned_sized_sink_layout(spark, tmp_path):
+    """write_partitioned_sized must produce hive partition dirs AND an
+    evenly-sized file population: exactly ceil(n/target) files for a
+    single-partition-value load (the reference's one-month-per-run
+    shape), every file under the row cap, and no file-size skew beyond
+    2x the smallest — the small-file policy's contract, asserted on
+    footer metadata (round-5 verdict task 6)."""
+    import glob
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_engineering_capstone_spark.sources.writers import (
+        write_partitioned_sized,
+    )
+
+    n, target = 10_000, 1_500
+    df = spark.range(n).select(
+        F.col("id").alias("cicid"),
+        F.lit(2016).alias("i94yr"),
+        F.lit(4).alias("i94mon"),
+        (F.col("id") % 7).alias("payload"),
+    )
+    out = str(tmp_path / "sink")
+    n_files = write_partitioned_sized(
+        df, out, ["i94yr", "i94mon"], target_rows_per_file=target
+    )
+    assert n_files == math.ceil(n / target) == 7
+
+    part_dir = os.path.join(out, "i94yr=2016", "i94mon=4")
+    assert os.path.isdir(part_dir), os.listdir(out)
+    files = glob.glob(os.path.join(part_dir, "*.parquet"))
+    assert len(files) == n_files, files
+    rows = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    assert sum(rows) == n
+    assert max(rows) <= target
+    sizes = [os.path.getsize(f) for f in files]
+    assert max(sizes) <= 2 * min(sizes), sizes
+    # partition columns live in the path, not the files (hive layout)
+    cols = pq.read_schema(files[0]).names
+    assert "i94yr" not in cols and "i94mon" not in cols
+    back = spark.read.parquet(out)
+    assert back.count() == n and {"i94yr", "i94mon"} <= set(back.columns)
