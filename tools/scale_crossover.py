@@ -170,21 +170,39 @@ def _copy_text_mutation(i: int):
     byte-identically N times — which turns every doc into an N-copy
     template: near-dup pair outputs grow quadratically in N and the
     probe would measure output blowup (the template-spam scenario,
-    SCALE.md §12), not scan/join scaling. Rotating the letter and digit
-    alphabets per copy (letters by i%26, digits by i//26 %10 — unique
-    mapping for i<260) renames every token injectively: WITHIN-copy
-    Jaccard/span/minhash structure is exactly the base corpus's, while
-    cross-copy token collisions vanish. Copy 0 is the identity.
+    SCALE.md §12), not scan/join scaling. A per-copy seeded PERMUTATION
+    of the letter (and digit) alphabets renames every token injectively:
+    WITHIN-copy Jaccard/span/minhash/simhash structure is exactly the
+    base corpus's, while cross-copy token collisions vanish for every
+    pair of copies. Copy 0 is the identity.
+
+    v4 — replaces the v3 alphabet ROTATION (letters by i%26, digits by
+    i//26%10): the synthetic documents contain no digits, so the digit
+    half of the rotation never disambiguated and copies i and i+26k
+    were BYTE-IDENTICAL — every doc gained ceil(N/26)-1 exact clones at
+    N>26, and the round-6 256x rows-only sweep measured the resulting
+    quadratic pair clusters (simhash 667k/3.2M/13.3M at 64/128/256x,
+    74% of pairs cross-copy within a rotation class; the
+    collapse_exact-guarded entry stayed CONSTANT at 136,061 — the
+    template-spam guard collapsing exactly this artifact). Third
+    replica-mutation defect found by a scale sweep (after the unmutated
+    embeddings and the fixed-cardinality buckets, SCALE.md §15) — the
+    probes' linear-output assertions are doing their job.
     """
     import string
 
-    rl, rd = i % 26, (i // 26) % 10
+    import numpy as _np
+
     lo = string.ascii_lowercase
     up = string.ascii_uppercase
     dg = string.digits
     src = lo + up + dg
-    dst = (lo[rl:] + lo[:rl]) + (up[rl:] + up[:rl]) + (dg[rd:] + dg[:rd])
-    return src, dst
+    if i == 0:
+        return src, src
+    rs = _np.random.RandomState(7_000_000 + i)
+    pl = "".join(rs.permutation(list(lo)))
+    pd = "".join(rs.permutation(list(dg)))
+    return src, pl + pl.upper() + pd
 
 
 def build_replica_dir(spark, mult: int) -> str:
@@ -192,7 +210,7 @@ def build_replica_dir(spark, mult: int) -> str:
     from pyspark.sql import functions as F
 
     out_dir = os.path.join(WORK, f"sf_x{mult}")
-    done = os.path.join(out_dir, "_REPLICA_DONE_v3")
+    done = os.path.join(out_dir, "_REPLICA_DONE_v4")
     if os.path.isfile(done):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
