@@ -133,11 +133,101 @@ def quality_checks(spark, fact_dir: str) -> dict:
     return {"quality_sec": round(el, 3), "quality_fused_sec": round(el_fused, 3)}
 
 
+def run_sink(spark, mult: int) -> int:
+    """The reference's ACTUAL job ending, at scale: clean -> SAS dates ->
+    five broadcast dim joins -> partitionBy(i94yr, i94mon) parquet write
+    (reference: dags/transform/airport.py:6-7 overwrite parquet; notebook
+    cell-15's '100x data' scenario). The rollup probe (main) measures the
+    aggregate; this measures the ENRICHED-FACT WRITE — the pipeline's
+    true output — with the small-file policy engaged, and asserts the
+    layout: hive dirs, exactly ceil(n/target) evenly-sized files, every
+    file under the row cap. Also times the naive partitionBy write (one
+    file per task x value) for the file-count contrast.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_spark.etl import pipeline
+    from data_engineering_capstone_spark.queries_refdata import _real_dims, prep
+    from data_engineering_capstone_spark.sources.writers import (
+        write_partitioned_sized,
+    )
+
+    fact_dir = build_replica(spark, mult)
+    prep(spark)
+
+    def staged():
+        fact = spark.read.parquet(fact_dir).select(
+            "cicid", "i94yr", "i94mon", "i94cit", "i94mode", "i94addr",
+            "i94visa", "i94port", "arrdate", "count",
+        )
+        cleaned = pipeline.clean(fact, key="cicid", required=("cicid", "i94yr", "i94mon"))
+        dated = pipeline.convert_dates(cleaned)
+        return pipeline.join_dims(dated, _real_dims(spark))
+
+    n_rows = 3_096_313 * mult
+    target = 8_000_000  # ~15 B/row snappy -> ~120 MB files
+    out_sized = os.path.join(WORK, f"sink_sized_x{mult}")
+    out_naive = os.path.join(WORK, f"sink_naive_x{mult}")
+
+    t0 = time.time()
+    n_files = write_partitioned_sized(
+        staged(), out_sized, ["i94yr", "i94mon"], target, n_rows=n_rows
+    )
+    sized_sec = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    staged().write.mode("overwrite").partitionBy("i94yr", "i94mon").parquet(out_naive)
+    naive_sec = round(time.time() - t0, 3)
+
+    import math
+
+    assert n_files == math.ceil(n_rows / target), n_files
+    files = glob.glob(os.path.join(out_sized, "i94yr=*", "i94mon=*", "*.parquet"))
+    assert len(files) == n_files, (len(files), n_files)
+    rows = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    assert sum(rows) == n_rows and max(rows) <= target, (sum(rows), max(rows))
+    sizes = [os.path.getsize(f) for f in files]
+    assert max(sizes) <= 2 * min(sizes), (min(sizes), max(sizes))
+    naive_files = glob.glob(os.path.join(out_naive, "i94yr=*", "i94mon=*", "*.parquet"))
+    naive_sizes = [os.path.getsize(f) for f in naive_files]
+    back = spark.read.parquet(out_sized)
+    assert back.count() == n_rows
+    assert back.filter(
+        (F.col("i94yr") == 2016) & (F.col("i94mon") == 4)
+    ).count() == n_rows  # the real fact is one month: April 2016
+
+    print(json.dumps({
+        "probe": "i94_partitioned_sink", "mult": mult, "fact_rows": n_rows,
+        "sized_write_sec": sized_sec, "sized_files": n_files,
+        "sized_mb_min": round(min(sizes) / 1e6, 1),
+        "sized_mb_max": round(max(sizes) / 1e6, 1),
+        "naive_write_sec": naive_sec, "naive_files": len(naive_files),
+        "naive_mb_min": round(min(naive_sizes) / 1e6, 1),
+        "naive_mb_max": round(max(naive_sizes) / 1e6, 1),
+        "target_rows_per_file": target,
+    }))
+    import shutil
+
+    shutil.rmtree(out_naive, ignore_errors=True)
+    shutil.rmtree(out_sized, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
     mult = 16
+    sink = False
     for a in sys.argv[1:]:
         if a.startswith("--mult"):
             mult = int(a.split("=", 1)[1])
+        elif a == "--sink":
+            sink = True
+    if sink:
+        spark = get_spark("i94_sink_probe")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        return run_sink(spark, mult)
     spark = get_spark("i94_scale_probe")
     # the replicated fact is ~46 MB x mult of snappy parquet; at the
     # default 128 MB maxPartitionBytes the scan packs into ~mult/2.5
