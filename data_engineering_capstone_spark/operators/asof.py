@@ -13,7 +13,11 @@ Spark has no native as-of join. Two implementations:
 
 Semantics match DuckDB's ``ASOF JOIN``: for each left row, the single
 right row with the greatest ``right_ts <= left_ts`` for the same key;
-left rows with no prior right row get nulls (left outer).
+left rows with no prior right row get nulls (left outer). Where this
+repo is STRICTER: multiple right rows tied on (key, right_ts) are
+resolved to the greatest right-column tuple — a total order, so the
+result is identical on any partitioning/deployment (DuckDB leaves the
+tie arbitrary).
 """
 
 from __future__ import annotations
@@ -65,9 +69,18 @@ def asof_join(
 
     # Right rows sort before left rows at equal __ts (__is_left asc) so a
     # right row with right_ts == left_ts IS visible to that left row.
+    # __r as the FINAL sort key makes the order total over right rows
+    # tied on (key, ts): without it their relative order is partition-
+    # layout-dependent and the forward-fill winner changes between
+    # deployments (caught by tools/multi_executor_probe.py — local[32]
+    # and local-cluster[4,8] returned different matches on a corpus
+    # with same-ts ties; DuckDB's ASOF JOIN leaves ties arbitrary too).
+    # Ascending + last() = the greatest right-column tuple wins —
+    # documented, engine-independent. Requires orderable right_cols
+    # (no maps), which as-of payloads satisfy in practice.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = lhs.unionByName(rhs).withColumn(

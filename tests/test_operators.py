@@ -351,3 +351,29 @@ def test_outlier_iqr_planted(spark, tmp_path):
     # (quantile_cont at positions 1.25 / 3.75); iqr = 250
     assert r.lo_bound == round((1125 - 375) / 100.0, 4)
     assert r.hi_bound == round((1375 + 375) / 100.0, 4)
+
+
+def test_asof_tie_break_is_total_and_layout_independent(spark):
+    """Right rows tied on (key, right_ts) must resolve to the greatest
+    right-column tuple on EVERY partitioning. Found by the round-6
+    multi-executor probe: without the __r sort key the fill winner was
+    partition-layout-dependent — local[32] and local-cluster[4,8]
+    returned different matches on a tied corpus."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, 100)], "key int, ts int")
+    # three right rows tied at ts=50 for key 1: winner must be the
+    # greatest (val, tag) tuple regardless of input layout
+    tied = [(1, 50, 7, "a"), (1, 50, 9, "b"), (1, 50, 9, "a")]
+    expected = (9, "b")
+    for n_parts in (1, 3, 7):
+        right = (
+            spark.createDataFrame(tied, "key int, rts int, val int, tag string")
+            .repartition(n_parts)
+        )
+        out = asof_join(
+            left, right, on="key", left_ts="ts", right_ts="rts",
+            right_cols=["val", "tag"],
+        ).collect()
+        assert len(out) == 1
+        assert (out[0]["val"], out[0]["tag"]) == expected, (n_parts, out)

@@ -1,0 +1,155 @@
+"""Multi-executor evidence: the SAME catalog plans on REAL executor JVMs.
+
+Every measurement in BASELINE.md runs on local[32] — one JVM, where
+"shuffle" is an in-process array handoff and "broadcast" is a pointer.
+The round-5 verdict listed multi-executor behavior as the one scale
+claim that remained argued, not measured ("environment-bound — note it,
+can't fix it here"). It can: Spark's `local-cluster[N,C,M]` master (the
+mode Spark's own test suite uses) spawns N genuine executor JVMs on
+this box — separate heaps, real serialized shuffle blocks fetched over
+netty, real broadcast distribution, real python worker processes per
+executor for the Arrow/pandas kernels.
+
+This probe runs a representative slice of the catalog (TPC-H joins/aggs,
+window, as-of, skew salting, the Arrow-kernel text stage, and the
+dedup banding path) TWICE at the replicated scale — local[32] vs
+local-cluster[4,8,<mem>] (same 32 total cores) — and for each entry:
+
+  1. asserts the local-cluster session really has 4 executors,
+  2. asserts RESULT EQUALITY across deployments (order-insensitive
+     md5 over every row, the driver's own comparison shape), and
+  3. publishes both wall times — the measured cost of crossing real
+     process boundaries (serialization + loopback netty + per-executor
+     python workers) for the identical plan.
+
+Result equality across deployments is the load-bearing check: it
+proves no plan silently depends on single-JVM state (driver-side
+accumulators, shared python globals, broadcast identity) — the exact
+class of bug that survives every local[*] test and dies on a real
+cluster.
+
+Usage:
+  python tools/multi_executor_probe.py               # 16x, 4 executors
+  python tools/multi_executor_probe.py --mult=64
+  python tools/multi_executor_probe.py --only=q1_pricing_summary
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# per-executor heap for local-cluster mode (MB). 4 x 6g executors + the
+# default 8g driver fit the 128 GiB box alongside the page cache.
+EXEC_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MB", "6144"))
+
+PROBE_SET = [
+    # TPC-H shapes: broadcast dim join, fact-fact join, two-phase agg
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "q3_top_orders",
+    # window + as-of: range frames and the single-shuffle as-of union
+    "window_running_orders",
+    "asof_purchase_click",
+    # explicit salting: repartition-by-salt must survive real exchanges
+    "skew_salted_agg",
+    # Arrow boundary: pandas/Arrow kernels spawn python workers PER
+    # EXECUTOR here, not in the driver's process tree
+    "llm_text_stats",
+    # dedup banding: exploded band join + distinct across executors
+    "llm_exact_dedup",
+]
+
+
+def row_digest(df) -> tuple[int, str]:
+    """Order-insensitive md5 of every row (the driver's compare shape)."""
+    rows = df.collect()
+    cols = sorted(df.columns)
+    lines = sorted(
+        "|".join(repr(r[c]) for c in cols) for r in rows
+    )
+    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
+    return len(rows), h
+
+
+def run_deployment(master: str, label: str, mult: int,
+                   only: list[str] | None, extra_conf: dict) -> dict:
+    from data_engineering_capstone_spark.catalog import load_all
+    from data_engineering_capstone_spark.session import get_spark
+    from tools.scale_crossover import build_replica_dir
+
+    spark = get_spark(f"mx_probe_{label}", master=master,
+                      shuffle_partitions=32, extra_conf=extra_conf)
+    spark.sparkContext.setLogLevel("ERROR")
+    replica = build_replica_dir(spark, mult)
+    catalog = load_all()
+    out = {"label": label, "master": master, "queries": {}}
+    for name in (only or PROBE_SET):
+        fn = catalog[name].fn
+        fn(spark, replica).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        n, dig = row_digest(fn(spark, replica))
+        el = round(time.time() - t0, 3)
+        out["queries"][name] = {"rows": n, "digest": dig, "sec": el}
+        print(json.dumps({"deployment": label, "query": name,
+                          "rows": n, "sec": el}), flush=True)
+    # sample AFTER the workload: executors register asynchronously, so a
+    # count taken at session start races the cluster bring-up
+    out["executors_incl_driver"] = (
+        spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+    )
+    spark.stop()
+    return out
+
+
+def main() -> int:
+    mult = 16
+    only: list[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--mult"):
+            mult = int(a.split("=", 1)[1])
+        elif a.startswith("--only"):
+            only = a.split("=", 1)[1].split(",")
+
+    single = run_deployment(f"local[{os.cpu_count()}]", "local32", mult, only, {})
+    cluster = run_deployment(
+        f"local-cluster[4,8,{EXEC_MB}]", "cluster4x8", mult, only,
+        # executors are separate JVMs: give each a bounded heap and let
+        # the driver stay at the default; python workers spawn per
+        # executor from the same interpreter on PATH
+        {"spark.executor.memory": f"{EXEC_MB}m"},
+    )
+
+    n_exec = cluster["executors_incl_driver"]
+    assert n_exec >= 5, f"expected 4 executors + driver, saw {n_exec}"
+
+    mismatches = []
+    table = {}
+    for name in (only or PROBE_SET):
+        a, b = single["queries"][name], cluster["queries"][name]
+        same = (a["rows"], a["digest"]) == (b["rows"], b["digest"])
+        if not same:
+            mismatches.append(name)
+        table[name] = {
+            "rows": a["rows"], "digest_match": same,
+            "local32_sec": a["sec"], "cluster4x8_sec": b["sec"],
+            "cluster_over_local": (
+                round(b["sec"] / a["sec"], 2) if a["sec"] else None
+            ),
+        }
+    print(json.dumps({
+        "probe": "multi_executor", "mult": mult,
+        "executors_incl_driver": n_exec,
+        "digest_mismatches": mismatches,
+        "queries": table,
+    }))
+    return 1 if mismatches else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
