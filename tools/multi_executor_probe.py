@@ -63,6 +63,12 @@ PROBE_SET = [
     "llm_text_stats",
     # dedup banding: exploded band join + distinct across executors
     "llm_exact_dedup",
+    # the full MinHash path: per-executor Arrow sig kernels + banded
+    # self-join + distinct — the heaviest Python/JVM interleaving
+    "llm_minhash_near_dup",
+    # structured-streaming drain: micro-batch scheduling, state store,
+    # and the complete-mode collect all cross executor boundaries
+    "stream_tumbling_counts",
 ]
 
 
