@@ -235,11 +235,24 @@ def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "asof_purchase_click",
     oracle="""
+    WITH clicks AS (
+      -- collapse right-side ties to the greatest (event_id, value)
+      -- tuple per (user_id, ts): DuckDB's ASOF JOIN leaves same-ts
+      -- ties ARBITRARY, while the Spark operator resolves them to the
+      -- greatest right tuple (operators/asof.py) — this CTE makes the
+      -- oracle total the same way, so parity holds on tied corpora
+      -- (the replicated-scale probes plant exactly such ties)
+      SELECT user_id, ts,
+             arg_max(event_id, event_id) AS event_id,
+             arg_max(value, event_id) AS value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
     SELECT p.event_id, p.user_id,
            c.event_id AS click_event_id,
            c.value AS click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN clicks c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     ORDER BY p.event_id
     """,
@@ -248,7 +261,9 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's most recent prior
     click (backward, left outer) — the operator Spark lacks natively,
     built as ONE shuffle via tagged-union + forward-fill window
-    (operators/asof.py). Semantics pinned against DuckDB's ASOF JOIN.
+    (operators/asof.py). Semantics pinned against DuckDB's ASOF JOIN;
+    same-ts right ties resolve to the greatest (event_id, value) tuple
+    on BOTH engines (total order — deployment- and engine-exact).
     """
     e = _t(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
