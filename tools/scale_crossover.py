@@ -322,8 +322,16 @@ def run_headline(mult: int, only: list[str] | None = None) -> int:
                 print(json.dumps({"query": name, "mult": mult, **results[name]}), flush=True)
                 import gc
 
-                con = duck_con(replica)  # fresh connection post-failure
+                # CLOSE the poisoned connection before replacing it: an
+                # OOM'd duckdb connection keeps its buffers until closed,
+                # and successive failures otherwise accumulate until even
+                # an 8-byte allocation dies (observed at 256x, round 6)
+                try:
+                    con.close()
+                except Exception:
+                    pass
                 gc.collect()
+                con = duck_con(replica)  # fresh connection post-failure
                 continue
             results[name] = {
                 "spark_sec": round(s_t, 3),
