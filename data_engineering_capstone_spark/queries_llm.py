@@ -2761,6 +2761,17 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc agg); the per-language median is over DOC-level rows
     (one per doc, not per token) and becomes a KLL quantile sketch
     (operators/sketches.py) when doc counts outgrow exact percentile.
+    Round-6 rewrite, measured at 256× (1.28M docs / ~100M tokens):
+    (a) the scored table is MATERIALIZED (localCheckpoint — it is
+    doc-cardinality, a few MB) before the median gate, because the
+    gate references it twice (threshold + filter) and an unmaterialized
+    plan re-runs the whole token pipeline for each reference — the
+    entry was paying its explode+join+agg TWICE (17.4 s); (b) the
+    per-token sum runs in fixed-point LONGs (lp × 1e9 — exact, since
+    lp is already DECIMAL(18,9)) instead of decimal, the integer-cents
+    device (8.3 → 6.0 s for the scoring pass; 0 value diffs against
+    the decimal form). Full entry 17.4 → 9.0 s at 256×,
+    2.41× → 1.25× — under the gate.
     """
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     toks = d.select(
@@ -2779,18 +2790,27 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = vocab.agg(
         F.sum("n").cast("bigint").alias("t"), F.count(F.lit(1)).alias("v")
     )
+    # fixed-point: lp is DECIMAL(18,9), so lp*1e9 is an exact integer —
+    # the per-token sum runs in codegen longs, identical values to the
+    # decimal sum (measured 0 diffs at 256×)
     lp = vocab.crossJoin(F.broadcast(stats)).select(
         "tok",
-        F.log(
-            (F.col("n").cast("double") + F.lit(1.0))
-            / (F.col("t").cast("double") + F.col("v").cast("double"))
+        (
+            F.log(
+                (F.col("n").cast("double") + F.lit(1.0))
+                / (F.col("t").cast("double") + F.col("v").cast("double"))
+            ).cast("decimal(18,9)")
+            * F.lit(1_000_000_000)
         )
-        .cast("decimal(18,9)")
-        .alias("lp"),
+        .cast("long")
+        .alias("lpl"),
     )
-    oov = F.log(
-        F.lit(1.0) / (F.col("t").cast("double") + F.col("v").cast("double"))
-    ).cast("decimal(18,9)")
+    oov = (
+        F.log(
+            F.lit(1.0) / (F.col("t").cast("double") + F.col("v").cast("double"))
+        ).cast("decimal(18,9)")
+        * F.lit(1_000_000_000)
+    ).cast("long")
     scored = (
         toks.join(F.broadcast(lp), "tok", "left")
         .crossJoin(F.broadcast(stats))
@@ -2798,11 +2818,14 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(
-                -F.sum(F.coalesce(F.col("lp"), oov)).cast("double")
+                (-F.sum(F.coalesce(F.col("lpl"), oov)) / F.lit(1e9)).cast("double")
                 / F.count(F.lit(1)),
                 6,
             ).alias("rnll"),
         )
+        # doc-cardinality; materialize so the median gate's two
+        # references don't each re-run the token pipeline
+        .localCheckpoint(eager=True)
     )
     scored.createOrReplaceTempView("ppl_scored")
     return spark.sql(
@@ -2855,31 +2878,45 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero; fresh content scores near one — the ranking that decides
     which near-duplicates deserve a second epoch.
 
-    100 TB: in-row distinct (array_distinct before the explode keeps
-    the per-doc dedup shuffle-free), then the postings shape — ONE
-    hash exchange on the gram key serves both the MIN aggregate and
-    the 1:1 join-back (each posting meets exactly one first_seen row:
-    output <= input, linear — no df-cap needed, unlike the pair-
-    generating Jaccard form), then a per-doc agg of integer counters.
-    Novelty is an integer ratio: bit-exact across engines.
+    100 TB: NO join-back of the gram table at all. Per-doc n_grams is
+    a ROW-LOCAL scalar (size of the in-row distinct gram array — zero
+    shuffle), and the novel count per doc is just how many grams chose
+    it as their minimum: first_seen.groupBy(first_doc).count(). So the
+    corpus-scale gram table crosses the wire ONCE (as 16-byte
+    (doc_id, xxhash64(gram)) rows — the jaccard postings device — not
+    variable-length strings), feeds one MIN aggregate, and everything
+    after is doc-cardinality. The previous join-back plan shuffled the
+    gram table twice (64M × string rows at 256×) and measured 2.69×
+    the baseline (19.0 s); this form measures 7.1 s = 1.01× at the
+    same size — the round-6 rewrite. Novelty stays an integer ratio: bit-exact across
+    engines (the 64-bit gram-hash keyspace is the same documented
+    trade as llm_ngram_jaccard's postings).
     """
     from .functions.strings import ngrams
 
     d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        F.size(F.array_distinct(ngrams("text", 2))).alias("n_grams"),
+    ).filter(F.col("n_grams") >= 1)
     grams = d.select(
         "doc_id",
         F.explode(F.array_distinct(ngrams("text", 2))).alias("g"),
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    novel_counts = (
+        grams.groupBy("gh")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
     )
-    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     return (
-        grams.join(first_seen, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(novel).cast("bigint").alias("n_novel"),
+        per_doc.join(novel_counts, per_doc.doc_id == novel_counts.first_doc, "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
             F.round(
-                F.sum(novel) * F.lit(1.0) / F.count(F.lit(1)), 6
+                F.coalesce(F.col("n_novel"), F.lit(0)) * F.lit(1.0) / F.col("n_grams"), 6
             ).alias("novelty"),
         )
         .orderBy("doc_id")
