@@ -73,14 +73,28 @@ PROBE_SET = [
 
 
 def row_digest(df) -> tuple[int, str]:
-    """Order-insensitive md5 of every row (the driver's compare shape)."""
-    rows = df.collect()
+    """Order-insensitive digest of every row, computed DISTRIBUTED.
+
+    Each row canonicalizes to a '|'-joined string over name-sorted
+    columns, hashes through two independent xxhash64 lanes, and the
+    lanes SUM (wraparound) — order-free, so the digest is partitioning-
+    independent, and only a 3-value aggregate ever reaches the driver.
+    (The first version collected every row and md5'd driver-side —
+    fine at 16×, but a 256× window query would collect 38.4M rows;
+    the digest must scale like the queries it checks.)
+    """
+    from pyspark.sql import functions as F
+
     cols = sorted(df.columns)
-    lines = sorted(
-        "|".join(repr(r[c]) for c in cols) for r in rows
-    )
-    h = hashlib.md5("\n".join(lines).encode()).hexdigest()
-    return len(rows), h
+    line = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    dec = "decimal(38,0)"  # exact lane sums; bigint would ANSI-overflow
+    agg = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(line, F.lit(1)).cast(dec)).alias("h1"),
+        F.sum(F.xxhash64(line, F.lit(2)).cast(dec)).alias("h2"),
+    ).collect()[0]
+    h = hashlib.md5(f"{agg['h1']}/{agg['h2']}".encode()).hexdigest()
+    return int(agg["n"]), h
 
 
 def run_deployment(master: str, label: str, mult: int,
