@@ -34,21 +34,32 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
-    # The file streaming source requires a DIRECTORY (it monitors for new
-    # files); the testdata ships a single parquet file. Stage a symlink
-    # directory — zero copy, still read-only on the source data.
-    stage = os.path.join(
-        tempfile.gettempdir(), "dec_spark_stream_src", os.path.basename(sf_dir.rstrip("/"))
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        try:
-            os.symlink(path, link)
-        except OSError:
-            shutil.copyfile(path, link)
+    if os.path.isdir(path):
+        # Spark-written table: already a directory of part files — the
+        # file stream source monitors it directly. (The symlink staging
+        # below used to run for this case too, but a DIRECTORY symlinked
+        # inside the stage dir is invisible to the non-recursive file
+        # lister: the stream read 0 files and every replica-scale
+        # streaming measurement silently drained nothing — caught by the
+        # round-6 multi-executor probe's row counts, 0 rows at 256×.)
+        src = path
+    else:
+        # The testdata ships a single parquet FILE; the file streaming
+        # source requires a directory to monitor. Stage a symlink
+        # directory — zero copy, still read-only on the source data.
+        stage = os.path.join(
+            tempfile.gettempdir(), "dec_spark_stream_src", os.path.basename(sf_dir.rstrip("/"))
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.exists(link):
+            try:
+                os.symlink(path, link)
+            except OSError:
+                shutil.copyfile(path, link)
+        src = stage
     schema = spark.read.parquet(path).schema
-    raw = spark.readStream.schema(schema).parquet(stage)
+    raw = spark.readStream.schema(schema).parquet(src)
     # dtype-aware ts normalization — see sources.testdata._normalize_event_ts
     from ..sources.testdata import _normalize_event_ts
 
