@@ -1028,14 +1028,14 @@ def _bm25_scored(spark: SparkSession, sf_dir: str, qterms: list[str]) -> DataFra
       SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2
     ), scored AS (
       SELECT t.doc_id, t.term,
-             t.tf * LN((SELECT n FROM n_docs) * 1.0 / d.doc_freq) AS tfidf
+             ROUND(t.tf * LN((SELECT n FROM n_docs) * 1.0 / d.doc_freq), 6) AS tfidf
       FROM tf_counts t JOIN df d USING (term)
     ), ranked AS (
       SELECT doc_id, term, tfidf,
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
       FROM scored
     )
-    SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, CAST(rk AS INT) AS rk
+    SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk
     FROM ranked WHERE rk <= 2 AND doc_id < 100
     ORDER BY doc_id, rk
     """,
@@ -1045,7 +1045,11 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc x ln(N/df) corpus weight, ranked per doc. Three distributed
     aggregations (tf, df, N) + one broadcast-sized join on the term
     vocabulary — the vocabulary/keyword-extraction primitive of corpus
-    pipelines (SURVEY.md §2 C-llm-text).
+    pipelines (SURVEY.md §2 C-llm-text). Scores are rounded to 6
+    decimals BEFORE ranking on both sides (the llm_bm25_search rule,
+    FLOATS.md): ln() is only faithfully rounded, so ranking raw doubles
+    would let a 1-ulp libm difference flip a near-tie's row_number;
+    on the rounded grid ties are exact and the term tie-break decides.
     """
     from pyspark.sql import Window
 
@@ -1058,13 +1062,15 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = tok.select("doc_id").distinct().count()
     scored = tf.join(F.broadcast(df_), "term").select(
         "doc_id", "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq"))).alias("tfidf"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6
+        ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter((F.col("rk") <= 2) & (F.col("doc_id") < 100))
-        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), F.col("rk").cast("int").alias("rk"))
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("int").alias("rk"))
         .orderBy("doc_id", "rk")
     )
 
@@ -1557,7 +1563,7 @@ def llm_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           -CAST(SUM(l.lp) AS DOUBLE) / COUNT(*) AS avg_neg_logprob
+           ROUND(-CAST(SUM(l.lp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
     FROM toks d JOIN lp l USING (tok)
     GROUP BY d.doc_id ORDER BY d.doc_id
     """,
@@ -1567,11 +1573,15 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative log-probability of its tokens under the corpus's own
     unigram model — the cheap perplexity proxy used to rank/filter
     training text. Two aggregations (vocab counts, per-doc score) and
-    one broadcast-back of the vocab; ln() is bit-identical across
-    engines (verified) and per-token logps are summed as DECIMAL so the
-    per-doc total is order-independent — float sums would drift across
-    partitionings. At 100 TB the vocab table is Zipf-small and
-    broadcastable; the token explode is partition-local.
+    one broadcast-back of the vocab; ln() is only FAITHFULLY rounded
+    (libm implementations legally differ by 1 ulp — FLOATS.md), so each
+    logp is quantized to DECIMAL(18,9) (cell 1e-9 ≫ 1-ulp drift) and
+    summed as DECIMAL so the per-doc total is order-independent — float
+    sums would drift across partitionings. The final average is rounded
+    to 6 decimals on both sides so even a decimal-cell flip under a
+    different libm (~1e-9 in the sum) cannot move the hashed output.
+    At 100 TB the vocab table is Zipf-small and broadcastable; the
+    token explode is partition-local.
     """
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = d.select(
@@ -1593,9 +1603,9 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            (-F.sum("lp").cast("double") / F.count(F.lit(1))).alias(
-                "avg_neg_logprob"
-            ),
+            F.round(
+                -F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_neg_logprob"),
         )
         .orderBy("doc_id")
     )
