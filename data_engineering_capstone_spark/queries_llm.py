@@ -2857,6 +2857,15 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_ngram_novelty",
     oracle="""
+    -- PARITY CAVEAT (round-7 ADVICE): the Spark side groups grams by
+    -- xxhash64(gram) (the 16-byte postings device) while this oracle
+    -- groups by the gram STRING — a 64-bit hash collision between two
+    -- distinct grams would merge their first_seen rows and shift
+    -- n_novel by 1 on one doc. Birthday bound at 64M grams is ~1e-4;
+    -- if this entry ever hash-mismatches with rows/schema green,
+    -- check for a collision-induced ±1 in n_novel before suspecting
+    -- the plan (DuckDB's hash() is not xxhash64, so the oracle cannot
+    -- reproduce the same keyspace).
     WITH toks AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t

@@ -174,6 +174,16 @@ def write_partitioned_sized(
     the single-partition-value load shape (the reference ingests one
     i94 month per run); multi-value loads should size per value or
     z-order instead (``write_zordered``). Returns ``n_files``.
+
+    ``n_rows`` contract (round-7 ADVICE): when provided it MUST be the
+    row count of ``df`` AS WRITTEN — i.e. post-clean/dedup/filter, not
+    the source count — it exists only to skip the extra ``count()``
+    action when the caller already materialized that number. An
+    OVERestimate silently yields undersized files (more writer tasks
+    than needed); an UNDERestimate leans on ``maxRecordsPerFile`` to
+    split, producing one undersized trailing file per task. Callers
+    that only know the pre-transformation count should pass ``None``
+    and pay the count.
     """
     import math
 

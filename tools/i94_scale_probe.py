@@ -167,6 +167,12 @@ def run_sink(spark, mult: int) -> int:
         dated = pipeline.convert_dates(cleaned)
         return pipeline.join_dims(dated, _real_dims(spark))
 
+    # n_rows shortcut: write_partitioned_sized requires the POST-clean
+    # count (see its docstring). The pre-clean count is valid here only
+    # because clean() drops nothing on this fact — cicid/i94yr/i94mon
+    # are never null and the key-shift replication keeps cicid unique —
+    # and the footer assert below (sum(rows) == n_rows) would catch any
+    # drift in that invariant.
     n_rows = 3_096_313 * mult
     target = 8_000_000  # ~15 B/row snappy -> ~120 MB files
     out_sized = os.path.join(WORK, f"sink_sized_x{mult}")

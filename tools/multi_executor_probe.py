@@ -75,18 +75,30 @@ PROBE_SET = [
 def row_digest(df) -> tuple[int, str]:
     """Order-insensitive digest of every row, computed DISTRIBUTED.
 
-    Each row canonicalizes to a '|'-joined string over name-sorted
+    Each row canonicalizes to a netstring-framed string over name-sorted
     columns, hashes through two independent xxhash64 lanes, and the
     lanes SUM (wraparound) — order-free, so the digest is partitioning-
     independent, and only a 3-value aggregate ever reaches the driver.
     (The first version collected every row and md5'd driver-side —
     fine at 16×, but a 256× window query would collect 38.4M rows;
     the digest must scale like the queries it checks.)
+
+    Canonicalization (round-7 ADVICE fix): bare concat_ws silently DROPS
+    null columns and uses an injectable '|' separator, so a left-outer
+    row (a, NULL) and (NULL, a) — or a '|' inside a document string —
+    could alias. Every column is null-sentineled (coalesce to a \\x00
+    marker no cast-to-string can produce) and length-prefixed
+    (``len:value``), so neither nulls nor separator bytes can realign
+    field boundaries.
     """
     from pyspark.sql import functions as F
 
+    def _canon(c):
+        s = F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+        return F.concat(F.length(s).cast("string"), F.lit(":"), s)
+
     cols = sorted(df.columns)
-    line = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    line = F.concat_ws("|", *[_canon(c) for c in cols])
     dec = "decimal(38,0)"  # exact lane sums; bigint would ANSI-overflow
     agg = df.select(
         F.count(F.lit(1)).alias("n"),

@@ -173,8 +173,14 @@ def _copy_text_mutation(i: int):
     SCALE.md §12), not scan/join scaling. A per-copy seeded PERMUTATION
     of the letter (and digit) alphabets renames every token injectively:
     WITHIN-copy Jaccard/span/minhash/simhash structure is exactly the
-    base corpus's, while cross-copy token collisions vanish for every
-    pair of copies. Copy 0 is the identity.
+    base corpus's, while cross-copy token collisions become
+    statistically negligible (not strictly zero: two independent
+    26-letter permutations agree on ~1 letter in expectation, so a
+    token composed entirely of agreeing letters — e.g. a single-letter
+    repeat like 'aa' — can still collide across a copy pair; the
+    probability any given multi-letter token survives is ~26^-k and
+    the round-6 sweep measured 0 cross-copy pairs). Copy 0 is the
+    identity.
 
     v4 — replaces the v3 alphabet ROTATION (letters by i%26, digits by
     i//26%10): the synthetic documents contain no digits, so the digit
