@@ -963,9 +963,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_conditional_ratio",
     oracle="""
     SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
-           CAST(100.0 * SUM(CASE WHEN p.p_type IN ('PROMO', 'ECONOMY')
+           CAST(SUM(CASE WHEN p.p_type IN ('PROMO', 'ECONOMY')
                  THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
-                 ELSE 0 END) AS DOUBLE)
+                 ELSE 0 END) * 100 AS DOUBLE)
            / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
              AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -977,6 +977,14 @@ def q14_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     share per ship year). One join + one pass; the CASE keeps it a
     single aggregate instead of two scans. Exact-decimal sums; the final
     double division is unrounded (see SCALE.md §7).
+
+    The ×100 multiplies the DECIMAL sum BEFORE the double cast on both
+    sides (exact: decimal × integer), leaving exactly one rounding per
+    operand — decimal→double — then one exact division. The original
+    form multiplied AFTER the cast in Spark but INSIDE the decimal in
+    the oracle (DuckDB's 100.0 literal is DECIMAL), and once the scaled
+    sum outgrew 53 bits at sf0.1 the two rounding orders diverged by an
+    ulp (caught by the round-7 sf0.1 --exact sweep, 2/7 rows).
     """
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
@@ -988,7 +996,7 @@ def q14_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, l.l_partkey == p.p_partkey)
         .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(
-            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
+            ((F.sum(promo) * F.lit(100)).cast("double") / F.sum(rev).cast("double")).alias(
                 "promo_revenue_pct"
             )
         )
@@ -1169,8 +1177,8 @@ def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            n_name,
            CAST(NTILE(4) OVER w AS INT) AS bal_quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
            LAG(c_acctbal) OVER w AS prev_bal,
            LEAD(c_acctbal) OVER w AS next_bal,
            FIRST_VALUE(c_acctbal) OVER w AS min_bal_in_nation
@@ -1187,6 +1195,15 @@ def window_analytic_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     free; a second ORDER BY would double the sort). Ordering carries the
     c_custkey tiebreaker: percent_rank/ntile on a tied ORDER BY are
     engine-dependent.
+
+    pct_rank/cume are emitted UNROUNDED on purpose (FLOATS.md): they
+    are single IEEE divisions over identical integers ((rank-1)/(n-1),
+    k/n) — bit-exact by construction — while ROUND(x, 6) BREAKS parity:
+    rationals with power-of-10-friendly denominators (e.g. k/3200) land
+    EXACTLY on the .5 grid boundary, where Spark's half-up and DuckDB's
+    rounding legally disagree (caught by the round-7 sf0.1 --exact
+    sweep: 3 cume rows at 0.0640625-style halfway points). Rounding is
+    for transcendental drift; it must not be applied to exact rationals.
     """
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -1197,8 +1214,8 @@ def window_analytic_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "n_name",
             F.ntile(4).over(w).cast("int").alias("bal_quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
             F.lag("c_acctbal").over(w).alias("prev_bal"),
             F.lead("c_acctbal").over(w).alias("next_bal"),
             F.first("c_acctbal").over(w).alias("min_bal_in_nation"),
