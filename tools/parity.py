@@ -2,9 +2,13 @@
 
 Runs every catalog query through Spark AND its DuckDB oracle on the same
 parquet, then compares row count, column names, and values (sorted by all
-columns, float-tolerant). Usage:
+columns). Float comparison is BIT-EXACT by default — the driver hashes
+exact values, and round 6 proved the old float-tolerant default ships
+real driver failures green (scalar_math_funcs2, 1-ulp libm drift).
+Pass --tolerant for triage-mode comparison (atol 1e-6 / rtol 1e-9) when
+you want to see whether a mismatch is drift or a real value bug.
 
-    python tools/parity.py [sf_dir] [query ...]
+    python tools/parity.py [sf_dir] [query ...] [--tolerant]
 """
 
 from __future__ import annotations
@@ -23,8 +27,8 @@ from data_engineering_capstone_spark.catalog import load_all
 from data_engineering_capstone_spark.session import get_spark
 from data_engineering_capstone_spark.sources.testdata import TABLES
 
-FLOAT_ATOL = 1e-6
-FLOAT_RTOL = 1e-9
+FLOAT_ATOL = 0.0  # bit-exact default (the driver's gate); --tolerant relaxes
+FLOAT_RTOL = 0.0
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -78,12 +82,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     global FLOAT_ATOL, FLOAT_RTOL
     args = sys.argv[1:]
-    if "--exact" in args:
-        # bit-exact float compare — the driver hashes values, so a 1e-7
-        # drift that parity's tolerance forgives still fails the gate
-        FLOAT_ATOL = 0.0
-        FLOAT_RTOL = 0.0
-        args = [a for a in args if a != "--exact"]
+    if "--tolerant" in args:
+        # triage mode: forgive float drift to separate "libm ulp" from
+        # "wrong value" — NOT what the driver does (it hashes exact)
+        FLOAT_ATOL = 1e-6
+        FLOAT_RTOL = 1e-9
+    # --exact kept as a no-op for muscle memory: exact IS the default
+    args = [a for a in args if a not in ("--exact", "--tolerant")]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     if args and os.path.isdir(args[0]):
         args = args[1:]
