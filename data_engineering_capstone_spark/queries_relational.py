@@ -964,9 +964,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
            CAST(SUM(CASE WHEN p.p_type IN ('PROMO', 'ECONOMY')
-                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 THEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
                  ELSE 0 END) * 100 AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           / CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+                  AS DOUBLE)
              AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1 ORDER BY 1
@@ -975,28 +978,33 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional aggregation ratio (promo revenue
     share per ship year). One join + one pass; the CASE keeps it a
-    single aggregate instead of two scans. Exact-decimal sums; the final
-    double division is unrounded (see SCALE.md §7).
+    single aggregate instead of two scans.
 
-    The ×100 multiplies the DECIMAL sum BEFORE the double cast on both
-    sides (exact: decimal × integer), leaving exactly one rounding per
-    operand — decimal→double — then one exact division. The original
-    form multiplied AFTER the cast in Spark but INSIDE the decimal in
-    the oracle (DuckDB's 100.0 literal is DECIMAL), and once the scaled
-    sum outgrew 53 bits at sf0.1 the two rounding orders diverged by an
-    ulp (caught by the round-7 sf0.1 --exact sweep, 2/7 rows).
+    Round-7 rewrite onto the q1 integer-units fast path: the decimal
+    form (`_revenue_dec()`) pays a per-row Decimal128 multiply chain
+    and measured 10× the baseline at 256× (11.6 s); `_revenue_units()`
+    is the SAME rational value in exact 1e-4-dollar longs on the
+    whole-stage-codegen path (the 1e4 scale cancels in the ratio).
+    Exactness contract (FLOATS.md "one rounding per operand"): both
+    sums are exact integers (Spark long in ANSI mode — overflows raise,
+    never corrupt; DuckDB HUGEINT), the ×100 happens in integer
+    arithmetic, and each operand crosses int→double exactly once as a
+    correctly-rounded conversion — bit-identical across engines, no
+    decimal-cast order to misalign (the round-7 sf0.1 --exact sweep
+    caught the old cast-then-multiply vs multiply-then-cast 1-ulp
+    divergence; integers make the hazard unrepresentable).
     """
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    rev = _revenue_dec()
-    promo = F.when(F.col("p_type").isin("PROMO", "ECONOMY"), rev).otherwise(
-        F.lit(0).cast("decimal(12,2)")
+    units = _revenue_units()
+    promo = F.when(F.col("p_type").isin("PROMO", "ECONOMY"), units).otherwise(
+        F.lit(0).cast("bigint")
     )
     return (
         l.join(p, l.l_partkey == p.p_partkey)
         .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(
-            ((F.sum(promo) * F.lit(100)).cast("double") / F.sum(rev).cast("double")).alias(
+            ((F.sum(promo) * F.lit(100)).cast("double") / F.sum(units).cast("double")).alias(
                 "promo_revenue_pct"
             )
         )
