@@ -230,26 +230,44 @@ def etl_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference: plugins/operators/data_quality.py:12-13 ``evaluate: pass``;
     spec in notebook cell-12). Distributed aggregations only — each check
     collects one scalar, so the suite runs unchanged at 100 TB.
+
+    Round-7 fusion: the original composed the per-check helpers and
+    launched FIVE jobs (orders scanned three times; count_distinct of
+    the order key computed twice — measured 19.7 s at 64×). Audit
+    checks are all scan-level aggregates, so the suite is exactly TWO
+    jobs: one fused orders aggregation (nonempty + unique-key +
+    null-scan — the etl/quality.py check_suite_single_pass device) and
+    the lineitem side's one count_distinct. The per-check helpers
+    remain for suites spanning different frames.
     """
-    from .etl.quality import (
-        check_no_nulls,
-        check_nonempty,
-        check_unique_key,
-        CheckResult,
-        results_df,
-    )
+    from .etl.quality import CheckResult, results_df
 
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    order_keys = o.select(F.count_distinct("o_orderkey")).collect()[0][0]
+    null_cols = ["o_orderkey", "o_custkey", "o_orderdate"]
+    row = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("o_orderkey").alias("nd"),
+        F.sum(
+            (F.col("o_orderkey").isNull()
+             | F.col("o_custkey").isNull()
+             | F.col("o_orderdate").isNull()).cast("long")
+        ).alias("nulls"),
+    ).collect()[0]
     li_keys = l.select(F.count_distinct("l_orderkey")).collect()[0][0]
     results = [
-        check_nonempty(o),
-        check_unique_key(o, ["o_orderkey"]),
-        check_no_nulls(o, ["o_orderkey", "o_custkey", "o_orderdate"]),
+        CheckResult("nonempty", row["n"] > 0, f"{row['n']} rows", "> 0 rows"),
+        CheckResult(
+            "unique(o_orderkey)", row["n"] == row["nd"],
+            f"{row['nd']} distinct / {row['n']} rows", "all distinct",
+        ),
+        CheckResult(
+            f"no_nulls({','.join(null_cols)})", row["nulls"] == 0,
+            f"{row['nulls']} nulls", "0 nulls",
+        ),
         CheckResult(
             "completeness(orders=lineitem.orderkeys)",
-            order_keys >= li_keys, str(li_keys), f"<= {order_keys}",
+            row["nd"] >= li_keys, str(li_keys), f"<= {row['nd']}",
         ),
     ]
     return (

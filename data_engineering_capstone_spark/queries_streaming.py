@@ -324,7 +324,14 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_join_clicks_purchases(
         _events(spark, sf_dir), _events(spark, sf_dir)
     )
-    out = run_available_now(joined, "append")
+    # row-count state regime: the join buffers every in-horizon row in
+    # the state store, so partitions track the session's full width —
+    # the group-count cap of 8 serialized the drain 3.6× at 64×
+    # (run_available_now docstring)
+    out = run_available_now(
+        joined, "append",
+        partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     return (
         out.groupBy(F.date_trunc("hour", "purchase_ts").alias("window_start"))
         .agg(
@@ -374,7 +381,17 @@ def stream_custom_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself is micro-batch machinery, not the source (SCALE.md).
     import pyarrow.parquet as pq
 
-    nrows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    epath = f"{sf_dir}/events.parquet"
+    if os.path.isdir(epath):
+        # replica-scale tables are directories of part files — sum the
+        # footers (metadata-only, no data read)
+        nrows = sum(
+            pq.ParquetFile(os.path.join(epath, n)).metadata.num_rows
+            for n in sorted(os.listdir(epath))
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+    else:
+        nrows = pq.ParquetFile(epath).metadata.num_rows
     chunk = max(2000, -(-nrows // 6))
     raw = (
         spark.readStream.format("events_replay")

@@ -45,27 +45,44 @@ class EventsReplayReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
         self.chunk = int(options.get("rowsPerBatch", 5000))
-        self._pf = None
-        self._rg_starts = None  # cumulative first-row index per row group
+        # flat row-group index across ALL part files (round-7: a real
+        # table is a DIRECTORY of part files — the single-file
+        # assumption broke on every replica-scale dir; files are taken
+        # in sorted name order so the global row index is deterministic)
+        self._rg_pf = None      # ParquetFile serving each row group
+        self._rg_idx = None     # row-group ordinal within its own file
+        self._rg_starts = None  # cumulative first GLOBAL row per group
         self._nrows = None
 
     def _file(self):
-        if self._pf is None:
+        if self._rg_starts is None:
+            import os
+
             import pyarrow.parquet as pq
 
-            self._pf = pq.ParquetFile(self.path)
-            md = self._pf.metadata
-            starts, acc = [], 0
-            for g in range(md.num_row_groups):
-                starts.append(acc)
-                acc += md.row_group(g).num_rows
-            self._rg_starts = starts
+            if os.path.isdir(self.path):
+                paths = [
+                    os.path.join(self.path, n)
+                    for n in sorted(os.listdir(self.path))
+                    if n.endswith(".parquet") and not n.startswith(("_", "."))
+                ]
+            else:
+                paths = [self.path]
+            self._rg_pf, self._rg_idx, self._rg_starts = [], [], []
+            acc = 0
+            for p in paths:
+                pf = pq.ParquetFile(p)
+                md = pf.metadata
+                for g in range(md.num_row_groups):
+                    self._rg_pf.append(pf)
+                    self._rg_idx.append(g)
+                    self._rg_starts.append(acc)
+                    acc += md.row_group(g).num_rows
             self._nrows = acc
-        return self._pf
 
     def _slice(self, lo: int, hi: int):
         """Rows [lo, hi) as tuples, reading only the overlapping row groups."""
-        pf = self._file()
+        self._file()
         hi = min(hi, self._nrows)
         if lo >= hi:
             return []
@@ -77,7 +94,7 @@ class EventsReplayReader(SimpleDataSourceStreamReader):
             g_lo = self._rg_starts[g]
             if g_lo >= hi:
                 break
-            tbl = pf.read_row_group(g, columns=list(_COLS))
+            tbl = self._rg_pf[g].read_row_group(self._rg_idx[g], columns=list(_COLS))
             a = max(0, lo - g_lo)
             b = min(tbl.num_rows, hi - g_lo)
             sl = tbl.slice(a, b - a)

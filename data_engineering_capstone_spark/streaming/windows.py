@@ -66,7 +66,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_event_ts(raw)
 
 
-def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, output_mode: str, partitions: int | None = None
+) -> DataFrame:
     """Drain the stream through an in-memory sink and return the result.
 
     ``availableNow`` processes the full backlog then stops — the
@@ -75,16 +77,26 @@ def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
 
     State-store partitioning: a stateful query creates one state store
     per shuffle partition per micro-batch, so partition count should
-    track STATE size, not core count — with a few hundred window/session
-    groups, 32 partitions is pure per-batch overhead (measured 2x the
-    whole drain at sf0.1: 1.18s -> 0.58s). Capped at 8 here and restored
-    after; a production job sizes it to its own key cardinality (the
-    count is pinned into the checkpoint on first run).
+    track STATE size, not core count. The two state regimes want
+    opposite settings (round-7 measurement):
+
+    - **group-count state** (windowed/session aggregates — a few hundred
+      groups): 32 partitions is pure per-batch overhead, measured 2× the
+      whole drain at sf0.1 (1.18 s → 0.58 s). Default cap of 8 applies.
+    - **row-count state** (stream-stream join buffers, watermark dedup —
+      state rows ≈ input rows in the watermark horizon): the cap
+      SERIALIZES the state store; at 64× the interval join drained
+      116.8 s on 8 partitions vs 32.4 s on 32 (3.6×, identical rows).
+      Callers in this regime pass ``partitions`` explicitly.
+
+    A production job sizes it to its own state cardinality — the count
+    is pinned into the checkpoint on first run.
     """
     spark_ = stream_df.sparkSession
     old_parts = spark_.conf.get("spark.sql.shuffle.partitions")
     old_nodata = spark_.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    spark_.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), 8)))
+    eff = partitions if partitions is not None else min(int(old_parts), 8)
+    spark_.conf.set("spark.sql.shuffle.partitions", str(eff))
     # no work left after the backlog drains — skip the empty flush batch
     spark_.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     name = f"stream_result_{next(_MEM_COUNTER)}"
