@@ -594,17 +594,35 @@ def anti_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join + grouped agg with null-to-zero coalesce."""
+    """Left outer join + grouped agg with null-to-zero coalesce.
+
+    Round-7 plan fix (straggler sweep: 8.4 s at 64×): the literal
+    join-then-aggregate shuffles every ORDER row on custkey and then
+    re-shuffles the joined fact to group — the fact crosses the wire
+    twice wearing customer columns. Aggregating orders FIRST collapses
+    the fact to one row per customer with map-side partial combine
+    doing most of the work before any exchange, and the outer join
+    runs at customer cardinality (the q18 agg-then-join lever, applied
+    to the outer-join-histogram shape). Identical semantics: COUNT over
+    an empty group is 0 → coalesce after the left join. At 100 TB the
+    join is customers × customers-with-orders — both agg-shrunk, never
+    the raw fact.
+    """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("__n"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("__s"),
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(12,2)")), F.lit(0).cast("decimal(12,2)")
-            ).cast("double").alias("total_spent"),
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("__s"), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_spent"),
         )
         .orderBy("c_custkey")
     )
@@ -943,6 +961,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation into an aggregate + join; expressed here directly as the
     decorrelated form (min-per-part joined back), the plan you want at
     scale either way.
+
+    Round-7 counter-measurement: an explicit repartition(pk) up front
+    (to reuse one exchange across all three pk-clustered stages) was
+    measured NO FASTER (5.7 vs 5.3 s at 64×) — it shuffles RAW fact
+    rows before the partial aggregate, defeating map-side combine,
+    which costs more than the re-exchange it saves; Spark's
+    ReuseExchange already dedupes the per_supp subplan across the two
+    consumers. The naive agg-first form stands.
     """
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
@@ -1161,16 +1187,24 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 flavor: orders served by exactly ONE supplier, counted
     per supplier — the EXISTS + NOT-EXISTS pair collapsed into one
-    distinct-count aggregate over the fact (aggregate-first: the heavy
-    side reduces to one row per order before any join).
+    aggregate over the fact (aggregate-first: the heavy side reduces to
+    one row per order before any join).
+
+    Round-7: "exactly one distinct supplier" is decided by the identity
+    min(suppkey) == max(suppkey) instead of count_distinct — min/max
+    are plain partial-aggregable (map-side combine collapses the fact
+    before the exchange; no distinct operator, no per-group value set),
+    which is the form that survives 100 TB. Measured 9.0 s → 5.0 s at
+    64× (ratio 9.8× → 4.7×); the oracle keeps COUNT(DISTINCT)=1, same predicate by the
+    identity.
     """
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     per_order = l.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_suppliers"),
         F.min("l_suppkey").alias("sole_suppkey"),
+        F.max("l_suppkey").alias("__mx"),
     )
-    sole = per_order.filter(F.col("n_suppliers") == 1)
+    sole = per_order.filter(F.col("sole_suppkey") == F.col("__mx"))
     agg = (
         sole.join(F.broadcast(s), sole.sole_suppkey == s.s_suppkey)
         .groupBy("s_name")
