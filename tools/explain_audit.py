@@ -58,6 +58,12 @@ INTENTIONAL_CROSS = {
                          # median threshold — same tiny-broadcast shape
     "llm_kl_drift",  # (source, term) counts x 1-row broadcast corpus
                      # total — same tiny-broadcast shape
+    "agg_equidepth_histogram",  # ranked fact x 1-row broadcast n_tot
+                                # (ntile remainder arithmetic) — same
+                                # tiny-broadcast shape (round-7 rewrite;
+                                # the no-partition window it also plans
+                                # runs over ~50k BUCKET rows, not the
+                                # fact — the prefix.py phase-2 pattern)
     "llm_hybrid_rrf_search",  # corpus scan x 1-row broadcast query
                               # vector (dense stage), plus the inherited
                               # bm25 1-row stats broadcast
