@@ -264,32 +264,39 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.windows import run_available_now
 
     # the file-stream source lists a DIRECTORY; testdata ships
-    # documents as a single parquet file — stage it into one
+    # documents as a single parquet file — stage it into one. A
+    # Spark-written replica table is ALREADY a directory of part files,
+    # and the round-6 stream_events lesson applies verbatim: stage
+    # nothing, monitor it directly (a symlinked/copied DIRECTORY inside
+    # a stage dir would be invisible to the non-recursive lister).
     import shutil
     import tempfile
 
-    # staging dir keyed by pid (concurrent harness processes don't
-    # race each other) and the copy lands via os.replace (atomic — a
-    # concurrent reader never opens a half-written parquet). Staleness
-    # guard: reuse only if mtime+size still match the source, so a
-    # regenerated testdata set is re-staged instead of read stale.
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    src_dir = os.path.join(
-        tempfile.gettempdir(), "dec_spark_stream_docs", f"{sf_tag}_{os.getpid()}"
-    )
-    os.makedirs(src_dir, exist_ok=True)
-    src_file = f"{sf_dir}/documents.parquet"
-    dst = os.path.join(src_dir, "documents.parquet")
-    st = os.stat(src_file)
-    fresh = (
-        os.path.isfile(dst)
-        and os.path.getsize(dst) == st.st_size
-        and os.path.getmtime(dst) >= st.st_mtime
-    )
-    if not fresh:
-        tmp = dst + ".tmp"
-        shutil.copyfile(src_file, tmp)
-        os.replace(tmp, dst)
+    src_path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(src_path):
+        src_dir = src_path
+    else:
+        # staging dir keyed by pid (concurrent harness processes don't
+        # race each other) and the copy lands via os.replace (atomic — a
+        # concurrent reader never opens a half-written parquet). Staleness
+        # guard: reuse only if mtime+size still match the source, so a
+        # regenerated testdata set is re-staged instead of read stale.
+        sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        src_dir = os.path.join(
+            tempfile.gettempdir(), "dec_spark_stream_docs", f"{sf_tag}_{os.getpid()}"
+        )
+        os.makedirs(src_dir, exist_ok=True)
+        dst = os.path.join(src_dir, "documents.parquet")
+        st = os.stat(src_path)
+        fresh = (
+            os.path.isfile(dst)
+            and os.path.getsize(dst) == st.st_size
+            and os.path.getmtime(dst) >= st.st_mtime
+        )
+        if not fresh:
+            tmp = dst + ".tmp"
+            shutil.copyfile(src_path, tmp)
+            os.replace(tmp, dst)
     src = (
         spark.readStream.schema("doc_id bigint, text string")
         .parquet(src_dir)

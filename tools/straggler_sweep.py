@@ -11,6 +11,8 @@ as sub-second floors and are skipped by the threshold automatically.
 
 Usage:
   python tools/straggler_sweep.py [--mult=64] [--race-over=3.0]
+  python tools/straggler_sweep.py --rows-only   # time the 29 estimator/
+        # stateful entries too (no oracle to race — absolute curve only)
 """
 
 from __future__ import annotations
@@ -26,12 +28,14 @@ from tools.scale_crossover import build_replica_dir, duck_con, time_best  # noqa
 
 
 def main() -> int:
-    mult, race_over = 64, 3.0
+    mult, race_over, rows_only = 64, 3.0, False
     for a in sys.argv[1:]:
         if a.startswith("--mult"):
             mult = int(a.split("=", 1)[1])
         elif a.startswith("--race-over"):
             race_over = float(a.split("=", 1)[1])
+        elif a == "--rows-only":
+            rows_only = True
 
     from data_engineering_capstone_spark.catalog import load_all
     from data_engineering_capstone_spark.session import get_spark
@@ -44,7 +48,7 @@ def main() -> int:
     timed: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in catalog.items():
-        if spec.oracle is None:
+        if (spec.oracle is None) != rows_only:
             continue
         try:
             def run():
@@ -59,8 +63,10 @@ def main() -> int:
         print(json.dumps({"q": name, "spark_sec": timed.get(name),
                           "err": errors.get(name)}), flush=True)
 
-    slow = {n: t for n, t in sorted(timed.items(), key=lambda kv: -kv[1])
-            if t >= race_over}
+    slow = {} if rows_only else {
+        n: t for n, t in sorted(timed.items(), key=lambda kv: -kv[1])
+        if t >= race_over
+    }
     raced = {}
     if slow:
         con = duck_con(replica)
