@@ -143,6 +143,12 @@ LLM_SET = [
     # semantic decontamination: broadcast-BLAS linear scan (the cosine
     # family's scale shape), in a preset from birth
     "llm_semantic_decontamination",
+    # round-7 straggler-sweep graduates (the fuzzy lesson again: both
+    # hid outside every preset — unigram measured 3.08x before its
+    # hashed-token-exchange rewrite): unigram is the vocab-LM scoring
+    # scan, tfidf the rank-on-rounded vocabulary extraction
+    "llm_unigram_logprob",
+    "llm_tfidf_top_terms",
     # round-5 fifth session, in a preset from birth: zipf is the token
     # explode + term aggregate shape with a bounded top-1000 cut;
     # embedding_drift is the vector posexplode into bounded-key
