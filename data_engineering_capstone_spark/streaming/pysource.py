@@ -35,12 +35,15 @@ _COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 class EventsReplayReader(SimpleDataSourceStreamReader):
-    """Driver-resident memory is O(one chunk), not O(table): only parquet
-    FOOTER metadata (row-group row counts) is held for the stream's
-    lifetime; each ``read``/``readBetweenOffsets`` materializes just the
-    row groups overlapping its [start, end) range via pyarrow
-    ``ParquetFile.read_row_group``. Re-serving a range after restart
-    re-reads the same immutable file — replayability is unchanged."""
+    """Driver-resident memory is O(one chunk), not O(table): only a
+    (path, row-group ordinal, global start row) index built from parquet
+    FOOTER metadata is held for the stream's lifetime; each
+    ``read``/``readBetweenOffsets`` materializes just the row groups
+    overlapping its [start, end) range via pyarrow
+    ``ParquetFile.read_row_group``, opening part-file handles lazily
+    through an 8-entry LRU so driver fd usage is O(1) regardless of the
+    directory's part count. Re-serving a range after restart re-reads
+    the same immutable files — replayability is unchanged."""
 
     def __init__(self, options):
         self.path = options["path"]
@@ -49,10 +52,17 @@ class EventsReplayReader(SimpleDataSourceStreamReader):
         # table is a DIRECTORY of part files — the single-file
         # assumption broke on every replica-scale dir; files are taken
         # in sorted name order so the global row index is deterministic)
-        self._rg_pf = None      # ParquetFile serving each row group
+        self._rg_path = None    # part-file path serving each row group
         self._rg_idx = None     # row-group ordinal within its own file
         self._rg_starts = None  # cumulative first GLOBAL row per group
         self._nrows = None
+        # small LRU of open ParquetFile handles: the index above keeps
+        # only (path, ordinal) pairs, so a many-part replica directory
+        # costs O(8) driver fds, not O(parts) (round-8 ADVICE fix —
+        # one handle per part for the stream's lifetime risked driver
+        # fd exhaustion)
+        self._pf_cache: dict[str, object] = {}
+        self._pf_cache_cap = 8
 
     def _file(self):
         if self._rg_starts is None:
@@ -68,17 +78,33 @@ class EventsReplayReader(SimpleDataSourceStreamReader):
                 ]
             else:
                 paths = [self.path]
-            self._rg_pf, self._rg_idx, self._rg_starts = [], [], []
+            self._rg_path, self._rg_idx, self._rg_starts = [], [], []
             acc = 0
             for p in paths:
                 pf = pq.ParquetFile(p)
-                md = pf.metadata
-                for g in range(md.num_row_groups):
-                    self._rg_pf.append(pf)
-                    self._rg_idx.append(g)
-                    self._rg_starts.append(acc)
-                    acc += md.row_group(g).num_rows
+                try:
+                    md = pf.metadata
+                    for g in range(md.num_row_groups):
+                        self._rg_path.append(p)
+                        self._rg_idx.append(g)
+                        self._rg_starts.append(acc)
+                        acc += md.row_group(g).num_rows
+                finally:
+                    pf.close()
             self._nrows = acc
+
+    def _open(self, path: str):
+        """ParquetFile handle for ``path`` via a tiny LRU cache."""
+        import pyarrow.parquet as pq
+
+        pf = self._pf_cache.pop(path, None)
+        if pf is None:
+            pf = pq.ParquetFile(path)
+            while len(self._pf_cache) >= self._pf_cache_cap:
+                oldest = next(iter(self._pf_cache))
+                self._pf_cache.pop(oldest).close()
+        self._pf_cache[path] = pf  # re-insert = move to MRU end
+        return pf
 
     def _slice(self, lo: int, hi: int):
         """Rows [lo, hi) as tuples, reading only the overlapping row groups."""
@@ -94,7 +120,9 @@ class EventsReplayReader(SimpleDataSourceStreamReader):
             g_lo = self._rg_starts[g]
             if g_lo >= hi:
                 break
-            tbl = self._rg_pf[g].read_row_group(self._rg_idx[g], columns=list(_COLS))
+            tbl = self._open(self._rg_path[g]).read_row_group(
+                self._rg_idx[g], columns=list(_COLS)
+            )
             a = max(0, lo - g_lo)
             b = min(tbl.num_rows, hi - g_lo)
             sl = tbl.slice(a, b - a)

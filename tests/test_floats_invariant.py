@@ -12,8 +12,10 @@ missing.
 
 from __future__ import annotations
 
+import ast
 import inspect
 import re
+import textwrap
 
 import pytest
 
@@ -54,8 +56,32 @@ HELPERS = (
 )
 
 
+def _code_only(fn) -> str:
+    """Function source with the decorator (which embeds the oracle SQL),
+    the docstring, and comments removed — classification must track CODE,
+    not prose: a docstring sentence like "ln() is only faithfully
+    rounded" must not flip the pinned set (round-8 ADVICE fix)."""
+    src = textwrap.dedent(inspect.getsource(fn))
+    tree = ast.parse(src)
+    fdef = tree.body[0]
+    fdef.decorator_list = []
+    if (
+        fdef.body
+        and isinstance(fdef.body[0], ast.Expr)
+        and isinstance(fdef.body[0].value, ast.Constant)
+        and isinstance(fdef.body[0].value.value, str)
+    ):
+        fdef.body = fdef.body[1:] or [ast.Pass()]
+    return ast.unparse(tree)
+
+
+def _sql_code_only(oracle: str | None) -> str:
+    """Oracle SQL with `-- ...` line comments stripped (same prose rule)."""
+    return re.sub(r"--[^\n]*", "", oracle or "")
+
+
 def _depends_on_transcendental(fn, oracle: str | None) -> bool:
-    src = inspect.getsource(fn) + (oracle or "")
+    src = _code_only(fn) + _sql_code_only(oracle)
     if TRANSCENDENTAL.search(src):
         return True
     return any(h in src for h in HELPERS)

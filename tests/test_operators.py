@@ -377,3 +377,33 @@ def test_asof_tie_break_is_total_and_layout_independent(spark):
         ).collect()
         assert len(out) == 1
         assert (out[0]["val"], out[0]["tag"]) == expected, (n_parts, out)
+
+
+def test_multiset_aggregate_form_matches_intersectall_exceptall(spark):
+    """set_ops_multiset's round-8 aggregate form (per-key conditional
+    counts -> sum(min)/sum(max(m-n,0))) must agree with the row-level
+    DataFrame intersectAll/exceptAll operators it replaced — the
+    multiset DEFINITION is per-key min(m,n)/max(m-n,0) multiplicity,
+    and this pins the equivalence the entry's docstring claims, plus
+    keeps the native operators themselves covered."""
+    rows_a = [(1,), (1,), (1,), (2,), (3,), (3,), (5,)]
+    rows_r = [(1,), (2,), (2,), (3,), (3,), (3,), (4,)]
+    a = spark.createDataFrame(rows_a, "k int")
+    r = spark.createDataFrame(rows_r, "k int")
+    n_intersect = a.intersectAll(r).count()   # min: 1->1, 2->1, 3->2 = 4
+    n_except = a.exceptAll(r).count()         # max: 1->2, 5->1 = 3
+    assert (n_intersect, n_except) == (4, 3)
+    per_key = (
+        a.select(F.col("k"), F.lit("A").alias("s"))
+        .unionByName(r.select(F.col("k"), F.lit("R").alias("s")))
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("s") == "A", 1)).alias("ca"),
+            F.count(F.when(F.col("s") == "R", 1)).alias("cr"),
+        )
+    )
+    agg = per_key.agg(
+        F.sum(F.least("ca", "cr")).alias("i_all"),
+        F.sum(F.greatest(F.col("ca") - F.col("cr"), F.lit(0))).alias("e_all"),
+    ).collect()[0]
+    assert (agg["i_all"], agg["e_all"]) == (n_intersect, n_except)
