@@ -237,10 +237,15 @@ def etl_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks are all scan-level aggregates, so the suite is exactly TWO
     jobs: one fused orders aggregation (nonempty + unique-key +
     null-scan — the etl/quality.py check_suite_single_pass device) and
-    the lineitem side's one count_distinct. The per-check helpers
-    remain for suites spanning different frames.
+    the lineitem side's distinct key count. Round 8 found the lineitem
+    side was the whale at 256× (64.8 of the 75.3 s total — bare
+    count_distinct hits the AQE byte-coalesce trap plus a slow
+    partial-distinct path) and routed it through
+    `etl.quality.exact_distinct_count` (the fk_integrity explicit-width
+    repartition device): 64.8 → 7.7 s measured at 153.6M rows. The
+    per-check helpers remain for suites spanning different frames.
     """
-    from .etl.quality import CheckResult, results_df
+    from .etl.quality import CheckResult, exact_distinct_count, results_df
 
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -254,7 +259,7 @@ def etl_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              | F.col("o_orderdate").isNull()).cast("long")
         ).alias("nulls"),
     ).collect()[0]
-    li_keys = l.select(F.count_distinct("l_orderkey")).collect()[0][0]
+    li_keys = exact_distinct_count(l, "l_orderkey")
     results = [
         CheckResult("nonempty", row["n"] > 0, f"{row['n']} rows", "> 0 rows"),
         CheckResult(

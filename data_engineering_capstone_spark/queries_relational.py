@@ -897,11 +897,14 @@ def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sum: ONE exchange carrying |suppliers| rows, no row
     replication. The replaced plan (DataFrame intersectAll/exceptAll,
     which Spark executes as count-per-side + generate-replicate) paid
-    the replicate twice and measured 12.0 s at 256×; the operator
-    itself stays covered — tests/test_operators.py pins DataFrame
-    intersectAll/exceptAll row-level semantics against this aggregate
-    form. The DuckDB oracle keeps the literal INTERSECT ALL / EXCEPT
-    ALL SQL, so parity proves the equivalence every round.
+    the replicate twice and measured 12.0 s / 3.09× at 256×; race of
+    record (tools/r8_races.py, 64× replica, same session, results
+    bit-identical): old 4.17 s vs new 0.60 s — 6.9×. Clean-box
+    crossover at 64×: 0.593 s = 0.34× vs DuckDB (Spark faster). The
+    operator itself stays covered — tests/test_operators.py pins
+    DataFrame intersectAll/exceptAll row-level semantics against this
+    aggregate form. The DuckDB oracle keeps the literal INTERSECT ALL /
+    EXCEPT ALL SQL, so parity proves the equivalence every round.
     """
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("A", "R")
@@ -992,7 +995,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     but the plan drops from three post-aggregate exchanges (re-agg to
     pk, plus both join inputs hashed to pk) to one: the (pk,sk) rows
     re-exchange to pk once and the min + filter happen in place.
-    Race results (old join-back vs this form) recorded in BASELINE.md.
+    Race of record (tools/r8_races.py, 64× replica, same session,
+    results bit-identical): join-back 6.13 s vs window 4.86 s — 1.26×.
+    Clean-box crossover 4.73 s = 8.93× vs DuckDB at 64×; the ratio is
+    the exchange-constant class (duck 0.53 s shared-memory), see the
+    256× row in BASELINE.md.
     """
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
