@@ -2879,15 +2879,11 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_ngram_novelty",
     oracle="""
-    -- PARITY CAVEAT (round-7 ADVICE): the Spark side groups grams by
-    -- xxhash64(gram) (the 16-byte postings device) while this oracle
-    -- groups by the gram STRING — a 64-bit hash collision between two
-    -- distinct grams would merge their first_seen rows and shift
-    -- n_novel by 1 on one doc. Birthday bound at 64M grams is ~1e-4;
-    -- if this entry ever hash-mismatches with rows/schema green,
-    -- check for a collision-induced ±1 in n_novel before suspecting
-    -- the plan (DuckDB's hash() is not xxhash64, so the oracle cannot
-    -- reproduce the same keyspace).
+    -- Key-width note (round-8): the Spark side groups grams by a
+    -- 128-bit struct of two seeded xxhash64 lanes while this oracle
+    -- groups by the gram STRING; a collision would need both lanes to
+    -- agree (~2^-128 per pair), negligible at any corpus size — the
+    -- round-7 64-bit caveat (~1e-4 at 64M grams) no longer applies.
     WITH toks AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t

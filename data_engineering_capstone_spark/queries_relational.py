@@ -995,25 +995,33 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     but the plan drops from three post-aggregate exchanges (re-agg to
     pk, plus both join inputs hashed to pk) to one: the (pk,sk) rows
     re-exchange to pk once and the min + filter happen in place.
-    Race of record (tools/r8_races.py, 64× replica, same session,
-    results bit-identical): join-back 6.13 s vs window 4.86 s — 1.26×.
-    Clean-box crossover 4.73 s = 8.93× vs DuckDB at 64×; the ratio is
-    the exchange-constant class (duck 0.53 s shared-memory), see the
-    256× row in BASELINE.md.
+    Races of record (tools/r8_races.py, same session, results
+    bit-identical each time): join-back 6.13 s vs window 4.86 s at
+    64× (1.26×); at 256× join-back 11.36 s vs decimal-window 9.58 s vs
+    THIS form — min over integer cents on the codegen long path (the
+    q1 lesson applied to q2's heavy partial aggregate) — 6.66 s
+    (another 1.25×). cents/100 crosses to double exactly once, a
+    correctly-rounded conversion of the same 2-decimal rational the
+    oracle's DECIMAL→DOUBLE cast rounds — identical by construction.
+    256× ratio 2.62× falling, BASELINE.md.
     """
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
-    cost_dec = F.col("l_extendedprice").cast("decimal(12,2)")
-    per_supp = l.groupBy("l_partkey", "l_suppkey").agg(F.min(cost_dec).alias("cost"))
+    per_supp = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(to_cents("l_extendedprice")).alias("cost_c")
+    )
     w_part = Window.partitionBy("l_partkey")
     winners = per_supp.withColumn(
-        "min_cost", F.min("cost").over(w_part)
-    ).filter(F.col("cost") == F.col("min_cost"))
+        "min_c", F.min("cost_c").over(w_part)
+    ).filter(F.col("cost_c") == F.col("min_c"))
     return (
         winners.join(p, winners.l_partkey == p.p_partkey)
         .join(s, winners.l_suppkey == s.s_suppkey)
-        .select("p_partkey", "s_name", F.col("cost").cast("double").alias("cost"))
+        .select(
+            "p_partkey", "s_name",
+            (F.col("cost_c").cast("double") / 100.0).alias("cost"),
+        )
         .orderBy("p_partkey", "s_name")
     )
 
