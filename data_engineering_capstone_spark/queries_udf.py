@@ -66,31 +66,81 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-@pandas_udf(T.DoubleType())
-def _weighted_avg(price: pd.Series, qty: pd.Series) -> float:  # type: ignore[misc]
-    """Grouped-aggregate pandas UDF: quantity-weighted mean price."""
-    den = qty.sum()
-    return float((price * qty).sum() / den) if den else float("nan")
+@pandas_udf(T.LongType())
+def _wsum_units(price_cents: pd.Series, qty: pd.Series) -> int:  # type: ignore[misc]
+    """Grouped-aggregate pandas UDF (partial): Σ price_cents·qty as an
+    exact int64 over one (group, input-partition) slice — bounded
+    magnitude by construction (≤ ~5e8/row · ~5M rows/slice ≈ 2.5e15)."""
+    return int((price_cents * qty).sum())
+
+
+@pandas_udf(T.LongType())
+def _qty_sum(qty: pd.Series) -> int:  # type: ignore[misc]
+    """Grouped-aggregate pandas UDF (partial): Σ qty as exact int64."""
+    return int(qty.sum())
 
 
 @query(
     "udf_grouped_agg",
     oracle="""
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wavg_price
+           ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / CAST(100 * SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE),
+                 6) AS wavg_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
 )
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-aggregate pandas UDF (a pandas UDAF): weighted average
-    per group, Arrow-transferred once per group partition.
+    """Grouped-aggregate pandas UDF (a pandas UDAF): quantity-weighted
+    mean price per return flag.
+
+    Round-8 rewrite — the 256× sweep caught the single-phase form at
+    52 s / 169× (a REAL 100 TB non-survivor): PythonUDAF has NO partial
+    aggregation, so groupBy(l_returnflag) with only 3 groups shuffled
+    every raw row to THREE reducers and Arrow-transferred each ~51M-row
+    group into one Python worker as a single series — 3-core
+    parallelism and per-worker memory linear in the corpus. The fix is
+    the catalog's standing two-phase law applied at the UDAF boundary:
+    the pandas UDAFs run at the (l_returnflag, spark_partition_id())
+    grain (bounded slices, full-width parallelism — the builder
+    supplies the partial grain explicitly because the engine can't),
+    then exact JVM merge: int64 unit partials sum through DECIMAL, one
+    double division + round at the end. Measured 52.3 → 7.2 s at 256×
+    (residual vs the 0.4 s oracle is the Arrow-transfer of the fact to
+    Python — the operator's own price, the unfair-ratio class; the
+    shuffle itself is unavoidable because PythonUDAF cannot partial-
+    aggregate JVM-side). Exactness upgraded from float-sum luck (pandas
+    pairwise vs DuckDB sequential SUM order) to integer units —
+    bit-exact by construction on any partitioning, both engines (the
+    q1/q14 device).
     """
     l = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    partial = (
+        l.select(
+            "l_returnflag",
+            F.spark_partition_id().alias("__pid"),
+            cents.alias("__cents"),
+            F.col("l_quantity").cast("bigint").alias("__qty"),
+        )
+        .groupBy("l_returnflag", "__pid")
+        .agg(
+            _wsum_units("__cents", "__qty").alias("__wsum"),
+            _qty_sum("__qty").alias("__qsum"),
+        )
+    )
     return (
-        l.groupBy("l_returnflag")
-        .agg(F.round(_weighted_avg("l_extendedprice", "l_quantity"), 6).alias("wavg_price"))
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("__wsum").cast("decimal(38,0)")).cast("double")
+                / (F.lit(100) * F.sum("__qsum")).cast("double"),
+                6,
+            ).alias("wavg_price")
+        )
         .orderBy("l_returnflag")
     )
 

@@ -46,11 +46,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = os.environ.get("SPARK_GRAFT_XOVER_DIR", "/tmp/dec_spark_xover")
 
 # fact tables and the key column shifted per copy (join keys that pair
-# fact-to-fact shift together; keys into single-copy dims stay put)
+# fact-to-fact shift together; keys into single-copy dims stay put).
+# v5: events.user_id ALSO shifts — it is an events-internal entity key
+# (no FK into any dim), and leaving it fixed pinned the user population
+# at 1,500 while event density grew with the multiplier, so every
+# per-user self-join workload (the stream-stream interval join above
+# all) had QUADRATIC output: measured 749,568 pairs at 64× →
+# 11,993,088 at 256× (exactly 16× for 4× data). Growing users with the
+# corpus is the realistic 100 TB shape (more users, same per-user
+# activity) and restores linear output — the fourth replica-mutation
+# artifact found by a scale sweep (SCALE.md §12/§15/§19, now §22).
 SHIFTED = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
-    "events": ["event_id"],
+    "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
@@ -222,7 +231,7 @@ def build_replica_dir(spark, mult: int) -> str:
     from pyspark.sql import functions as F
 
     out_dir = os.path.join(WORK, f"sf_x{mult}")
-    done = os.path.join(out_dir, "_REPLICA_DONE_v4")
+    done = os.path.join(out_dir, "_REPLICA_DONE_v5")
     if os.path.isfile(done):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
