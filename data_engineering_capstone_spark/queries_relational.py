@@ -386,14 +386,33 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all 2^2 grouping sets in one pass (Expand under the hood)."""
+    """CUBE: all 2^2 grouping sets — TWO-PHASE partial-cube form.
+
+    A naive ``o.cube(a, b)`` Expands every fact row 4× (one copy per
+    grouping set) before the hash aggregate — at 256× replica scale
+    that's 384M extra rows through the exchange for a 35-row answer,
+    and the entry sat at 15.8× vs the baseline (round-8 verdict,
+    What's-wrong #1). The cube is distributive over partial sums, so
+    phase 1 aggregates the fact to the (status, priority) grain —
+    partial count + exact decimal sum, map-side combinable, ONE narrow
+    exchange, no Expand — and phase 2 cubes the ~15-row aggregate,
+    where the 4× Expand costs nothing. grouping_id/NULL-marker
+    semantics are unchanged because the phase-1 grain IS the cube's
+    finest cell; the oracle keeps the literal GROUP BY CUBE over base
+    rows, so parity proves the equivalence every round. Race of record:
+    tools/r9_races.py (64×/256× replica, results bit-identical).
+    """
     o = _t(spark, sf_dir, "orders")
+    partial = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("total_p"),
+    )
     return (
-        o.cube("o_orderstatus", "o_orderpriority")
+        partial.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+            F.sum("n_p").alias("n"),
+            F.sum("total_p").cast("double").alias("total"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
         .orderBy(F.col("gid"), F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
@@ -869,19 +888,25 @@ def cross_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_ops_multiset",
     oracle="""
-    SELECT flag, CAST(COUNT(*) AS BIGINT) AS n FROM (
-      SELECT 'intersect_all' AS flag FROM (
-        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
-        INTERSECT ALL
-        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
-      )
-      UNION ALL
-      SELECT 'except_all' FROM (
-        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
-        EXCEPT ALL
-        SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
-      )
-    ) GROUP BY flag ORDER BY flag
+    WITH counted AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT 'intersect_all' AS flag FROM (
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+          INTERSECT ALL
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        )
+        UNION ALL
+        SELECT 'except_all' FROM (
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+          EXCEPT ALL
+          SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        )
+      ) GROUP BY flag
+    )
+    SELECT f.flag, COALESCE(c.n, 0) AS n
+    FROM (VALUES ('except_all'), ('intersect_all')) AS f(flag)
+    LEFT JOIN counted c ON c.flag = f.flag
+    ORDER BY f.flag
     """,
 )
 def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,9 +938,13 @@ def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("ca"),
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("cr"),
     )
+    # coalesce: an empty input yields one all-NULL agg row; the oracle's
+    # unconditional VALUES join emits n=0 for an empty branch, so match it.
     totals = per_key.agg(
-        F.sum(F.least("ca", "cr")).cast("bigint").alias("i_all"),
-        F.sum(F.greatest(F.col("ca") - F.col("cr"), F.lit(0))).cast("bigint").alias("e_all"),
+        F.coalesce(F.sum(F.least("ca", "cr")), F.lit(0)).cast("bigint").alias("i_all"),
+        F.coalesce(
+            F.sum(F.greatest(F.col("ca") - F.col("cr"), F.lit(0))), F.lit(0)
+        ).cast("bigint").alias("e_all"),
     )
     return totals.selectExpr(
         "stack(2, 'except_all', e_all, 'intersect_all', i_all) AS (flag, n)"

@@ -280,3 +280,56 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pandas_udaf_partial_grain_law(spark, sf_dir):
+    """SCALE.md §22 pinned as a plan test: PythonUDAF has no partial
+    aggregation, so a grouped-agg pandas UDF keyed ONLY on a
+    low-cardinality column shuffles every raw row to |groups| reducers
+    and Arrow-transfers each whole group into one Python worker —
+    per-worker memory linear in the corpus (udf_grouped_agg measured
+    52 s / 169x at 256x in that form before the round-8 rewrite). The
+    law: every ArrowAggregatePython node in the catalog must aggregate
+    at a grain that includes SPARK_PARTITION_ID() — the explicit
+    partial-grain device of queries_udf.py:udf_grouped_agg — and the
+    audit (tools/explain_audit.py) must FLAG the old single-phase form.
+    """
+    from data_engineering_capstone_spark.catalog import load_all
+    from data_engineering_capstone_spark.queries_udf import _qty_sum, _wsum_units
+    from tools.explain_audit import audit_one
+
+    # 1. the shipped template: UDAF node present AND device present
+    cat = load_all()
+    shipped = cat["udf_grouped_agg"].fn(spark, sf_dir)
+    plan = physical_plan(shipped)
+    assert "ArrowAggregatePython" in plan
+    assert "SPARK_PARTITION_ID()" in plan
+    assert audit_one("udf_grouped_agg", plan) == []
+
+    # 2. the OLD single-phase form fails the audit (regression trap:
+    #    if someone "simplifies" the two-phase plan away, this is the
+    #    exact shape they'd produce)
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    old = (
+        li.select(
+            "l_returnflag", cents.alias("c"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("l_returnflag")
+        .agg(_wsum_units("c", "q").alias("w"), _qty_sum("q").alias("s"))
+    )
+    old_plan = physical_plan(old)
+    assert "ArrowAggregatePython" in old_plan
+    flags = audit_one("single_phase_regression_probe", old_plan)
+    assert any("partition-grain" in f for f in flags), flags
+
+    # 3. catalog-wide: no OTHER entry plans a grain-less UDAF. Scan is
+    #    cheap (lazy plans, no execution) but restricted to the udf
+    #    family where ArrowAggregatePython can appear.
+    for name, spec in cat.items():
+        if not name.startswith("udf_"):
+            continue
+        p = physical_plan(spec.fn(spark, sf_dir))
+        if "ArrowAggregatePython" in p:
+            assert "SPARK_PARTITION_ID()" in p, f"{name} plans a grain-less pandas UDAF"

@@ -74,6 +74,13 @@ INTENTIONAL_CROSS = {
                           # boundaries (1-row broadcasts)
 }
 
+# Entries allowed to run a grouped-agg pandas UDF WITHOUT the
+# (key, spark_partition_id()) partial-grain device because their
+# grouping key is high-cardinality (slices stay bounded and the
+# reducer width tracks the key, not |groups|≈constant). Currently none
+# — every catalog UDAF goes through the device.
+UDAF_HIGH_CARDINALITY_OK: set[str] = set()
+
 # Streaming queries execute through the streaming runner; the batch
 # explain below would re-trigger the stream. Audited via their batch
 # twins instead.
@@ -122,6 +129,21 @@ def audit_one(name: str, plan: str) -> list[str]:
             flags.append("nested-loop/cartesian join")
     if "BatchEvalPython" in plan:
         flags.append("row-at-a-time Python UDF (use pandas_udf)")
+    # pandas-UDAF partial-grain law (SCALE.md §22): PythonUDAF has no
+    # partial aggregation, so a grouped-agg pandas UDF keyed only on a
+    # low-cardinality column shuffles every raw row to |groups| reducers
+    # and holds each whole group in one Python worker — a scale bug by
+    # construction (udf_grouped_agg measured 52 s / 169× at 256× in the
+    # single-phase form). Any ArrowAggregatePython node must therefore
+    # aggregate at a grain that includes SPARK_PARTITION_ID() (the
+    # explicit partial-grain device; queries_udf.py:udf_grouped_agg is
+    # the template) unless the entry is whitelisted high-cardinality.
+    if name not in UDAF_HIGH_CARDINALITY_OK:
+        if "ArrowAggregatePython" in plan and "SPARK_PARTITION_ID()" not in plan:
+            flags.append(
+                "grouped-agg pandas UDF without the partition-grain device "
+                "(PythonUDAF cannot partial-aggregate; see SCALE.md §22)"
+            )
     # SortMergeJoin whose build side is a tiny dim (nation/region/supplier)
     if re.search(r"SortMergeJoin.*(n_nationkey|r_regionkey)", plan, re.DOTALL):
         flags.append("sort-merge join against a broadcastable dim")

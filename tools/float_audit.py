@@ -92,44 +92,12 @@ def classify(sf_dir: str) -> list[tuple[str, str, list[str], list[str]]]:
     return rows
 
 
-__SPARK_CLASS = {
-    "boolean": "bool",
-    "byte": "int", "short": "int", "integer": "int", "long": "int",
-    "float": "float", "double": "float",
-    "date": "date",
-    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
-    "string": "string", "binary": "binary",
-}
-
-
-def _spark_class(dt) -> str:
-    tn = dt.typeName()
-    if tn == "decimal":
-        return "int" if dt.scale == 0 else "decimal"
-    return __SPARK_CLASS.get(tn, "other")
-
-
-def _duck_class(t) -> str:
-    s = str(t).upper()
-    if s.startswith("DECIMAL"):
-        m = re.match(r"DECIMAL\((\d+),\s*(\d+)\)", s)
-        return "int" if (m and m.group(2) == "0") else "decimal"
-    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
-             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"):
-        return "int"
-    if s in ("DOUBLE", "FLOAT", "REAL"):
-        return "float"
-    if s == "BOOLEAN":
-        return "bool"
-    if s == "DATE":
-        return "date"
-    if s.startswith("TIMESTAMP"):
-        return "timestamp"
-    if s == "VARCHAR":
-        return "string"
-    if s == "BLOB":
-        return "binary"
-    return "other"
+# type-class mapping shared with tools/parity.py (round-8 ADVICE —
+# the two copies had already drifted in gate policy; policy stays
+# local: this audit REPORTS every cross-class pair, incl. the
+# date-vs-timestamp boundary parity's hard gate excludes)
+from tools.typeclass import duck_class as _duck_class  # noqa: E402
+from tools.typeclass import spark_class as _spark_class  # noqa: E402
 
 
 def typeclass_audit(sf_dir: str) -> list[str]:

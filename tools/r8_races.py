@@ -59,30 +59,31 @@ def q2_old(spark, sf_dir):
     )
 
 
-def q2_cents(spark, sf_dir):
-    """Variant under test: min over integer cents (codegen long path)
-    instead of decimal(12,2) — the q1 lesson applied to q2's heavy
-    partial aggregate; cents/100 crosses to double exactly once."""
-    from data_engineering_capstone_spark.functions.money import to_cents
+def q2_decimal_window(spark, sf_dir):
+    """The OLD side of the cents-vs-decimal race (round-9 fix: the
+    previous q2_cents here was a copy of the shipped catalog plan, so
+    the race compared the new plan to itself). This is the decimal
+    (12,2) twin of the shipped form — IDENTICAL window-over-aggregated-
+    grain topology, only the min() runs on decimal instead of integer
+    cents — so the race isolates exactly the numeric-path swap the
+    docstring claims."""
     from pyspark.sql import Window
 
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
+    cost_dec = F.col("l_extendedprice").cast("decimal(12,2)")
     per_supp = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(to_cents("l_extendedprice")).alias("cost_c")
+        F.min(cost_dec).alias("cost")
     )
     w_part = Window.partitionBy("l_partkey")
     winners = per_supp.withColumn(
-        "min_c", F.min("cost_c").over(w_part)
-    ).filter(F.col("cost_c") == F.col("min_c"))
+        "min_cost", F.min("cost").over(w_part)
+    ).filter(F.col("cost") == F.col("min_cost"))
     return (
         winners.join(p, winners.l_partkey == p.p_partkey)
         .join(s, winners.l_suppkey == s.s_suppkey)
-        .select(
-            "p_partkey", "s_name",
-            (F.col("cost_c").cast("double") / 100.0).alias("cost"),
-        )
+        .select("p_partkey", "s_name", F.col("cost").cast("double").alias("cost"))
         .orderBy("p_partkey", "s_name")
     )
 
@@ -110,7 +111,7 @@ def main() -> int:
     catalog = load_all()
     races = {
         "q2_min_cost_supplier": q2_old,
-        "q2_cents_vs_decimal": q2_cents,   # "old" = cents variant under test
+        "q2_cents_vs_decimal": q2_decimal_window,  # old = decimal twin of the shipped window plan
         "set_ops_multiset": set_ops_old,
     }
     for name, old_fn in races.items():

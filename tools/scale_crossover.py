@@ -47,19 +47,29 @@ WORK = os.environ.get("SPARK_GRAFT_XOVER_DIR", "/tmp/dec_spark_xover")
 
 # fact tables and the key column shifted per copy (join keys that pair
 # fact-to-fact shift together; keys into single-copy dims stay put).
-# v5: events.user_id ALSO shifts — it is an events-internal entity key
-# (no FK into any dim), and leaving it fixed pinned the user population
-# at 1,500 while event density grew with the multiplier, so every
-# per-user self-join workload (the stream-stream interval join above
-# all) had QUADRATIC output: measured 749,568 pairs at 64× →
-# 11,993,088 at 256× (exactly 16× for 4× data). Growing users with the
-# corpus is the realistic 100 TB shape (more users, same per-user
-# activity) and restores linear output — the fourth replica-mutation
-# artifact found by a scale sweep (SCALE.md §12/§15/§19, now §22).
+# v5: events.user_id ALSO shifts — leaving it fixed pinned the user
+# population at 1,500 while event density grew with the multiplier, so
+# every per-user self-join workload (the stream-stream interval join
+# above all) had QUADRATIC output: measured 749,568 pairs at 64× →
+# 11,993,088 at 256× (exactly 16× for 4× data) — the fourth
+# replica-mutation artifact found by a scale sweep (SCALE.md §12/§15/
+# §19, §22).
+# v6: the v5 shift was i*OFFSET, which BROKE the events.user_id →
+# customer.c_custkey FK (stream_static_join_segments joins it against
+# the COPIED, unshifted customer dim — at N× only copy 0 matched, so
+# that entry's replica join output stayed constant). user_id now
+# shifts MODULO the customer key range (handled specially in
+# build_replica_dir, not via this table): the FK survives every copy
+# while the user population still grows linearly up to the dim's
+# cardinality (15,000 at sf0.1 = 10× the base 1,500). Past that
+# saturation point per-user event density grows as mult/10, so
+# user-self-join output inflates by the same factor on BOTH engines —
+# bounded by the dim, not quadratic in the corpus; recorded with the
+# stream_stream_join scale rows.
 SHIFTED = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
-    "events": ["event_id", "user_id"],
+    "events": ["event_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
@@ -231,11 +241,21 @@ def build_replica_dir(spark, mult: int) -> str:
     from pyspark.sql import functions as F
 
     out_dir = os.path.join(WORK, f"sf_x{mult}")
-    done = os.path.join(out_dir, "_REPLICA_DONE_v5")
+    done = os.path.join(out_dir, "_REPLICA_DONE_v6")
     if os.path.isfile(done):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    # v6 user_id wrap parameters, derived from the data: user_id must
+    # remain a valid customer.c_custkey in every copy (see SHIFTED note)
+    cust_min, cust_max = spark.read.parquet(f"{SF_DIR}/customer.parquet").agg(
+        F.min("c_custkey"), F.max("c_custkey")
+    ).first()
+    user_min, user_max = spark.read.parquet(f"{SF_DIR}/events.parquet").agg(
+        F.min("user_id"), F.max("user_id")
+    ).first()
+    n_cust = int(cust_max) - int(cust_min) + 1
+    user_stride = int(user_max) - int(user_min) + 1
     for t, keys in SHIFTED.items():
         src = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
         parts = []
@@ -243,6 +263,16 @@ def build_replica_dir(spark, mult: int) -> str:
             p = src
             for k in keys:
                 p = p.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+            if t == "events":
+                # FK-preserving population growth: copy i's users band
+                # into [cust_min, cust_max], disjoint per copy until the
+                # dim saturates at n_cust distinct users
+                p = p.withColumn(
+                    "user_id",
+                    (F.col("user_id") - F.lit(int(cust_min)) + F.lit(i * user_stride))
+                    % F.lit(n_cust)
+                    + F.lit(int(cust_min)),
+                )
             if t == "documents":
                 m_src, m_dst = _copy_text_mutation(i)
                 p = p.withColumn("text", F.translate("text", m_src, m_dst))

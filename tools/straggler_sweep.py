@@ -9,16 +9,26 @@ ratio is known, not assumed. Entries whose inputs don't scale with the
 replica (dims-only, event_id<2000 families, fixture roundtrips) show up
 as sub-second floors and are skipped by the threshold automatically.
 
+Round-9 hardening (round-8 verdict What's-wrong #4): each DuckDB oracle
+race runs in a CHILD subprocess. A baseline OOM previously killed the
+whole sweep (three OOMs ended the round-8 race phase at 193/214 timed);
+the baseline failing at scale is itself a result to record, so a child
+death now lands as an ``oracle_oom``/``oracle_error`` row and the sweep
+continues. The Spark side stays in-process (it shares the warm session).
+
 Usage:
   python tools/straggler_sweep.py [--mult=64] [--race-over=3.0]
   python tools/straggler_sweep.py --rows-only   # time the 29 estimator/
         # stateful entries too (no oracle to race — absolute curve only)
+  python tools/straggler_sweep.py --race-one=<entry> --replica=<dir>
+        # internal child mode: race one oracle, print one JSON line
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -26,9 +36,53 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.scale_crossover import build_replica_dir, duck_con, time_best  # noqa: E402
 
+ORACLE_CHILD_TIMEOUT = int(os.environ.get("SWEEP_ORACLE_TIMEOUT", "1800"))
+
+
+def race_one_child(name: str, replica: str) -> int:
+    """Child mode: time one entry's DuckDB oracle and print one JSON
+    line. Runs isolated so an allocator death here can't take the sweep
+    down with it."""
+    from data_engineering_capstone_spark.catalog import load_all
+
+    spec = load_all()[name]
+    con = duck_con(replica)
+    d_t = time_best(lambda: con.execute(spec.oracle).fetchall(), reps=2)
+    print(json.dumps({"duckdb_sec": round(d_t, 3)}), flush=True)
+    return 0
+
+
+def race_in_subprocess(name: str, replica: str) -> dict:
+    """Parent side: run the oracle race in a child; map death→oom row."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             f"--race-one={name}", f"--replica={replica}"],
+            capture_output=True, text=True, timeout=ORACLE_CHILD_TIMEOUT,
+        )
+    except subprocess.TimeoutExpired:
+        return {"duckdb_sec": None,
+                "oracle_error": f"timeout>{ORACLE_CHILD_TIMEOUT}s"}
+    if proc.returncode == 0:
+        try:
+            last = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+            return json.loads(last)
+        except (IndexError, ValueError):
+            return {"duckdb_sec": None,
+                    "oracle_error": f"child output unparseable: {proc.stdout[-120:]!r}"}
+    blob = (proc.stderr or "") + (proc.stdout or "")
+    oomish = any(s in blob for s in
+                 ("OutOfMemory", "out of memory", "std::bad_alloc", "Cannot allocate"))
+    if oomish or proc.returncode < 0:  # killed by signal == allocator death
+        return {"duckdb_sec": None, "oracle_oom": True,
+                "oracle_error": f"exit={proc.returncode}: {blob.strip()[-160:]}"}
+    return {"duckdb_sec": None,
+            "oracle_error": f"exit={proc.returncode}: {blob.strip()[-160:]}"}
+
 
 def main() -> int:
     mult, race_over, rows_only = 64, 3.0, False
+    race_one, replica_arg = None, None
     for a in sys.argv[1:]:
         if a.startswith("--mult"):
             mult = int(a.split("=", 1)[1])
@@ -36,6 +90,13 @@ def main() -> int:
             race_over = float(a.split("=", 1)[1])
         elif a == "--rows-only":
             rows_only = True
+        elif a.startswith("--race-one"):
+            race_one = a.split("=", 1)[1]
+        elif a.startswith("--replica"):
+            replica_arg = a.split("=", 1)[1]
+
+    if race_one is not None:
+        return race_one_child(race_one, replica_arg)
 
     from data_engineering_capstone_spark.catalog import load_all
     from data_engineering_capstone_spark.session import get_spark
@@ -68,30 +129,13 @@ def main() -> int:
         if t >= race_over
     }
     raced = {}
-    if slow:
-        con = duck_con(replica)
-        for name in slow:
-            try:
-                d_t = time_best(lambda: con.execute(catalog[name].oracle).fetchall(),
-                                reps=2)
-                raced[name] = {"spark_sec": slow[name], "duckdb_sec": round(d_t, 3),
-                               "ratio": round(slow[name] / d_t, 2)}
-            except Exception as exc:  # noqa: BLE001
-                raced[name] = {"spark_sec": slow[name], "duckdb_sec": None,
-                               "duckdb_error": f"{type(exc).__name__}: {str(exc)[:80]}"}
-                # an OOM'd duckdb connection keeps its buffers until
-                # closed and poisons every later query (first seen at
-                # 256x, round 6; re-hit by THIS tool's first run) —
-                # close and reopen before the next entry
-                import gc
-
-                try:
-                    con.close()
-                except Exception:
-                    pass
-                gc.collect()
-                con = duck_con(replica)
-            print(json.dumps({"raced": name, **raced[name]}), flush=True)
+    for name in slow:
+        child = race_in_subprocess(name, replica)
+        row = {"spark_sec": slow[name], **child}
+        if child.get("duckdb_sec"):
+            row["ratio"] = round(slow[name] / child["duckdb_sec"], 2)
+        raced[name] = row
+        print(json.dumps({"raced": name, **row}), flush=True)
 
     print(json.dumps({
         "summary": "straggler_sweep", "mult": mult, "entries_timed": len(timed),
@@ -99,6 +143,7 @@ def main() -> int:
         "over_threshold": raced,
         "over_2x": sorted(n for n, r in raced.items()
                           if r.get("ratio") and r["ratio"] > 2),
+        "oracle_ooms": sorted(n for n, r in raced.items() if r.get("oracle_oom")),
     }))
     return 0
 
