@@ -144,8 +144,12 @@ def main() -> int:
         t_other = time_best(lambda: run(other_fn), reps)
         run(ship_fn)
         t_ship = time_best(lambda: run(ship_fn), reps)
-        other_rows = sorted(map(tuple, other_fn(spark, replica).collect()))
-        ship_rows = sorted(map(tuple, ship_fn(spark, replica).collect()))
+        from collections import Counter
+
+        # multiset compare (cube rows contain NULL group markers, which
+        # Python tuple sort chokes on)
+        other_rows = Counter(map(tuple, other_fn(spark, replica).collect()))
+        ship_rows = Counter(map(tuple, ship_fn(spark, replica).collect()))
         print(json.dumps({
             "race": label,
             "replica": replica,
