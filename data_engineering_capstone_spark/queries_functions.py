@@ -509,15 +509,66 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the moment form is deterministic AND one shuffle for all six stats.
     """
     li = _t(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(14,2)")
-    y = F.col("l_extendedprice").cast("decimal(14,2)")
-    m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+    # Round-9 kernel fix (256× sweep: 10.3 s — decimal(14,2) products
+    # put BigDecimal multiply-accumulate on every scan row): the
+    # co-moments move to EXACT integer units on the codegen long path.
+    # x_u = qty·100 (≤5e3), y_u = price·100 (≤1e7); per-row products
+    # x², x·y fit int64 partials at the (flag, partition) grain with
+    # wide margin, but y² ≤ 1e14/row would overflow an int64 partial
+    # past ~9e4 rows/slice — so y² is carried as TWO int64 lanes
+    # (hi = y²>>31, lo = y²&(2³¹−1); per-slice lo ≤ rows·2³¹, hi ≤
+    # rows·4.7e4 — both safe to billions of rows per slice) and
+    # reconstructed hi·2³¹+lo in DECIMAL(38,0) at the merge. The unit
+    # scale divides out as a decimal(·,2/4) multiply (exact — 34
+    # integral digits remain), so each stat crosses to double as ONE
+    # correctly-rounded cast of the SAME exact decimal the oracle
+    # sums natively. 10.3 → ~3 s at 256× (BASELINE.md Round 9).
+    x_u = F.round(F.col("l_quantity") * 100).cast("bigint")
+    y_u = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    partial = (
+        li.select(
+            "l_returnflag",
+            F.spark_partition_id().alias("__pid"),
+            x_u.alias("xu"),
+            y_u.alias("yu"),
+            (y_u * y_u).alias("y2"),
+        )
+        .groupBy("l_returnflag", "__pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_p"),
+            F.sum("xu").alias("sx_p"),
+            F.sum("yu").alias("sy_p"),
+            F.sum(F.col("xu") * F.col("xu")).alias("sxx_p"),
+            F.sum(F.shiftright("y2", 31)).alias("syy_hi_p"),
+            F.sum(F.col("y2").bitwiseAND(F.lit(2147483647))).alias("syy_lo_p"),
+            F.sum(F.col("xu") * F.col("yu")).alias("sxy_p"),
+        )
+    )
+    d38 = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))  # noqa: E731
+    c2 = F.lit("0.01").cast("decimal(2,2)")      # units → value, scale 2
+    c4 = F.lit("0.0001").cast("decimal(4,4)")    # units² → value, scale 4
+    m = (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("n_p").alias("n"),
+            d38("sx_p").alias("sxu"),
+            d38("sy_p").alias("syu"),
+            d38("sxx_p").alias("sxxu"),
+            d38("syy_hi_p").alias("syyh"),
+            d38("syy_lo_p").alias("syyl"),
+            d38("sxy_p").alias("sxyu"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            (F.col("sxu") * c2).cast("double").alias("sx"),
+            (F.col("syu") * c2).cast("double").alias("sy"),
+            (F.col("sxxu") * c4).cast("double").alias("sxx"),
+            (
+                (F.col("syyh") * F.lit(2147483648).cast("decimal(10,0)") + F.col("syyl")) * c4
+            ).cast("double").alias("syy"),
+            (F.col("sxyu") * c4).cast("double").alias("sxy"),
+        )
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     covar = F.col("sxy") / n - (sx / n) * (sy / n)

@@ -594,12 +594,29 @@ def anti_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Built from actual left_semi / left_anti joins (EXISTS / NOT EXISTS
     physical forms — the probe side streams, no row duplication).
+
+    Round-9 plan fix (256× sweep: 7.3 s / 55× — the orders fact was
+    scanned AND key-shuffled twice, once per join): existence tests
+    only see the distinct key set, so the orders side collapses to
+    ``select(o_custkey).distinct()`` FIRST — the map-side partial
+    distinct reduces 38.4M rows to ≤|customers| per partition, the
+    exchange carries only the distinct keys, and the ≤15k-row result
+    broadcasts into BOTH the semi and the anti join (customer never
+    shuffles at all; Spark reuses the one distinct subplan for both
+    consumers). Law: a semi/anti probe against a fact is a distinct-
+    key problem, never a fact-shuffle problem. Clean 256× race:
+    7.3 → 0.97 s (BASELINE.md Round 9); the residual vs the 0.13 s
+    oracle is the q1-class scan constant over 38.4M order keys.
     """
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o_keys = F.broadcast(
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
     n = _t(spark, sf_dir, "nation")
-    without = anti_join(c, o, "c_custkey").groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_without_orders"))
-    with_ = c.join(o, "c_custkey", "left_semi").groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_with_orders"))
+    without = anti_join(c, o_keys, "c_custkey").groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_without_orders"))
+    with_ = c.join(o_keys, "c_custkey", "left_semi").groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_with_orders"))
     per_nation = (
         c.select("c_nationkey")
         .distinct()
@@ -1191,26 +1208,46 @@ def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined TWICE under different roles (customer nation vs supplier
     nation), with a cross-filter. Self-join aliasing + two broadcasts of
     the same tiny dim.
+
+    Round-9 plan fix (256× sweep: 8.6 s / 10× clean): the declared-order
+    plan ran the lineitem⋈orders exchange on the FULL 192M-row fact
+    pair and applied the ~0.3%-selective nation filter only afterwards —
+    Catalyst pushes the IN-filters into the nation dim scans but will
+    not reorder a fact-fact join ahead of broadcast joins without CBO
+    stats. Each fact side now prunes through its own filtered broadcast
+    dim chain FIRST (orders ⋈ 2-nation customers, lineitem ⋈ 2-nation
+    suppliers: ~8% survive each side), so the fact-fact exchange
+    carries ~15M rows instead of 192M. Same joins, same filter — the
+    cross-filter (cn≠sn) stays post-join on the 2×2 name pairs.
+    Clean 256× race: 8.58 → 2.72 s, ratio 10.1× → 3.2× (BASELINE.md
+    Round 9); the residual is two fact scans + the pruned exchange.
     """
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
-    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     nations = ["NATION_0", "NATION_1"]
-    joined = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(cn), c.c_nationkey == cn.cn_key)
-        .join(F.broadcast(sn), s.s_nationkey == sn.sn_key)
-        .filter(
-            F.col("cust_nation").isin(nations)
-            & F.col("supp_nation").isin(nations)
-            & (F.col("cust_nation") != F.col("supp_nation"))
-        )
+    cn = n.filter(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.filter(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c2 = c.join(F.broadcast(cn), c.c_nationkey == cn.cn_key).select(
+        "c_custkey", "cust_nation"
+    )
+    s2 = s.join(F.broadcast(sn), s.s_nationkey == sn.sn_key).select(
+        "s_suppkey", "supp_nation"
+    )
+    o_pruned = o.join(F.broadcast(c2), o.o_custkey == c2.c_custkey).select(
+        "o_orderkey", "cust_nation"
+    )
+    l_pruned = l.join(F.broadcast(s2), l.l_suppkey == s2.s_suppkey).select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "supp_nation"
+    )
+    joined = l_pruned.join(o_pruned, l_pruned.l_orderkey == o_pruned.o_orderkey).filter(
+        F.col("cust_nation") != F.col("supp_nation")
     )
     return (
         joined.groupBy(

@@ -269,10 +269,18 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stale location from a previous session before re-registering
         for leaf in ("lineitem_b", "orders_b"):
             shutil.rmtree(os.path.join(loc, leaf), ignore_errors=True)
-        write_bucketed_table(load_table(spark, sf_dir, "lineitem"), l_tbl,
-                             ["l_orderkey"], 16, sort_cols=["l_orderkey"])
+        li = load_table(spark, sf_dir, "lineitem")
+        # bucket count SCALES with the fact (round-9 fix: a fixed 16
+        # buckets means each bucketed-write task sorts corpus/16 rows —
+        # 9.6M wide rows/task at the 256× replica OOM'd the sorter pool,
+        # and at 100 TB a fixed count is a non-starter by construction).
+        # ~4M rows per bucket keeps the per-task sort bounded at any SF;
+        # both tables MUST share the count or the join re-shuffles.
+        n_buckets = max(16, int(li.count() / 4_000_000) + 1)
+        write_bucketed_table(li, l_tbl,
+                             ["l_orderkey"], n_buckets, sort_cols=["l_orderkey"])
         write_bucketed_table(load_table(spark, sf_dir, "orders"), o_tbl,
-                             ["o_orderkey"], 16, sort_cols=["o_orderkey"])
+                             ["o_orderkey"], n_buckets, sort_cols=["o_orderkey"])
     l = spark.table(l_tbl)
     o = spark.table(o_tbl).filter(F.col("o_orderstatus") == "F")
     # pin sort-merge: at test SFs the orders side would auto-broadcast,

@@ -144,9 +144,17 @@ def audit_one(name: str, plan: str) -> list[str]:
                 "grouped-agg pandas UDF without the partition-grain device "
                 "(PythonUDAF cannot partial-aggregate; see SCALE.md §22)"
             )
-    # SortMergeJoin whose build side is a tiny dim (nation/region/supplier)
-    if re.search(r"SortMergeJoin.*(n_nationkey|r_regionkey)", plan, re.DOTALL):
-        flags.append("sort-merge join against a broadcastable dim")
+    # SortMergeJoin whose JOIN KEYS are a tiny dim's (nation/region) —
+    # checked against the SMJ node's own "Left/Right keys" detail lines,
+    # not the whole subtree (round-9 fix: the old DOTALL regex flagged
+    # any plan where a broadcast dim join merely appeared BELOW an
+    # unrelated fact-fact SMJ, e.g. q7 after its join reorder)
+    for m in re.finditer(r"\(\d+\) SortMergeJoin[^\n]*\n((?:[^\n]*\n){1,4})", plan):
+        detail = m.group(1)
+        keys = "\n".join(ln for ln in detail.splitlines() if "keys" in ln)
+        if re.search(r"n_nationkey|r_regionkey", keys):
+            flags.append("sort-merge join against a broadcastable dim")
+            break
     return flags
 
 
