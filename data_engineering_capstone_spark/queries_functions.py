@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import query
+from .functions.money import to_cents
 from .operators.asof import asof_join
 from .session import prep
 from .sources.testdata import load_table
@@ -523,8 +524,8 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integral digits remain), so each stat crosses to double as ONE
     # correctly-rounded cast of the SAME exact decimal the oracle
     # sums natively. 10.3 → ~3 s at 256× (BASELINE.md Round 9).
-    x_u = F.round(F.col("l_quantity") * 100).cast("bigint")
-    y_u = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    x_u = to_cents("l_quantity")
+    y_u = to_cents("l_extendedprice")
     partial = (
         li.select(
             "l_returnflag",

@@ -426,7 +426,11 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.sum("n_g").alias("n"),
-            (F.sum("cents_g").cast("double") / 100).alias("total"),
+            # exact-decimal rescale THEN one double cast (cast-then-divide
+            # would double-round past 2^53 cents — round-9 review finding)
+            (F.sum("cents_g") * F.lit("0.01").cast("decimal(2,2)"))
+            .cast("double")
+            .alias("total"),
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
         .orderBy(F.col("gid"), F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
@@ -600,16 +604,21 @@ def anti_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     only see the distinct key set, so the orders side collapses to
     ``select(o_custkey).distinct()`` FIRST — the map-side partial
     distinct reduces 38.4M rows to ≤|customers| per partition, the
-    exchange carries only the distinct keys, and the ≤15k-row result
-    broadcasts into BOTH the semi and the anti join (customer never
+    exchange carries only the distinct keys, and the dim-sized result
+    joins into BOTH the semi and the anti join (customer never
     shuffles at all; Spark reuses the one distinct subplan for both
-    consumers). Law: a semi/anti probe against a fact is a distinct-
-    key problem, never a fact-shuffle problem. Clean 256× race:
-    7.3 → 0.97 s (BASELINE.md Round 9); the residual vs the 0.13 s
-    oracle is the q1-class scan constant over 38.4M order keys.
+    consumers). No broadcast HINT: the distinct set is bounded by the
+    CUSTOMER dim here, but it is fact-derived — AQE broadcasts it at
+    runtime when it is actually small and degrades to a shuffle join
+    when a deployment's key domain is fact-sized, instead of forcing
+    an unbounded build (round-9 review finding). Law: a semi/anti
+    probe against a fact is a distinct-key problem, never a
+    fact-shuffle problem. Clean 256× race: 7.3 → 0.97 s (BASELINE.md
+    Round 9); the residual vs the 0.13 s oracle is the q1-class scan
+    constant over 38.4M order keys.
     """
     c = _t(spark, sf_dir, "customer")
-    o_keys = F.broadcast(
+    o_keys = (
         _t(spark, sf_dir, "orders")
         .select(F.col("o_custkey").alias("c_custkey"))
         .distinct()
@@ -1234,6 +1243,14 @@ def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.filter(F.col("n_name").isin(nations)).select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
+    # c2/s2 are 2-nation slices of DIMS (8% of customer/supplier), so the
+    # broadcast hint follows the repo's dim-join convention — measured:
+    # without it the static planner (no stats through the filtered join)
+    # shuffles lineitem on suppkey before AQE can convert, 2.72 → 4.22 s
+    # at 256×. Size boundary (review-flagged): the build side is
+    # (key, name) of an SF-proportional dim slice — ~200 MB serialized at
+    # SF1000; a deployment whose nation slice outgrows executor broadcast
+    # budget drops the two hints and AQE degrades to the shuffle plan.
     c2 = c.join(F.broadcast(cn), c.c_nationkey == cn.cn_key).select(
         "c_custkey", "cust_nation"
     )

@@ -324,11 +324,27 @@ def test_pandas_udaf_partial_grain_law(spark, sf_dir):
     flags = audit_one("single_phase_regression_probe", old_plan)
     assert any("partition-grain" in f for f in flags), flags
 
-    # 3. catalog-wide: no OTHER entry plans a grain-less UDAF. Scan is
-    #    cheap (lazy plans, no execution) but restricted to the udf
-    #    family where ArrowAggregatePython can appear.
+    # 3. catalog-wide: no OTHER entry plans a grain-less UDAF. Scanned
+    #    by MODULE, not by entry-name prefix (round-9 review finding: a
+    #    grouped-agg pandas UDF added under e.g. a ts_* name would have
+    #    escaped a udf_*-only scan): every entry whose defining module
+    #    mentions pandas_udf gets its lazy plan checked, minus the
+    #    execute-on-construction sink/streaming entries the plan audit
+    #    itself skips.
+    import inspect
+    import sys as _sys
+
+    from tools.explain_audit import SKIP as _AUDIT_SKIP
+
+    module_uses_pandas_udf: dict[str, bool] = {}
     for name, spec in cat.items():
-        if not name.startswith("udf_"):
+        if name in _AUDIT_SKIP:
+            continue
+        mod = spec.fn.__module__
+        if mod not in module_uses_pandas_udf:
+            src = inspect.getsource(_sys.modules[mod])
+            module_uses_pandas_udf[mod] = "pandas_udf" in src
+        if not module_uses_pandas_udf[mod]:
             continue
         p = physical_plan(spec.fn(spark, sf_dir))
         if "ArrowAggregatePython" in p:

@@ -27,7 +27,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,15 +36,7 @@ from pyspark.sql import functions as F
 
 from data_engineering_capstone_spark.session import get_spark
 from data_engineering_capstone_spark.sources.testdata import load_table
-
-
-def time_best(fn, reps: int = 3) -> float:
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        fn()
-        best = min(best, time.time() - t0)
-    return best
+from tools.scale_crossover import time_best  # one timing protocol for all races
 
 
 def cube_old(spark, sf_dir):

@@ -48,7 +48,10 @@ def race_one_child(name: str, replica: str) -> int:
     spec = load_all()[name]
     con = duck_con(replica)
     d_t = time_best(lambda: con.execute(spec.oracle).fetchall(), reps=2)
-    print(json.dumps({"duckdb_sec": round(d_t, 3)}), flush=True)
+    # full precision: the parent computes the ratio from this value, and
+    # a sub-millisecond oracle rounded to 0.0 would silently drop the
+    # highest-ratio stragglers (round-9 review finding)
+    print(json.dumps({"duckdb_sec": d_t}), flush=True)
     return 0
 
 
@@ -73,7 +76,10 @@ def race_in_subprocess(name: str, replica: str) -> dict:
     blob = (proc.stderr or "") + (proc.stdout or "")
     oomish = any(s in blob for s in
                  ("OutOfMemory", "out of memory", "std::bad_alloc", "Cannot allocate"))
-    if oomish or proc.returncode < 0:  # killed by signal == allocator death
+    # only the allocator-death signals count as OOM evidence; a SIGINT/
+    # SIGTERM (operator interrupt) must not enter the round record as a
+    # baseline failure (round-9 review finding)
+    if oomish or proc.returncode in (-9, -11, -6):  # KILL / SEGV / ABRT
         return {"duckdb_sec": None, "oracle_oom": True,
                 "oracle_error": f"exit={proc.returncode}: {blob.strip()[-160:]}"}
     return {"duckdb_sec": None,
@@ -132,8 +138,10 @@ def main() -> int:
     for name in slow:
         child = race_in_subprocess(name, replica)
         row = {"spark_sec": slow[name], **child}
-        if child.get("duckdb_sec"):
-            row["ratio"] = round(slow[name] / child["duckdb_sec"], 2)
+        d_t = child.get("duckdb_sec")
+        if d_t is not None:
+            row["duckdb_sec"] = round(d_t, 4)
+            row["ratio"] = round(slow[name] / d_t, 2) if d_t > 0 else float("inf")
         raced[name] = row
         print(json.dumps({"raced": name, **row}), flush=True)
 
