@@ -304,7 +304,30 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = streaming_minhash_pairs(
         src, "text", "doc_id", threshold=0.35, num_hashes=64, num_bands=16
     )
-    out = run_available_now(pairs, "append")
+    # ROW-COUNT state regime (round-9 fix — this entry crashed the 256×
+    # rows-only sweep where it had only ever been drained at 8×): state
+    # rows ≈ 16 bands × corpus docs (20.5M buckets at 256×), so (a) the
+    # drain must NOT sit on run_available_now's 8-partition group-regime
+    # cap — pass the session width, same law as stream_stream_join —
+    # and (b) linear-in-corpus state cannot live on the heap-backed
+    # default store: RocksDB spills it to disk (provider equality with
+    # the default is pinned by tests/test_streaming.py's rocksdb test).
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_available_now(
+            pairs, "append",
+            partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
     return out.distinct().orderBy("id_a", "id_b")
 
 
