@@ -187,14 +187,14 @@ _DEMO_SCHEMA = T.StructType(
     oracle=f"""
     SELECT City AS city, "State Code" AS state_code, State AS state,
            "Median Age" AS median_age, "Total Population" AS total_population,
-           SUM(CASE WHEN Race = 'White' THEN Count END) AS white,
-           SUM(CASE WHEN Race = 'Black or African-American' THEN Count END)
-             AS black_or_african_american,
-           SUM(CASE WHEN Race = 'Asian' THEN Count END) AS asian,
-           SUM(CASE WHEN Race = 'Hispanic or Latino' THEN Count END)
-             AS hispanic_or_latino,
-           SUM(CASE WHEN Race = 'American Indian and Alaska Native' THEN Count END)
-             AS american_indian_and_alaska_native
+           CAST(SUM(CASE WHEN Race = 'White' THEN Count END) AS BIGINT) AS white,
+           CAST(SUM(CASE WHEN Race = 'Black or African-American' THEN Count END)
+             AS BIGINT) AS black_or_african_american,
+           CAST(SUM(CASE WHEN Race = 'Asian' THEN Count END) AS BIGINT) AS asian,
+           CAST(SUM(CASE WHEN Race = 'Hispanic or Latino' THEN Count END)
+             AS BIGINT) AS hispanic_or_latino,
+           CAST(SUM(CASE WHEN Race = 'American Indian and Alaska Native' THEN Count END)
+             AS BIGINT) AS american_indian_and_alaska_native
     FROM read_csv('{_DEMOGRAPHICS}', delim=';', header=true)
     GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2
     """,

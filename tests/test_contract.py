@@ -40,10 +40,12 @@ def test_parity_typeclass_gate_flags_engine_level_skews(spark):
     flag int-vs-float ENGINE type skews (Spark lazy schema vs DuckDB
     prepared types) before value coercion — sign_v shipped DOUBLE vs
     TINYINT green through two committed sweeps because the comparator
-    coerced both to float. Also pins the two adjudicated allowances:
-    HUGEINT-vs-long is int-class both sides (the driver collects Python
-    values, so it never sees pandas' HUGEINT->float64 artifact), and
-    DECIMAL(x,0)-vs-int is allowed."""
+    coerced both to float. Round-10 hardening (round-9 verdict task 2):
+    HUGEINT-vs-long and DECIMAL(x,0)-vs-int are now HARD skews too —
+    both cross Arrow as decimal128 → Python Decimal, and the driver's
+    hash distinguishes Decimal('N') from int(N) even at equal values
+    (judge-verified root cause of the ref_demographics_race_pivot red
+    row in CORRECTNESS_r09.json)."""
     import importlib.util
     import os
 
@@ -63,10 +65,53 @@ def test_parity_typeclass_gate_flags_engine_level_skews(spark):
     )
     rel = con.sql(
         "SELECT CAST(1 AS TINYINT) AS sign_v, "          # real skew: int vs float
-        "CAST(5 AS HUGEINT) AS big_sum, "                 # allowed: int-class both
-        "CAST(7 AS BIGINT) AS dec0, "                     # allowed: DECIMAL(x,0) ~ int
+        "CAST(5 AS HUGEINT) AS big_sum, "                 # HARD skew: Decimal vs int at the hash
+        "CAST(7 AS BIGINT) AS dec0, "                     # HARD skew: int vs Spark Decimal
         "CAST(2.5 AS DOUBLE) AS ok_int"                   # real skew: float vs int
     )
     problems = parity.typeclass_problems(sdf.schema, rel)
     flagged = {p.split(":")[0].replace("col ", "") for p in problems}
-    assert flagged == {"sign_v", "ok_int"}, problems
+    assert flagged == {"sign_v", "big_sum", "dec0", "ok_int"}, problems
+
+
+def test_no_decimal_class_at_any_oracle_output_boundary(sf_dir):
+    """Catalog-wide convention gate (round-9 verdict task 2): no oracle
+    may emit a HUGEINT/UHUGEINT/DECIMAL column at its OUTPUT boundary.
+    DuckDB SUM(BIGINT) returns HUGEINT, which crosses Arrow as
+    decimal128(38,0) → Python Decimal — the driver hashes that against
+    Spark's int and mismatches even when every value is identical (the
+    round-9 ref_demographics_race_pivot artifact). Inner-CTE sums are
+    fine (their type never reaches the boundary); output aggregates must
+    be wrapped CAST(... AS BIGINT) / CAST(... AS DOUBLE). DuckDB-only:
+    binds each oracle (no execution, no Spark)."""
+    import importlib.util
+    import os
+
+    import data_engineering_capstone_spark.catalog as cat
+
+    spec = importlib.util.spec_from_file_location(
+        "parity_mod",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools", "parity.py"),
+    )
+    parity = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(parity)
+    tc_spec = importlib.util.spec_from_file_location(
+        "typeclass_mod",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools", "typeclass.py"),
+    )
+    typeclass = importlib.util.module_from_spec(tc_spec)
+    tc_spec.loader.exec_module(typeclass)
+
+    con = parity.duck_con(sf_dir)
+    offenders = []
+    for name, qspec in sorted(cat.load_all().items()):
+        if qspec.oracle is None:
+            continue
+        rel = con.sql(qspec.oracle)
+        for c, t in zip(rel.columns, rel.types):
+            if typeclass.duck_class(t) == "decimal":
+                offenders.append(f"{name}.{c}: {t}")
+    assert not offenders, (
+        "oracle output columns that will cross Arrow as Decimal and "
+        f"hash-fail at the driver: {offenders}"
+    )

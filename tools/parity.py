@@ -114,8 +114,9 @@ def main() -> int:
         # "wrong value" — NOT what the driver does (it hashes exact)
         FLOAT_ATOL = 1e-6
         FLOAT_RTOL = 1e-9
+    types_only = "--types-only" in args
     # --exact kept as a no-op for muscle memory: exact IS the default
-    args = [a for a in args if a not in ("--exact", "--tolerant")]
+    args = [a for a in args if a not in ("--exact", "--tolerant", "--types-only")]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     if args and os.path.isdir(args[0]):
         args = args[1:]
@@ -127,6 +128,26 @@ def main() -> int:
     for name in names:
         spec = catalog[name]
         t0 = time.time()
+        if types_only:
+            # Schema-only boundary audit (round-9 verdict task 2): Spark
+            # lazy schema vs DuckDB prepared types, no execution. Catches
+            # the HUGEINT/DECIMAL-at-hashed-boundary class catalog-wide
+            # in seconds instead of a full value-parity run.
+            if spec.oracle is None:
+                continue
+            try:
+                sdf = spec.fn(spark, sf_dir)
+                tc_problems = typeclass_problems(sdf.schema, con.sql(spec.oracle))
+            except Exception as exc:  # noqa: BLE001
+                failures += 1
+                print(f"FAIL  {name}: {exc}")
+                continue
+            if tc_problems:
+                failures += 1
+                print(f"FAIL  {name}:")
+                for p in tc_problems:
+                    print(f"      - {p}")
+            continue
         try:
             sdf = spec.fn(spark, sf_dir)
             spark_pdf = sdf.toPandas()

@@ -17,8 +17,6 @@ vs get reported) stays local to each consumer:
 
 from __future__ import annotations
 
-import re
-
 _SPARK_CLASS = {
     "boolean": "bool",
     "byte": "int", "short": "int", "integer": "int", "long": "int",
@@ -28,8 +26,11 @@ _SPARK_CLASS = {
     "string": "string", "binary": "binary",
 }
 
-_DUCK_INTS = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
-              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT")
+# HUGEINT/UHUGEINT are deliberately ABSENT: they cross Arrow as
+# decimal128(38,0) → Python Decimal, and the driver hashes Decimal('N')
+# != int(N) (round-9 verdict: the ref_demographics_race_pivot red row).
+_DUCK_INTS = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
 
 # class pairs whose skew the driver's value hash distinguishes even at
 # numerically equal values (1 vs 1.0) — the parity HARD gate set
@@ -40,19 +41,31 @@ CLASS_SKEWS = (
 
 
 def spark_class(dt) -> str:
-    """Type class of a pyspark DataType (lazy schema — zero executions)."""
+    """Type class of a pyspark DataType (lazy schema — zero executions).
+
+    Classes mirror the PYTHON OBJECT that reaches the driver's value
+    hash, not numeric semantics: Spark DecimalType — ANY scale,
+    including 0 — collects as decimal.Decimal, so it is class
+    "decimal" (round-10 hardening; the pre-round-10 "scale-0 ≈ int"
+    leniency let driver hash-fails through the local gate)."""
     tn = dt.typeName()
     if tn == "decimal":
-        return "int" if dt.scale == 0 else "decimal"
+        return "decimal"
     return _SPARK_CLASS.get(tn, "other")
 
 
 def duck_class(t) -> str:
-    """Type class of a DuckDB prepared-relation type (str() form)."""
+    """Type class of a DuckDB prepared-relation type (str() form).
+
+    HUGEINT/UHUGEINT and DECIMAL(p,s) — ANY scale, including 0 —
+    cross Arrow as decimal128 → Python Decimal, which the driver's
+    hash distinguishes from int even at equal values (judge-verified,
+    round 9). They are therefore class "decimal", and the
+    {"decimal","int"} entry in CLASS_SKEWS makes an uncast SUM/HUGEINT
+    at the output boundary a HARD parity failure."""
     s = str(t).upper()
-    if s.startswith("DECIMAL"):
-        m = re.match(r"DECIMAL\((\d+),\s*(\d+)\)", s)
-        return "int" if (m and m.group(2) == "0") else "decimal"
+    if s.startswith("DECIMAL") or s in ("HUGEINT", "UHUGEINT"):
+        return "decimal"
     if s in _DUCK_INTS:
         return "int"
     if s in ("DOUBLE", "FLOAT", "REAL"):
