@@ -63,14 +63,42 @@ def _driver_certified() -> set[str]:
     return done
 
 
+# Entries REWRITTEN after their last driver certification (round-9
+# verdict task 5): their green rows in CORRECTNESS_r*.json predate the
+# current implementation, so they must re-enter the sample window ahead
+# of stably-certified entries.  Maintained by hand per round; remove a
+# name once a post-rewrite CORRECTNESS file certifies it.
+_REWRITTEN_SINCE_CERT = (
+    # round 9 rewrites (judge re-verified bit-exact at sf0.01, but the
+    # driver's own r9 sample ran the pre-rewrite forms):
+    "cube_status_priority",
+    "agg_corr_covar",
+    "q7_bilateral_volume",
+    "anti_semi_customers",
+    "bucketed_join_zero_shuffle",
+    "stream_minhash_dedup",
+    # round 10 rewrites:
+    "ref_demographics_race_pivot",   # oracle BIGINT casts (the r9 red row)
+    "llm_temperature_mix",           # two-pass hash-threshold quota
+    "llm_mix_rebalance",             # two-pass hash-threshold quota
+    "llm_source_cap",                # two-pass hash-threshold quota
+    "llm_stratified_sample",         # two-pass hash-threshold quota
+    "q4_priority_late_ship",         # distinct-key collapse before semi join
+)
+
+
 def _ordered() -> list[str]:
-    """Catalog names, never-driver-certified first (registration order
-    preserved within each group)."""
+    """Catalog names in three tiers: never-driver-certified first, then
+    rewritten-since-last-certification, then stably-certified entries
+    (registration order preserved within each tier)."""
     catalog = load_all()
     certified = _driver_certified()
     fresh = [n for n in catalog if n not in certified]
-    seen = [n for n in catalog if n in certified]
-    return fresh + seen
+    recert = [n for n in catalog
+              if n in certified and n in _REWRITTEN_SINCE_CERT]
+    seen = [n for n in catalog
+            if n in certified and n not in _REWRITTEN_SINCE_CERT]
+    return fresh + recert + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -243,6 +243,92 @@ def pack_sequences(
     )
 
 
+def hash_quota_select(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    quotas: DataFrame,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Keep the per-group ``quota`` smallest rows by ``(md5(id), id)``
+    WITHOUT a per-group global sort — the two-pass hash-threshold quota
+    device (round-9 verdict task 3).
+
+    ``row_number() OVER (PARTITION BY group ORDER BY md5(id), id) <=
+    quota`` sorts the whole corpus in ``|groups|`` tasks — with ~5
+    languages that is a 5-way parallelism ceiling at 100 TB no matter
+    how many executors exist. This device selects the IDENTICAL row set
+    (so every existing oracle keeps its row_number form) via a bucket
+    histogram over the hash prefix:
+
+    1. Bucket each row by its first ``prefix_len`` md5 hex chars —
+       fixed-length lowercase hex sorts lexicographically == numerically,
+       so bucket b's rows all precede bucket b+1's in (md5, id) order.
+    2. Count rows per (group, bucket): one map-side-combined aggregate
+       whose output is at most ``|groups| * 16**prefix_len`` rows.
+    3. A window over that DIMENSION-SCALE table (≤ 65536 rows per group
+       at the default) finds, per group, the buckets wholly inside the
+       quota ("full"), the single boundary bucket, and how many rows
+       ``__take`` are still needed from it.
+    4. Broadcast the kept-bucket decision table back onto the corpus:
+       full-bucket rows pass with NO shuffle at all; only boundary-bucket
+       rows (~n_g / 16**prefix_len each — ~300 MB per 20 TB group at
+       prefix_len=4) get the bounded per-group rank for exact tie-free
+       selection.
+
+    Shuffle ledger at 100 TB: one tiny partial-agg exchange (pass 1),
+    one broadcast, one rank over 1/65536 of the corpus — versus the
+    full-corpus |groups|-task sort it replaces. Groups absent from
+    ``quotas`` are dropped (inner join); quota 0 keeps nothing.
+
+    ``quotas`` must be a small DataFrame ``(group_col, __quota long)``.
+    Selection is exact and deterministic: ties in md5 are broken by the
+    (unique-per-group) id, so membership is layout-independent.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, prefix_len), 16, 10).cast("long")
+
+    counts = (
+        df.select(F.col(group_col), bucket.alias("__b"))
+        .groupBy(group_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    decided = (
+        counts.join(quotas, group_col)
+        .withColumn("__cum", F.sum("__n").over(w_cum))
+        .withColumn("__before", F.col("__cum") - F.col("__n"))
+        # buckets entirely past the quota are dropped here, so the
+        # broadcast below carries only kept + boundary buckets
+        .filter(F.col("__before") < F.col("__quota"))
+        .select(
+            group_col,
+            "__b",
+            F.when(F.col("__cum") <= F.col("__quota"), F.lit(None).cast("long"))
+            .otherwise(F.col("__quota") - F.col("__before"))
+            .alias("__take"),
+        )
+    )
+
+    tagged = df.withColumn("__h", h).withColumn(
+        "__b", F.conv(F.substring(F.col("__h"), 1, prefix_len), 16, 10).cast("long")
+    )
+    joined = tagged.join(F.broadcast(decided), [group_col, "__b"])
+    full = joined.filter(F.col("__take").isNull())
+    w_bnd = Window.partitionBy(group_col).orderBy("__h", id_col)
+    boundary = (
+        joined.filter(F.col("__take").isNotNull())
+        .withColumn("__rn", F.row_number().over(w_bnd))
+        .filter(F.col("__rn") <= F.col("__take"))
+        .drop("__rn")
+    )
+    return full.unionByName(boundary).drop("__h", "__b", "__take")
+
+
 def rebalance_mix(
     df: DataFrame,
     group_col: str,
@@ -263,21 +349,18 @@ def rebalance_mix(
 
     Returns the kept rows. ``weights_bp`` groups absent from the data
     are ignored; groups absent from ``weights_bp`` are dropped.
+
+    Selection rides :func:`hash_quota_select` (round-10 rewrite): same
+    membership as the per-group row_number prefix, but the corpus is
+    never sorted in ``|groups|`` tasks — the oracle keeps its
+    row_number form because the selected row SET is identical.
     """
     total = df.count()  # tiny scalar action; at 100 TB read from table stats
-    quota = F.lit(None).cast("long")
-    for g, bp in sorted(weights_bp.items()):
-        quota = F.when(F.col(group_col) == g, F.lit(total * int(bp) // 10000)).otherwise(quota)
-    w_g = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    quotas = df.sparkSession.createDataFrame(
+        [(g, total * int(bp) // 10000) for g, bp in sorted(weights_bp.items())],
+        f"{group_col} string, __quota long",
     )
-    return (
-        df.withColumn("__quota", quota)
-        .filter(F.col("__quota").isNotNull())
-        .withColumn("__rn", F.row_number().over(w_g))
-        .filter(F.col("__rn") <= F.col("__quota"))
-        .drop("__quota", "__rn")
-    )
+    return hash_quota_select(df, group_col, id_col, quotas)
 
 
 def bloom_decontaminate(
@@ -400,18 +483,14 @@ def temperature_mix(
     z = 0.0
     for _g, n in sorted(counts.items()):
         z += math.sqrt(n) if alpha == 0.5 else n**alpha
-    quota = F.lit(None).cast("long")
-    for g, n in sorted(counts.items()):
-        w = math.sqrt(n) if alpha == 0.5 else n**alpha
-        quota = F.when(
-            F.col(group_col) == g, F.lit(int(math.floor(keep_total * w / z)))
-        ).otherwise(quota)
-    w_g = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    # Selection rides hash_quota_select (round-10 rewrite): identical
+    # membership to the per-group row_number prefix without the
+    # |groups|-task corpus sort, so the oracle keeps its row_number form.
+    quotas = df.sparkSession.createDataFrame(
+        [
+            (g, int(math.floor(keep_total * (math.sqrt(n) if alpha == 0.5 else n**alpha) / z)))
+            for g, n in sorted(counts.items())
+        ],
+        f"{group_col} string, __quota long",
     )
-    return (
-        df.withColumn("__quota", quota)
-        .withColumn("__rn", F.row_number().over(w_g))
-        .filter(F.col("__rn") <= F.col("__quota"))
-        .drop("__quota", "__rn")
-    )
+    return hash_quota_select(df, group_col, id_col, quotas)

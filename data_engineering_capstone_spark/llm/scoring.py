@@ -23,6 +23,16 @@ dominates all forms, the interpreted fold is NOT the bottleneck, and
 the zero-shuffle lambda plan wins by 2.5-2.9x. Kept deliberately; the
 repo's CodegenFallback rule (BASELINE.md) applies where the lambda IS
 the hot loop (vector math), not here.
+
+Round-10 kernel fix (tools/r10_races2.py): the weight lambda
+referenced ``F.md5(tok)`` FOUR times, and interpreted higher-order
+lambdas do not common-subexpression-eliminate — md5 ran 4× per token.
+Chaining two transforms (tokens → md5 array → weight array) binds the
+hash once per token with IDENTICAL doubles (oracle untouched):
+8.04 → 5.06 s at the 64× replica, 1.35× vs the DuckDB oracle's 3.74 s.
+Counter-measurement of record: pmod(xxhash64(tok), 2001) runs 2.20 s
+(fully codegen'd hash), but DuckDB has no xxhash64 — shipping it would
+demote the entry to rows-only, not worth the 2.3× on a sub-2× entry.
 """
 
 from __future__ import annotations
@@ -36,14 +46,15 @@ from ..functions.strings import tokens
 _SLOTS = 2001
 
 
-def _token_weight(tok: Column) -> Column:
-    """Deterministic pseudo-weight in [-1, 1] for one token.
+def _hash_weight(m: Column) -> Column:
+    """Deterministic pseudo-weight in [-1, 1] from one md5 hex digest.
 
-    Mixes the first four md5 hex characters with a base-31 fold —
+    Mixes the first four hex characters with a base-31 fold —
     ``ascii``/``substr``/``md5`` exist with identical semantics in
     Spark and DuckDB, so the oracle reproduces the exact doubles.
+    Takes the DIGEST, not the token: the caller binds md5 once per
+    token (see the round-10 kernel note in the module docstring).
     """
-    m = F.md5(tok)
 
     def a(i: int) -> Column:
         return F.ascii(F.substring(m, i, 1)).cast("long")
@@ -62,8 +73,12 @@ def quality_classifier_score(text_col: Column | str) -> Column:
     """
     t = tokens(text_col)
     n = F.size(t)
+    # tokens → digests → weights as CHAINED transforms so md5 is
+    # evaluated once per token (interpreted lambdas don't CSE)
     logit_sum = F.aggregate(
-        F.transform(t, _token_weight), F.lit(0.0), lambda acc, x: acc + x
+        F.transform(F.transform(t, F.md5), _hash_weight),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     z = F.when(n > 0, logit_sum / F.sqrt(n.cast("double"))).otherwise(F.lit(0.0))
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

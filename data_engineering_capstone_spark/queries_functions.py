@@ -513,13 +513,20 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-9 kernel fix (256× sweep: 10.3 s — decimal(14,2) products
     # put BigDecimal multiply-accumulate on every scan row): the
     # co-moments move to EXACT integer units on the codegen long path.
-    # x_u = qty·100 (≤5e3), y_u = price·100 (≤1e7); per-row products
-    # x², x·y fit int64 partials at the (flag, partition) grain with
-    # wide margin, but y² ≤ 1e14/row would overflow an int64 partial
-    # past ~9e4 rows/slice — so y² is carried as TWO int64 lanes
-    # (hi = y²>>31, lo = y²&(2³¹−1); per-slice lo ≤ rows·2³¹, hi ≤
-    # rows·4.7e4 — both safe to billions of rows per slice) and
-    # reconstructed hi·2³¹+lo in DECIMAL(38,0) at the merge. The unit
+    # x_u = qty·100 (≤5e3), y_u = price·100 (≤1e7). Per-row product
+    # bounds fix which partials need lane-splitting (round-9 ADVICE:
+    # the original "wide margin" claim held for x² but NOT x·y):
+    #   sx  ≤ 5e3/row  → int64 safe to ~1.8e15 rows/slice
+    #   sy  ≤ 1e7/row  → safe to ~9e11 rows/slice
+    #   sxx ≤ 2.5e7/row → safe to ~3.7e11 rows/slice
+    #   sxy ≤ 5e10/row → wraps past ~1.8e8 rows/slice — REAL at a
+    #       coalesced or repartition(few) input — so x·y is carried as
+    #       TWO int64 lanes like y²;
+    #   syy ≤ 1e14/row → wraps past ~9e4 rows/slice.
+    # Lane device (y² and x·y): hi = v>>31, lo = v&(2³¹−1); per-slice
+    # lo ≤ rows·2³¹ and hi ≤ rows·(v_max/2³¹) — both safe past 4e9
+    # rows per slice — reconstructed hi·2³¹+lo in DECIMAL(38,0) at
+    # the merge. The unit
     # scale divides out as a decimal(·,2/4) multiply (exact — 34
     # integral digits remain), so each stat crosses to double as ONE
     # correctly-rounded cast of the SAME exact decimal the oracle
@@ -533,6 +540,7 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             x_u.alias("xu"),
             y_u.alias("yu"),
             (y_u * y_u).alias("y2"),
+            (x_u * y_u).alias("xy"),
         )
         .groupBy("l_returnflag", "__pid")
         .agg(
@@ -542,7 +550,8 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("xu") * F.col("xu")).alias("sxx_p"),
             F.sum(F.shiftright("y2", 31)).alias("syy_hi_p"),
             F.sum(F.col("y2").bitwiseAND(F.lit(2147483647))).alias("syy_lo_p"),
-            F.sum(F.col("xu") * F.col("yu")).alias("sxy_p"),
+            F.sum(F.shiftright("xy", 31)).alias("sxy_hi_p"),
+            F.sum(F.col("xy").bitwiseAND(F.lit(2147483647))).alias("sxy_lo_p"),
         )
     )
     d38 = lambda c: F.sum(F.col(c).cast("decimal(38,0)"))  # noqa: E731
@@ -557,7 +566,8 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             d38("sxx_p").alias("sxxu"),
             d38("syy_hi_p").alias("syyh"),
             d38("syy_lo_p").alias("syyl"),
-            d38("sxy_p").alias("sxyu"),
+            d38("sxy_hi_p").alias("sxyh"),
+            d38("sxy_lo_p").alias("sxyl"),
         )
         .select(
             "l_returnflag",
@@ -568,7 +578,9 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (F.col("syyh") * F.lit(2147483648).cast("decimal(10,0)") + F.col("syyl")) * c4
             ).cast("double").alias("syy"),
-            (F.col("sxyu") * c4).cast("double").alias("sxy"),
+            (
+                (F.col("sxyh") * F.lit(2147483648).cast("decimal(10,0)") + F.col("sxyl")) * c4
+            ).cast("double").alias("sxy"),
         )
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")

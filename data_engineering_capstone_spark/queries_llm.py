@@ -905,28 +905,34 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum, chosen by content-hash order — reproducible across engines,
     partitionings, and re-plans (training-data pipelines need the SAME
     sample every run; ``df.sampleBy`` is approximate and layout-
-    dependent). One window per stratum, no driver involvement.
-    """
-    from pyspark.sql import Window
+    dependent).
 
-    d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-    ranked = d.select(
-        "doc_id", "lang",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    Round-10 rewrite: selection rides the two-pass hash-threshold quota
+    device (llm/curation.py:hash_quota_select) — the per-stratum
+    row_number sort capped parallelism at |langs| tasks regardless of
+    cluster size; the device keeps the IDENTICAL row set (ties broken by
+    doc_id) with one tiny bucket-histogram exchange plus a rank over only
+    the boundary bucket, so the oracle keeps its row_number form.
+    """
+    from .llm.curation import hash_quota_select
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    quotas = counts.select(
+        "lang", F.ceil(F.col("n_total") * 0.2).cast("long").alias("__quota")
     )
-    sampled = ranked.filter(F.col("rn") <= F.ceil(F.col("n_lang") * 0.2))
+    kept = hash_quota_select(d, "lang", "doc_id", quotas)
     return (
-        sampled.groupBy("lang")
+        kept.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.min("n_lang").alias("n_total"),
             # membership-sensitive digests: identical counts with different
             # members would still fail the comparison
             F.sum("doc_id").alias("id_sum"),
             F.min(F.md5(F.col("doc_id").cast("string"))).alias("first_hash"),
         )
+        .join(F.broadcast(counts), "lang")
+        .select("lang", "n_sampled", "n_total", "id_sum", "first_hash")
         .orderBy("lang")
     )
 
@@ -1521,24 +1527,29 @@ def llm_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain's contribution to the corpus). Docs are ranked inside each
     source by a content-independent deterministic hash order
     (md5(doc_id), doc_id tiebreak) — an unbiased "random but
-    reproducible" sample — and only the first 30 survive. One window
-    sort per source partition, then one aggregate; at 100 TB both steps
-    shard by source with no global sort. kept_id_sum pins membership,
-    not just counts.
+    reproducible" sample — and only the first 30 survive. kept_id_sum
+    pins membership, not just counts.
+
+    Round-10 rewrite: the cap rides the two-pass hash-threshold quota
+    device (llm/curation.py:hash_quota_select) instead of a per-source
+    row_number over the corpus — same selected rows (oracle unchanged),
+    but no |sources|-task sort; only the per-source boundary bucket is
+    ever ranked.
     """
+    from .llm.curation import hash_quota_select
+
     d = _t(spark, sf_dir, "documents").select("source", "doc_id")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    ranked = d.withColumn("rn", F.row_number().over(w))
-    kept = F.col("rn") <= 30
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    quotas = counts.select("source", F.lit(30).cast("long").alias("__quota"))
+    kept = hash_quota_select(d, "source", "doc_id", quotas)
     return (
-        ranked.groupBy("source")
+        kept.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.count(F.when(kept, 1)).alias("n_kept"),
-            F.sum(F.when(kept, F.col("doc_id"))).alias("kept_id_sum"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
         )
+        .join(F.broadcast(counts), "source")
+        .select("source", "n_total", "n_kept", "kept_id_sum")
         .orderBy("source")
     )
 

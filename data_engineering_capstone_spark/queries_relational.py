@@ -1243,24 +1243,36 @@ def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.filter(F.col("n_name").isin(nations)).select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    # c2/s2 are 2-nation slices of DIMS (8% of customer/supplier), so the
-    # broadcast hint follows the repo's dim-join convention — measured:
-    # without it the static planner (no stats through the filtered join)
-    # shuffles lineitem on suppkey before AQE can convert, 2.72 → 4.22 s
-    # at 256×. Size boundary (review-flagged): the build side is
-    # (key, name) of an SF-proportional dim slice — ~200 MB serialized at
-    # SF1000; a deployment whose nation slice outgrows executor broadcast
-    # budget drops the two hints and AQE degrades to the shuffle plan.
+    # c2/s2 are 2-nation slices of DIMS (8% of customer/supplier) —
+    # measured: without a broadcast hint the static planner (no stats
+    # through the filtered join) shuffles lineitem on suppkey before AQE
+    # can convert, 2.72 → 4.22 s at 256×. But the build side is
+    # SF-PROPORTIONAL, so the hint is SIZE-GATED (round-9 ADVICE: a
+    # forced unbounded build OOMs past the executor broadcast budget
+    # instead of degrading): estimate slice rows from parquet FOOTERS
+    # (dim_rows × 2/|nation|, zero Spark jobs) at a conservative
+    # 64 B/row hash-relation footprint, and hint only under a 256 MB
+    # budget. Past the gate the join ships hint-free and AQE picks the
+    # strategy — the same degradation path as anti_semi_customers.
+    from .sources.pqmeta import parquet_row_count
+
+    n_nations = max(1, parquet_row_count(f"{sf_dir}/nation.parquet"))
+    budget = 256 << 20
+
+    def gated(df2, dim_table):
+        est = parquet_row_count(f"{sf_dir}/{dim_table}.parquet") * 2 // n_nations * 64
+        return F.broadcast(df2) if est < budget else df2
+
     c2 = c.join(F.broadcast(cn), c.c_nationkey == cn.cn_key).select(
         "c_custkey", "cust_nation"
     )
     s2 = s.join(F.broadcast(sn), s.s_nationkey == sn.sn_key).select(
         "s_suppkey", "supp_nation"
     )
-    o_pruned = o.join(F.broadcast(c2), o.o_custkey == c2.c_custkey).select(
+    o_pruned = o.join(gated(c2, "customer"), o.o_custkey == c2.c_custkey).select(
         "o_orderkey", "cust_nation"
     )
-    l_pruned = l.join(F.broadcast(s2), l.l_suppkey == s2.s_suppkey).select(
+    l_pruned = l.join(gated(s2, "supplier"), l.l_suppkey == s2.s_suppkey).select(
         "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "supp_nation"
     )
     joined = l_pruned.join(o_pruned, l_pruned.l_orderkey == o_pruned.o_orderkey).filter(

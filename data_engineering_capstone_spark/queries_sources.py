@@ -276,7 +276,15 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and at 100 TB a fixed count is a non-starter by construction).
         # ~4M rows per bucket keeps the per-task sort bounded at any SF;
         # both tables MUST share the count or the join re-shuffles.
-        n_buckets = max(16, int(li.count() / 4_000_000) + 1)
+        # Row count comes from parquet FOOTERS (sources/pqmeta.py), not
+        # li.count() — the count() added a full extra fact scan per
+        # first materialization (round-9 ADVICE). Note the count is read
+        # once at first write: a warehouse that outlives a scale change
+        # must be dropped and rebuilt (the per-process db tag above
+        # already guarantees that here).
+        from .sources.pqmeta import parquet_row_count
+
+        n_buckets = max(16, parquet_row_count(f"{sf_dir}/lineitem.parquet") // 4_000_000 + 1)
         write_bucketed_table(li, l_tbl,
                              ["l_orderkey"], n_buckets, sort_cols=["l_orderkey"])
         write_bucketed_table(load_table(spark, sf_dir, "orders"), o_tbl,

@@ -66,18 +66,39 @@ _REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DEC
     """,
 )
 def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: EXISTS-decorrelation → LEFT SEMI join with a
-    non-equi residual (here "any line shipped >60 days after order",
-    standing in for the absent l_commitdate < l_receiptdate).
+    """TPC-H Q4 shape: EXISTS-decorrelation with a non-equi residual
+    (here "any line shipped >60 days after order", standing in for the
+    absent l_commitdate < l_receiptdate).
 
-    The semi join moves only the join keys, aggregates after — at scale
-    the date filter prunes orders BEFORE the shuffle.
+    Round-10 rewrite (round-9 verdict task 4): the residual references
+    o_orderdate, so Catalyst cannot push any lineitem-side filter — but
+    a DERIVED bound is free: every satisfying lineitem has
+    ``l_shipdate > min(o_orderdate) + 60 = 1996-03-01`` (the orders
+    window is a literal), so supplying that filter by hand
+    zone-map-prunes the early shipyears at the parquet scan BEFORE the
+    semi-join shuffle. 256× race of record (tools/r10_races.py):
+    plain semi 11.53 s → semi+pushdown 5.47 s (2.1×). The
+    anti_semi-style collapse (EXISTS ⟺ per-order MAX(l_shipdate) >
+    odate+60, partial-agg map-side) was also raced and LOST to this
+    form (6.76 s): lineitem has only ~1.6 surviving lines per order, so
+    the max-collapse saves little exchange volume and pays a hash
+    aggregate the semi join doesn't — the distinct-key law needs a
+    many:1 key ratio to win. All three forms verified row-identical at
+    the replica.
     """
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     )
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        # derived bound: min possible o_orderdate in the window + 60 days
+        .filter(
+            F.col("l_shipdate")
+            > F.lit("1996-01-01").cast("timestamp") + F.expr("INTERVAL 60 DAYS")
+        )
+    )
     cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )

@@ -324,6 +324,22 @@ def test_pandas_udaf_partial_grain_law(spark, sf_dir):
     flags = audit_one("single_phase_regression_probe", old_plan)
     assert any("partition-grain" in f for f in flags), flags
 
+    # 2b. decoy probe (round-9 ADVICE): a grain-less UDAF co-planned
+    #     with an UNRELATED SPARK_PARTITION_ID() column must STILL be
+    #     flagged — the law reads each node's own grouping keys, not a
+    #     plan-wide substring.
+    side = (
+        li.select("l_returnflag", F.spark_partition_id().alias("unrelated_pid"))
+        .groupBy("l_returnflag")
+        .agg(F.max("unrelated_pid").alias("m"))
+    )
+    decoy = old.join(side, "l_returnflag")
+    decoy_plan = physical_plan(decoy)
+    assert "ArrowAggregatePython" in decoy_plan
+    assert "SPARK_PARTITION_ID()" in decoy_plan  # the decoy is live
+    flags = audit_one("decoy_regression_probe", decoy_plan)
+    assert any("partition-grain" in f for f in flags), flags
+
     # 3. catalog-wide: no OTHER entry plans a grain-less UDAF. Scanned
     #    by MODULE, not by entry-name prefix (round-9 review finding: a
     #    grouped-agg pandas UDF added under e.g. a ts_* name would have
@@ -348,4 +364,6 @@ def test_pandas_udaf_partial_grain_law(spark, sf_dir):
             continue
         p = physical_plan(spec.fn(spark, sf_dir))
         if "ArrowAggregatePython" in p:
-            assert "SPARK_PARTITION_ID()" in p, f"{name} plans a grain-less pandas UDAF"
+            from tools.explain_audit import udaf_grain_flags
+
+            assert not udaf_grain_flags(p), f"{name} plans a grain-less pandas UDAF"

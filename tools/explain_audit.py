@@ -122,6 +122,44 @@ def plan_text(df) -> str:
     return buf.getvalue()
 
 
+def udaf_grain_flags(plan: str) -> list[str]:
+    """pandas-UDAF partial-grain law (SCALE.md §22), anchored PER NODE.
+
+    PythonUDAF has no partial aggregation, so a grouped-agg pandas UDF
+    keyed only on a low-cardinality column shuffles every raw row to
+    |groups| reducers and holds each whole group in one Python worker —
+    a scale bug by construction (udf_grouped_agg measured 52 s / 169×
+    at 256× in the single-phase form). Every ArrowAggregatePython node
+    must therefore aggregate at a grain that includes
+    SPARK_PARTITION_ID() (the explicit partial-grain device;
+    queries_udf.py:udf_grouped_agg is the template).
+
+    Round-10 fix (round-9 ADVICE): the check reads EACH node's OWN
+    grouping keys (the first bracket of its Arguments line) and demands
+    one of them be the partition id — either literally or via a
+    ``SPARK_PARTITION_ID() AS <key>`` alias elsewhere in the plan. The
+    old plan-wide substring check passed any grain-less UDAF co-planned
+    with an unrelated partition-id expression.
+    """
+    flags: list[str] = []
+    for m in re.finditer(r"\(\d+\) ArrowAggregatePython[^\n]*\n((?:[^\n]*\n){1,4})", plan):
+        am = re.search(r"Arguments: \[([^\]]*)\]", m.group(1))
+        keys = am.group(1) if am else ""
+        grain_ok = "SPARK_PARTITION_ID()" in keys
+        for key in re.findall(r"\w+#\d+", keys):
+            if grain_ok:
+                break
+            if re.search(r"SPARK_PARTITION_ID\(\)[^\n]*AS " + re.escape(key), plan):
+                grain_ok = True
+        if not grain_ok:
+            flags.append(
+                "grouped-agg pandas UDF without the partition-grain device "
+                "(PythonUDAF cannot partial-aggregate; see SCALE.md §22)"
+            )
+            break
+    return flags
+
+
 def audit_one(name: str, plan: str) -> list[str]:
     flags: list[str] = []
     if name not in INTENTIONAL_CROSS:
@@ -129,21 +167,8 @@ def audit_one(name: str, plan: str) -> list[str]:
             flags.append("nested-loop/cartesian join")
     if "BatchEvalPython" in plan:
         flags.append("row-at-a-time Python UDF (use pandas_udf)")
-    # pandas-UDAF partial-grain law (SCALE.md §22): PythonUDAF has no
-    # partial aggregation, so a grouped-agg pandas UDF keyed only on a
-    # low-cardinality column shuffles every raw row to |groups| reducers
-    # and holds each whole group in one Python worker — a scale bug by
-    # construction (udf_grouped_agg measured 52 s / 169× at 256× in the
-    # single-phase form). Any ArrowAggregatePython node must therefore
-    # aggregate at a grain that includes SPARK_PARTITION_ID() (the
-    # explicit partial-grain device; queries_udf.py:udf_grouped_agg is
-    # the template) unless the entry is whitelisted high-cardinality.
     if name not in UDAF_HIGH_CARDINALITY_OK:
-        if "ArrowAggregatePython" in plan and "SPARK_PARTITION_ID()" not in plan:
-            flags.append(
-                "grouped-agg pandas UDF without the partition-grain device "
-                "(PythonUDAF cannot partial-aggregate; see SCALE.md §22)"
-            )
+        flags.extend(udaf_grain_flags(plan))
     # SortMergeJoin whose JOIN KEYS are a tiny dim's (nation/region) —
     # checked against the SMJ node's own "Left/Right keys" detail lines,
     # not the whole subtree (round-9 fix: the old DOTALL regex flagged

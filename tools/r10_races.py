@@ -1,0 +1,276 @@
+"""Round-10 variant races (round-9 verdict tasks 3 & 4).
+
+  quota family   old = row_number() OVER (PARTITION BY group ORDER BY
+                       md5(id), id) <= quota — sorts the corpus in
+                       |groups| tasks (the round-9 `weak` perf rows:
+                       20×/22× vs baseline at 256×)
+                 new = hash_quota_select (llm/curation.py): bucket
+                       histogram over the md5 prefix + bounded rank over
+                       only the boundary bucket — IDENTICAL row set, so
+                       the oracles kept their row_number form
+  q4             old = LEFT SEMI orders⋈lineitem with the non-equi
+                       residual (shuffles every lineitem (orderkey,
+                       shipdate) pair: the residual blocks lineitem-side
+                       pushdown)
+                 new = same semi join + the DERIVED pushable filter
+                       l_shipdate > min_odate+60 (loses nothing — any
+                       satisfying row clears it). The max-collapse form
+                       (EXISTS ⟺ per-order MAX, q4_collapse below) was
+                       raced too and lost — see its docstring.
+
+Each race also times the DuckDB oracle at the same replica for the
+>2×-table reading. Same protocol as tools/r9_races.py: warm noop-sink
+runs, best-of-N, collected bit-identical equivalence check.
+
+Usage: python tools/r10_races.py <replica_dir> [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_engineering_capstone_spark.session import get_spark
+from data_engineering_capstone_spark.sources.testdata import load_table
+from tools.scale_crossover import time_best  # one timing protocol for all races
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _rank_prefix(df, group_col, quota_col):
+    """The replaced device: per-group row_number over the whole input."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota_col)
+        .drop("__rn")
+    )
+
+
+def temperature_mix_old(spark, sf_dir):
+    """Pre-round-10 llm_temperature_mix: quotas as a literal CASE +
+    per-lang row_number sort of the corpus."""
+    import math
+
+    d = _docs(spark, sf_dir)
+    counts = {
+        r[0]: r[1]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    keep_total = total * 5000 // 10000
+    z = 0.0
+    for _g, n in sorted(counts.items()):
+        z += math.sqrt(n)
+    quota = F.lit(None).cast("long")
+    for g, n in sorted(counts.items()):
+        quota = F.when(
+            F.col("lang") == g, F.lit(int(math.floor(keep_total * math.sqrt(n) / z)))
+        ).otherwise(quota)
+    kept = _rank_prefix(d.withColumn("__quota", quota), "lang", F.col("__quota")).drop("__quota")
+    n_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    quota_col = F.lit(None).cast("long")
+    for g, n in sorted(counts.items()):
+        quota_col = F.when(
+            F.col("lang") == g,
+            F.lit(int(math.floor(keep_total * math.sqrt(n) / z))),
+        ).otherwise(quota_col)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min(F.md5(F.col("doc_id").cast("string"))).alias("first_hash"),
+        )
+        .join(F.broadcast(n_lang), "lang")
+        .withColumn("quota", quota_col)
+        .select("lang", "n_kept", "n_total", "quota", "id_sum", "first_hash")
+        .orderBy("lang")
+    )
+
+
+def mix_rebalance_old(spark, sf_dir):
+    """Pre-round-10 llm_mix_rebalance."""
+    weights = {"de": 1200, "en": 2500, "es": 1200, "fr": 1200, "zh": 1200}
+    d = _docs(spark, sf_dir)
+    total = d.count()
+    quota = F.lit(None).cast("long")
+    for g, bp in sorted(weights.items()):
+        quota = F.when(F.col("lang") == g, F.lit(total * bp // 10000)).otherwise(quota)
+    kept = (
+        d.withColumn("__quota", quota)
+        .filter(F.col("__quota").isNotNull())
+    )
+    kept = _rank_prefix(kept, "lang", F.col("__quota")).drop("__quota")
+    n_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min(F.md5(F.col("doc_id").cast("string"))).alias("first_hash"),
+        )
+        .join(F.broadcast(n_lang), "lang")
+        .select("lang", "n_kept", "n_total", "id_sum", "first_hash")
+        .orderBy("lang")
+    )
+
+
+def source_cap_old(spark, sf_dir):
+    """Pre-round-10 llm_source_cap: one window over the corpus."""
+    d = _docs(spark, sf_dir).select("source", "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= 30
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id"))).alias("kept_id_sum"),
+        )
+        .select("source", "n_total", "n_kept", "kept_id_sum")
+        .orderBy("source")
+    )
+
+
+def stratified_sample_old(spark, sf_dir):
+    """Pre-round-10 llm_stratified_sample: window rank + window count."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id", "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    sampled = ranked.filter(F.col("rn") <= F.ceil(F.col("n_lang") * 0.2))
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("n_lang").alias("n_total"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min(F.md5(F.col("doc_id").cast("string"))).alias("first_hash"),
+        )
+        .select("lang", "n_sampled", "n_total", "id_sum", "first_hash")
+        .orderBy("lang")
+    )
+
+
+def q4_old(spark, sf_dir):
+    """Pre-round-10 q4: LEFT SEMI with the residual — every lineitem
+    (orderkey, shipdate) pair crosses the exchange."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q4_collapse(spark, sf_dir):
+    """The LOSING round-10 challenger (kept for reproducibility):
+    EXISTS ⟺ per-order MAX(l_shipdate) > odate+60 with the derived
+    pushdown — measured 6.76 s vs the shipped semi+pushdown's 5.47 s at
+    256×: with only ~1.6 surviving lines per order the partial max
+    saves little exchange volume and pays a hash aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    lmax = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .filter(
+            F.col("l_shipdate")
+            > F.lit("1996-01-01").cast("timestamp") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("__max_ship"))
+    )
+    return (
+        o.join(lmax, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("__max_ship") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def main() -> int:
+    replica = sys.argv[1]
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    spark = get_spark("r10_races")
+    spark.sparkContext.setLogLevel("ERROR")
+    from data_engineering_capstone_spark.catalog import load_all
+
+    from tools.scale_crossover import duck_con
+
+    catalog = load_all()
+    con = duck_con(replica)
+
+    races = [
+        ("temperature_mix_quota_device", "llm_temperature_mix", temperature_mix_old),
+        ("mix_rebalance_quota_device", "llm_mix_rebalance", mix_rebalance_old),
+        ("source_cap_quota_device", "llm_source_cap", source_cap_old),
+        ("stratified_sample_quota_device", "llm_stratified_sample", stratified_sample_old),
+        ("q4_semi_pushdown_vs_old", "q4_priority_late_ship", q4_old),
+        ("q4_semi_pushdown_vs_collapse", "q4_priority_late_ship", q4_collapse),
+    ]
+    for label, entry, other_fn in races:
+        spec = catalog[entry]
+
+        def run(fn):
+            fn(spark, replica).write.format("noop").mode("overwrite").save()
+
+        run(other_fn)  # warm footers/codegen/broadcast
+        t_other = time_best(lambda: run(other_fn), reps)
+        run(spec.fn)
+        t_ship = time_best(lambda: run(spec.fn), reps)
+        t_duck = None
+        if spec.oracle is not None:
+            t0 = time.time()
+            con.execute(spec.oracle).fetchall()
+            t_duck = time.time() - t0
+        other_rows = sorted(map(tuple, other_fn(spark, replica).collect()))
+        ship_rows = sorted(map(tuple, spec.fn(spark, replica).collect()))
+        print(json.dumps({
+            "race": label,
+            "replica": replica,
+            "shipped_sec": round(t_ship, 3),
+            "variant_sec": round(t_other, 3),
+            "duckdb_sec": round(t_duck, 3) if t_duck is not None else None,
+            "shipped_speedup_vs_variant": round(t_other / t_ship, 2),
+            "ratio_vs_duckdb": round(t_ship / t_duck, 2) if t_duck else None,
+            "results_identical": other_rows == ship_rows,
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

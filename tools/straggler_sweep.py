@@ -76,12 +76,25 @@ def race_in_subprocess(name: str, replica: str) -> dict:
     blob = (proc.stderr or "") + (proc.stdout or "")
     oomish = any(s in blob for s in
                  ("OutOfMemory", "out of memory", "std::bad_alloc", "Cannot allocate"))
-    # only the allocator-death signals count as OOM evidence; a SIGINT/
-    # SIGTERM (operator interrupt) must not enter the round record as a
-    # baseline failure (round-9 review finding)
-    if oomish or proc.returncode in (-9, -11, -6):  # KILL / SEGV / ABRT
+    # ONLY an allocator-death message counts as OOM evidence (round-9
+    # ADVICE): a bare -9 can be an operator/cgroup SIGKILL and a bare
+    # -11/-6 a non-memory segfault/abort — recording those as
+    # oracle_oom would overstate the baseline's memory failures in the
+    # round record. Bare signal deaths go in as oracle_error with the
+    # signal name.
+    if oomish:
         return {"duckdb_sec": None, "oracle_oom": True,
                 "oracle_error": f"exit={proc.returncode}: {blob.strip()[-160:]}"}
+    if proc.returncode < 0:
+        import signal as _signal
+
+        try:
+            signame = _signal.Signals(-proc.returncode).name
+        except ValueError:
+            signame = f"signal {-proc.returncode}"
+        return {"duckdb_sec": None,
+                "oracle_error": f"died on {signame} (no allocator message): "
+                                f"{blob.strip()[-140:]}"}
     return {"duckdb_sec": None,
             "oracle_error": f"exit={proc.returncode}: {blob.strip()[-160:]}"}
 
