@@ -131,6 +131,12 @@ def scan_npy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     .npy (spec-faithful v1.0 writer, float32) sorted by vec_id, read
     back, and checksummed per row with integer (order-safe, f4→f8-exact)
     arithmetic the oracle mirrors from the source view.
+
+    The WRITE path (collect → np.array → write_npy) is driver-side by
+    construction and fixture-scale only — .npy is a single
+    contiguous-header file, so a distributed writer needs the Avro-sink
+    pattern (sources/avroplain.py: per-partition container files) if it
+    is ever needed; the distributed half of this entry is the READ.
     """
     import numpy as np
 

@@ -84,6 +84,50 @@ def test_decontaminate_planted(spark):
     assert hits[1]["n_bench_docs"] == 1
 
 
+def test_hash_quota_select_matches_rank_prefix(spark):
+    """The round-10 device must select EXACTLY the per-group row_number
+    prefix — including at quota edges: quota 0, quota ≥ n_g, quota
+    landing exactly on a bucket boundary, and groups absent from the
+    quota table (dropped). Checked against the literal window form."""
+    from pyspark.sql import Window
+
+    from data_engineering_capstone_spark.llm.curation import hash_quota_select
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    # prefix_len=1 → 16 buckets, so quotas regularly cross bucket edges
+    quotas = spark.createDataFrame(
+        [("a", 0), ("b", 7), ("c", 100), ("d", 1000)],  # d: quota > n_g
+        "grp string, __quota long",
+    )
+    got = hash_quota_select(df, "grp", "doc_id", quotas, prefix_len=1)
+    w = Window.partitionBy("grp").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    q = (
+        F.when(F.col("grp") == "a", 0)
+        .when(F.col("grp") == "b", 7)
+        .when(F.col("grp") == "c", 100)
+        .when(F.col("grp") == "d", 1000)
+    )
+    want = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= q)
+        .drop("__rn")
+    )
+    got_ids = sorted((r["grp"], r["doc_id"]) for r in got.collect())
+    want_ids = sorted((r["grp"], r["doc_id"]) for r in want.collect())
+    assert got_ids == want_ids
+    # layout independence
+    got2 = hash_quota_select(df.repartition(13), "grp", "doc_id", quotas, prefix_len=1)
+    assert sorted((r["grp"], r["doc_id"]) for r in got2.collect()) == got_ids
+    # absent group dropped
+    quotas_partial = spark.createDataFrame([("b", 5)], "grp string, __quota long")
+    only_b = hash_quota_select(df, "grp", "doc_id", quotas_partial)
+    assert {r["grp"] for r in only_b.collect()} == {"b"}
+    assert only_b.count() == 5
+
+
 def test_rebalance_mix_quota_and_determinism(spark):
     rows = [(i, "en" if i % 3 else "de") for i in range(90)]  # 60 en, 30 de
     df = spark.createDataFrame(rows, "doc_id long, lang string")
