@@ -243,12 +243,37 @@ def pack_sequences(
     )
 
 
+def hash_bucket_histogram(
+    df: DataFrame, group_col: str, id_col: str, prefix_len: int = 4
+) -> DataFrame:
+    """(group, __b, __n): row counts per (group, md5-prefix bucket) —
+    ONE map-side-combined pass over the corpus, locally checkpointed
+    because every consumer (quota decision, per-group totals, driver
+    quota math) re-reads this ≤ |groups|·16^prefix_len-row table and
+    must not re-scan the corpus per consumer (the lineage-reuse
+    discipline of llm/spans.py / bloom bits)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, prefix_len), 16, 10).cast("long")
+    return (
+        df.select(F.col(group_col), bucket.alias("__b"))
+        .groupBy(group_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint()
+    )
+
+
+def group_counts(histogram: DataFrame, group_col: str) -> DataFrame:
+    """(group, n_total) from a hash_bucket_histogram — no corpus scan."""
+    return histogram.groupBy(group_col).agg(F.sum("__n").alias("n_total"))
+
+
 def hash_quota_select(
     df: DataFrame,
     group_col: str,
     id_col: str,
     quotas: DataFrame,
     prefix_len: int = 4,
+    histogram: DataFrame | None = None,
 ) -> DataFrame:
     """Keep the per-group ``quota`` smallest rows by ``(md5(id), id)``
     WITHOUT a per-group global sort — the two-pass hash-threshold quota
@@ -284,14 +309,19 @@ def hash_quota_select(
     ``quotas`` must be a small DataFrame ``(group_col, __quota long)``.
     Selection is exact and deterministic: ties in md5 are broken by the
     (unique-per-group) id, so membership is layout-independent.
+
+    Pass ``histogram`` (a :func:`hash_bucket_histogram` of the SAME df
+    and prefix_len) when the caller already built it for quota math —
+    that makes the whole operator exactly TWO corpus scans (histogram +
+    filter), with every count the caller needs derived from the
+    checkpointed dimension-scale table.
     """
     h = F.md5(F.col(id_col).cast("string"))
-    bucket = F.conv(F.substring(h, 1, prefix_len), 16, 10).cast("long")
 
     counts = (
-        df.select(F.col(group_col), bucket.alias("__b"))
-        .groupBy(group_col, "__b")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        histogram
+        if histogram is not None
+        else hash_bucket_histogram(df, group_col, id_col, prefix_len)
     )
     w_cum = (
         Window.partitionBy(group_col)
@@ -353,14 +383,18 @@ def rebalance_mix(
     Selection rides :func:`hash_quota_select` (round-10 rewrite): same
     membership as the per-group row_number prefix, but the corpus is
     never sorted in ``|groups|`` tasks — the oracle keeps its
-    row_number form because the selected row SET is identical.
+    row_number form because the selected row SET is identical. The
+    corpus total comes from the device's own checkpointed histogram
+    (one scan serves quota math AND bucket decisions — no separate
+    count() pass).
     """
-    total = df.count()  # tiny scalar action; at 100 TB read from table stats
+    hist = hash_bucket_histogram(df, group_col, id_col)
+    total = hist.agg(F.sum("__n")).first()[0] or 0
     quotas = df.sparkSession.createDataFrame(
         [(g, total * int(bp) // 10000) for g, bp in sorted(weights_bp.items())],
         f"{group_col} string, __quota long",
     )
-    return hash_quota_select(df, group_col, id_col, quotas)
+    return hash_quota_select(df, group_col, id_col, quotas, histogram=hist)
 
 
 def bloom_decontaminate(
@@ -464,14 +498,16 @@ def temperature_mix(
     reproducible across engines and layouts.
 
     The group-count table is dimension-scale: quotas are computed on
-    the driver and attached as a literal CASE — at 100 TB the counts
-    come from table stats, the plan shape is unchanged.
+    the driver from the device's OWN checkpointed histogram (one corpus
+    scan serves quota math and bucket decisions) — at 100 TB the plan
+    shape is unchanged.
     """
     import math
 
+    hist = hash_bucket_histogram(df, group_col, id_col)
     counts = {
         r[0]: r[1]
-        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in group_counts(hist, group_col).collect()
     }
     total = sum(counts.values())
     keep_total = total * int(keep_bp) // 10000
@@ -493,4 +529,4 @@ def temperature_mix(
         ],
         f"{group_col} string, __quota long",
     )
-    return hash_quota_select(df, group_col, id_col, quotas)
+    return hash_quota_select(df, group_col, id_col, quotas, histogram=hist)

@@ -914,14 +914,15 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) with one tiny bucket-histogram exchange plus a rank over only
     the boundary bucket, so the oracle keeps its row_number form.
     """
-    from .llm.curation import hash_quota_select
+    from .llm.curation import group_counts, hash_bucket_histogram, hash_quota_select
 
     d = _t(spark, sf_dir, "documents").select("lang", "doc_id")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    hist = hash_bucket_histogram(d, "lang", "doc_id")
+    counts = group_counts(hist, "lang")  # no second corpus scan
     quotas = counts.select(
         "lang", F.ceil(F.col("n_total") * 0.2).cast("long").alias("__quota")
     )
-    kept = hash_quota_select(d, "lang", "doc_id", quotas)
+    kept = hash_quota_select(d, "lang", "doc_id", quotas, histogram=hist)
     return (
         kept.groupBy("lang")
         .agg(
@@ -1536,12 +1537,13 @@ def llm_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     but no |sources|-task sort; only the per-source boundary bucket is
     ever ranked.
     """
-    from .llm.curation import hash_quota_select
+    from .llm.curation import group_counts, hash_bucket_histogram, hash_quota_select
 
     d = _t(spark, sf_dir, "documents").select("source", "doc_id")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    hist = hash_bucket_histogram(d, "source", "doc_id")
+    counts = group_counts(hist, "source")  # no second corpus scan
     quotas = counts.select("source", F.lit(30).cast("long").alias("__quota"))
-    kept = hash_quota_select(d, "source", "doc_id", quotas)
+    kept = hash_quota_select(d, "source", "doc_id", quotas, histogram=hist)
     return (
         kept.groupBy("source")
         .agg(

@@ -84,7 +84,12 @@ def main() -> int:
     from data_engineering_capstone_spark.catalog import load_all
     from data_engineering_capstone_spark.session import get_spark
 
-    spark = get_spark("r10_endgame_2048")
+    # 2048× needs the SCALE.md §20 heap law applied the other way too:
+    # at 1.23B lineitem rows, 32 shuffle partitions put ~10M+ wide rows
+    # in each SMJ sorter — the second timed q9 run died
+    # UNABLE_TO_ACQUIRE_MEMORY even at 48g. 128 partitions bound the
+    # per-task sort at this octave (AQE still coalesces the small side).
+    spark = get_spark("r10_endgame_2048", shuffle_partitions=128)
     spark.sparkContext.setLogLevel("ERROR")
     build(spark)
     catalog = load_all()
