@@ -364,6 +364,7 @@ def rebalance_mix(
     group_col: str,
     id_col: str,
     weights_bp: dict[str, int],
+    histogram: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic target-mix rebalancing: downsample each group to
     ``total * weight_bp // 10000`` documents (capped at the group's
@@ -388,7 +389,7 @@ def rebalance_mix(
     (one scan serves quota math AND bucket decisions — no separate
     count() pass).
     """
-    hist = hash_bucket_histogram(df, group_col, id_col)
+    hist = histogram if histogram is not None else hash_bucket_histogram(df, group_col, id_col)
     total = hist.agg(F.sum("__n")).first()[0] or 0
     quotas = df.sparkSession.createDataFrame(
         [(g, total * int(bp) // 10000) for g, bp in sorted(weights_bp.items())],
@@ -483,6 +484,7 @@ def temperature_mix(
     id_col: str,
     keep_bp: int = 5000,
     alpha: float = 0.5,
+    histogram: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-based mixture reweighting: per-group quotas
     proportional to ``n_g ** alpha`` (alpha < 1 upsamples the tail
@@ -504,7 +506,7 @@ def temperature_mix(
     """
     import math
 
-    hist = hash_bucket_histogram(df, group_col, id_col)
+    hist = histogram if histogram is not None else hash_bucket_histogram(df, group_col, id_col)
     counts = {
         r[0]: r[1]
         for r in group_counts(hist, group_col).collect()

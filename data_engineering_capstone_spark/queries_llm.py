@@ -1429,16 +1429,16 @@ def llm_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash order (llm/curation.py). Membership-sensitive digests in the
     output catch quota-boundary divergence, not just counts.
     """
-    from .llm.curation import rebalance_mix
+    from .llm.curation import group_counts, hash_bucket_histogram, rebalance_mix
 
     d = _t(spark, sf_dir, "documents")
+    hist = hash_bucket_histogram(d, "lang", "doc_id")
     kept = rebalance_mix(
         d, "lang", "doc_id",
         {"de": 1200, "en": 2500, "es": 1200, "fr": 1200, "zh": 1200},
+        histogram=hist,
     )
-    n_lang = _t(spark, sf_dir, "documents").groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_total")
-    )
+    n_lang = group_counts(hist, "lang")  # from the shared histogram, no scan
     return (
         kept.groupBy("lang")
         .agg(
@@ -2270,14 +2270,15 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quota floors are engine-exact). Membership-sensitive digests
     (id_sum, first_hash) catch quota-boundary divergence.
     """
-    from .llm.curation import temperature_mix
+    from .llm.curation import group_counts, hash_bucket_histogram, temperature_mix
 
     d = _t(spark, sf_dir, "documents")
-    kept = temperature_mix(d, "lang", "doc_id", keep_bp=5000, alpha=0.5)
-    n_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    hist = hash_bucket_histogram(d, "lang", "doc_id")
+    kept = temperature_mix(d, "lang", "doc_id", keep_bp=5000, alpha=0.5, histogram=hist)
+    n_lang = group_counts(hist, "lang")  # from the shared histogram, no scan
     import math
 
-    counts = {r.lang: r.n_total for r in n_lang.collect()}
+    counts = {r["lang"]: r["n_total"] for r in n_lang.collect()}
     total = sum(counts.values())
     keep_total = total * 5000 // 10000
     z = 0.0  # sorted-order fold — must match curation.temperature_mix
