@@ -308,7 +308,10 @@ def hash_quota_select(
 
     ``quotas`` must be a small DataFrame ``(group_col, __quota long)``.
     Selection is exact and deterministic: ties in md5 are broken by the
-    (unique-per-group) id, so membership is layout-independent.
+    (unique-per-group) id, so membership is layout-independent. Ids
+    must be NON-NULL: a null id hashes to a null bucket and silently
+    drops at the bucket join, whereas the row_number form would sort it
+    first — every caller keys on a primary-key column.
 
     Pass ``histogram`` (a :func:`hash_bucket_histogram` of the SAME df
     and prefix_len) when the caller already built it for quota math —
