@@ -447,10 +447,22 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the old decimal→double-then-divide pair, and revenue = cents/100
     is the identical rounding to the old DECIMAL(18,2)→double cast.
     """
+    from .sources.pqmeta import scaled_width
+
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
+    # Round-10: the fact-fact exchange width scales with the fact
+    # (~4M rows/reducer, parquet-footer derived) instead of riding the
+    # session shuffle-partition default — measured 36.2 → 28.6 s at
+    # 1024× (the per-task SMJ sort was the whale), and the fixed-width
+    # form is an OOM at the 2048× octave (BASELINE.md Round 10). Both
+    # sides share the width so the join adds no extra exchange.
+    width = scaled_width(f"{sf_dir}/lineitem.parquet",
+                         spark.sparkContext.defaultParallelism)
+    li = li.repartition(width, "l_orderkey")
+    o = o.repartition(width, "o_orderkey")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)

@@ -227,22 +227,39 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata, so unit cost is substituted with 1% of p_retailprice —
     same plan: fact⋈3 dims⋈orders, LIKE filter on the part name, 2-key
     hash agg. All money math stays in decimal until the boundary.
+
+    Round-10: the fact-fact exchange width scales with the fact
+    (~4M rows/reducer from parquet footers, sources/pqmeta.py) —
+    applied AFTER the broadcast-dim prune so only surviving lineitems
+    cross the exchange, and shared by both sides so the join adds no
+    extra exchange. At the 2048× octave the fixed session width (32)
+    put ~10M rows in each SMJ sorter and died UNABLE_TO_ACQUIRE_MEMORY
+    (BASELINE.md Round 10); the plan-encoded width survives any octave
+    without per-run session tuning.
     """
+    from .sources.pqmeta import scaled_width
+
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     o = _t(spark, sf_dir, "orders")
+    width = scaled_width(f"{sf_dir}/orders.parquet",
+                         spark.sparkContext.defaultParallelism)
     cost = (
         _dec("p_retailprice")
         * F.lit("0.01").cast("decimal(4,2)")
         * _dec("l_quantity")
     )
-    return (
+    pruned = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(o, l.l_orderkey == o.o_orderkey)
+        .repartition(width, "l_orderkey")
+    )
+    return (
+        pruned.join(o.repartition(width, "o_orderkey"),
+                    F.col("l_orderkey") == o.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(_rev() - cost).cast("double").alias("sum_profit"))
         .orderBy("nation", "o_year")

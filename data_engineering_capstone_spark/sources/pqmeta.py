@@ -39,6 +39,20 @@ def parquet_total_bytes(path: str) -> int:
     return sum(os.path.getsize(f) for f in _parquet_files(path))
 
 
+def scaled_width(path: str, parallelism: int, rows_per_task: int = 4_000_000) -> int:
+    """Exchange width that scales with the fact: ~``rows_per_task`` rows
+    per reducer, floored at the cluster parallelism. The same ~4M-row
+    law as the bucketed-write fix (round 9) applied to fact-fact join
+    exchanges: a FIXED width (the shuffle-partition default) puts
+    corpus/N rows in each SMJ sorter, which at the 2048× octave died
+    UNABLE_TO_ACQUIRE_MEMORY — width must grow with the data, and
+    ``df.repartition(width, key)`` pins it plan-side so the entry
+    survives any octave without per-run session tuning (AQE leaves an
+    explicit repartition width alone). Both join sides must share the
+    width or the join re-exchanges."""
+    return max(parallelism, parquet_row_count(path) // rows_per_task + 1)
+
+
 def _parquet_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]
