@@ -14,6 +14,7 @@ scalar to the driver, so the suite runs unchanged at 100 TB.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 from dataclasses import dataclass
 
@@ -123,11 +124,28 @@ def exact_distinct_count(df: DataFrame, col: str) -> int:
       measured 46.5 s vs 7.7 s for this form.
 
     The fix is the fk_integrity device: repartition the raw keys on an
-    EXPLICIT width (2× parallelism) so the reducer count is pinned,
-    then partition-local distinct + count. Measured 64.8 s → 7.7 s at
-    the 256× replica; exact at any scale.
+    EXPLICIT width so the reducer count is pinned, then partition-local
+    distinct + count. Measured 64.8 s → 7.7 s at the 256× replica;
+    exact at any scale.
+
+    Round-10 width law: the explicit width FLOORS at 2× parallelism
+    (the proven small/mid-scale setting) but GROWS with the scanned
+    bytes (~1 reducer per 256 MB of input via df.inputFiles; key-only
+    rows are far narrower than their source, so this is conservative).
+    A fixed 2×cores width is a 100 TB ceiling by construction — the
+    same class as the fixed bucket count round 9 fixed; at the 2048×
+    replica the fixed 64 still worked (53.4 s, BASELINE.md Round 10),
+    but 600B keys over 64 reducers would not.
     """
     par = df.sparkSession.sparkContext.defaultParallelism * 2
+    try:
+        scanned = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in df.inputFiles()
+        )
+        par = max(par, min(scanned // (256 << 20), 65536))
+    except (OSError, ValueError):
+        pass  # non-local / non-file inputs: keep the parallelism floor
     return (
         df.select(F.col(col).alias("__k"))
         .where(F.col("__k").isNotNull())
