@@ -111,6 +111,26 @@ def check_suite_single_pass(
     return out
 
 
+def _distinct_width(df: DataFrame) -> int:
+    """Reducer width for the explicit-width distinct devices: floors at
+    2× parallelism (the proven small/mid-scale setting) and grows ~1
+    reducer per 256 MB of scanned input (df.inputFiles sizes; key-only
+    rows are far narrower than their source, so this is conservative).
+    A fixed 2×cores width is a 100 TB ceiling by construction — the
+    same class as the fixed bucket count round 9 fixed. Falls back to
+    the floor for non-file sources."""
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    try:
+        scanned = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in df.inputFiles()
+        )
+        par = max(par, min(scanned // (256 << 20), 65536))
+    except (OSError, ValueError):
+        pass
+    return par
+
+
 def exact_distinct_count(df: DataFrame, col: str) -> int:
     """Exact COUNT(DISTINCT col) over a fact-sized table, avoiding two
     measured traps in Spark's bare ``count_distinct`` plan (round-8,
@@ -137,15 +157,7 @@ def exact_distinct_count(df: DataFrame, col: str) -> int:
     replica the fixed 64 still worked (53.4 s, BASELINE.md Round 10),
     but 600B keys over 64 reducers would not.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism * 2
-    try:
-        scanned = sum(
-            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
-            for f in df.inputFiles()
-        )
-        par = max(par, min(scanned // (256 << 20), 65536))
-    except (OSError, ValueError):
-        pass  # non-local / non-file inputs: keep the parallelism floor
+    par = _distinct_width(df)
     return (
         df.select(F.col(col).alias("__k"))
         .where(F.col("__k").isNotNull())
@@ -297,7 +309,9 @@ def fk_integrity_report(
     ckeys = key_parts[0]
     for p in key_parts[1:]:
         ckeys = ckeys.unionByName(p)
-    par = ckeys.sparkSession.sparkContext.defaultParallelism * 2
+    # same byte-scaled width as exact_distinct_count — the fixed
+    # 2×cores form is a reducer-memory ceiling at 100 TB
+    par = _distinct_width(ckeys)
     dkeys = ckeys.repartition(par, "e", "__k").distinct()
 
     parent_parts = []
