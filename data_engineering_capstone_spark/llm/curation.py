@@ -347,10 +347,22 @@ def hash_quota_select(
         )
     )
 
+    # The decision table is bounded by kept-buckets ≈ Σ_g quota_g /
+    # (n_g / 16^prefix_len) — dimension-scale for every catalog use, but
+    # UNBOUNDED in general (a proportional quota over a huge |groups|
+    # inflates it toward the histogram size), so the broadcast hint is
+    # SIZE-GATED, not forced (the anti_semi_customers review standard:
+    # never force an unbounded build). decided derives from the
+    # checkpointed histogram, so materializing + counting it costs no
+    # corpus work; past the gate the join ships hint-free and AQE picks
+    # the strategy.
+    decided = decided.localCheckpoint()
+    if decided.count() <= 4_000_000:
+        decided = F.broadcast(decided)
     tagged = df.withColumn("__h", h).withColumn(
         "__b", F.conv(F.substring(F.col("__h"), 1, prefix_len), 16, 10).cast("long")
     )
-    joined = tagged.join(F.broadcast(decided), [group_col, "__b"])
+    joined = tagged.join(decided, [group_col, "__b"])
     full = joined.filter(F.col("__take").isNull())
     w_bnd = Window.partitionBy(group_col).orderBy("__h", id_col)
     boundary = (
