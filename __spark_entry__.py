@@ -83,7 +83,12 @@ _REWRITTEN_SINCE_CERT = (
     "llm_mix_rebalance",             # two-pass hash-threshold quota
     "llm_source_cap",                # two-pass hash-threshold quota
     "llm_stratified_sample",         # two-pass hash-threshold quota
-    "q4_priority_late_ship",         # distinct-key collapse before semi join
+    "q4_priority_late_ship",         # derived-pushdown semi join
+    "q9_product_profit",             # plan-encoded exchange width
+    "window_ratio_to_report",        # plan-encoded exchange width
+    "llm_quality_classifier",        # md5-once kernel
+    "etl_quality_report",            # byte-scaled distinct width
+    "etl_fk_integrity",              # byte-scaled distinct width
 )
 
 

@@ -117,16 +117,33 @@ def _distinct_width(df: DataFrame) -> int:
     reducer per 256 MB of scanned input (df.inputFiles sizes; key-only
     rows are far narrower than their source, so this is conservative).
     A fixed 2×cores width is a 100 TB ceiling by construction — the
-    same class as the fixed bucket count round 9 fixed. Falls back to
-    the floor for non-file sources."""
+    same class as the fixed bucket count round 9 fixed.
+
+    Remote inputs (hdfs://, s3a://, …) are sized through the Hadoop
+    FileSystem API instead of os.path (round-10 review: a bytes law
+    that silently reverts to the fixed floor exactly on remote storage
+    would reintroduce the ceiling where it matters most); if neither
+    probe works the width keeps the parallelism floor — degraded
+    tuning, never a failed plan."""
     par = df.sparkSession.sparkContext.defaultParallelism * 2
     try:
-        scanned = sum(
-            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
-            for f in df.inputFiles()
-        )
+        files = df.inputFiles()
+        local = [f for f in files if f.startswith("file:") or "://" not in f]
+        if len(local) == len(files):
+            scanned = sum(
+                os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+                for f in files
+            )
+        else:
+            # remote FS: one content-summary RPC per distinct parent dir
+            jvm = df.sparkSession._jvm
+            hconf = df.sparkSession._jsc.hadoopConfiguration()
+            scanned = 0
+            for d in {f.rsplit("/", 1)[0] for f in files}:
+                p = jvm.org.apache.hadoop.fs.Path(d)
+                scanned += p.getFileSystem(hconf).getContentSummary(p).getLength()
         par = max(par, min(scanned // (256 << 20), 65536))
-    except (OSError, ValueError):
+    except Exception:  # noqa: BLE001 — sizing is best-effort by contract
         pass
     return par
 

@@ -315,9 +315,19 @@ def hash_quota_select(
 
     Pass ``histogram`` (a :func:`hash_bucket_histogram` of the SAME df
     and prefix_len) when the caller already built it for quota math —
-    that makes the whole operator exactly TWO corpus scans (histogram +
-    filter), with every count the caller needs derived from the
-    checkpointed dimension-scale table.
+    every count the caller needs then derives from the checkpointed
+    dimension-scale table.
+
+    Scan ledger (round-10 review, measured): THREE corpus passes — the
+    histogram plus one column-pruned pass per union branch (full-bucket
+    and boundary; Catalyst does not dedupe common subplans across
+    union branches). The single-scan alternative (rank every kept row
+    via a window partitioned by (group, bucket)) replaces the extra
+    scan with a shuffle of ALL kept rows and measured SLOWER (5.15 vs
+    6.44 s at 1024×/20% quota, tools log round 10) even on local[32]
+    where shuffles never touch the network — the union form is kept
+    deliberately: scans are cheap and pruned, exchanges are the scarce
+    resource.
     """
     h = F.md5(F.col(id_col).cast("string"))
 
@@ -331,8 +341,15 @@ def hash_quota_select(
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # NULL-safe group joins throughout (round-10 review): the row_number
+    # oracle form ranks a NULL group as its own partition, so a plain
+    # equi-join here would silently drop a NULL stratum and diverge.
     decided = (
-        counts.join(quotas, group_col)
+        counts.join(
+            quotas.withColumnRenamed(group_col, "__qg"),
+            F.col(group_col).eqNullSafe(F.col("__qg")),
+        )
+        .drop("__qg")
         .withColumn("__cum", F.sum("__n").over(w_cum))
         .withColumn("__before", F.col("__cum") - F.col("__n"))
         # buckets entirely past the quota are dropped here, so the
@@ -362,7 +379,11 @@ def hash_quota_select(
     tagged = df.withColumn("__h", h).withColumn(
         "__b", F.conv(F.substring(F.col("__h"), 1, prefix_len), 16, 10).cast("long")
     )
-    joined = tagged.join(decided, [group_col, "__b"])
+    d2 = decided.withColumnRenamed(group_col, "__dg").withColumnRenamed("__b", "__db")
+    joined = tagged.join(
+        d2,
+        F.col(group_col).eqNullSafe(F.col("__dg")) & (F.col("__b") == F.col("__db")),
+    ).drop("__dg", "__db")
     full = joined.filter(F.col("__take").isNull())
     w_bnd = Window.partitionBy(group_col).orderBy("__h", id_col)
     boundary = (

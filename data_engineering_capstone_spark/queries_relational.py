@@ -1256,11 +1256,16 @@ def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strategy — the same degradation path as anti_semi_customers.
     from .sources.pqmeta import parquet_row_count
 
-    n_nations = max(1, parquet_row_count(f"{sf_dir}/nation.parquet"))
     budget = 256 << 20
 
     def gated(df2, dim_table):
-        est = parquet_row_count(f"{sf_dir}/{dim_table}.parquet") * 2 // n_nations * 64
+        # footer probe unreadable (remote FS) → NO hint: AQE decides,
+        # the safe degradation (never force an unsized build)
+        try:
+            n_nations = max(1, parquet_row_count(f"{sf_dir}/nation.parquet"))
+            est = parquet_row_count(f"{sf_dir}/{dim_table}.parquet") * 2 // n_nations * 64
+        except (OSError, ValueError):
+            return df2
         return F.broadcast(df2) if est < budget else df2
 
     c2 = c.join(F.broadcast(cn), c.c_nationkey == cn.cn_key).select(

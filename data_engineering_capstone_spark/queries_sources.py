@@ -290,7 +290,12 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         # already guarantees that here).
         from .sources.pqmeta import parquet_row_count
 
-        n_buckets = max(16, parquet_row_count(f"{sf_dir}/lineitem.parquet") // 4_000_000 + 1)
+        try:
+            n_rows = parquet_row_count(f"{sf_dir}/lineitem.parquet")
+        except (OSError, ValueError):
+            # remote FS: parquet count(*) is metadata-only — one cheap job
+            n_rows = li.count()
+        n_buckets = max(16, n_rows // 4_000_000 + 1)
         write_bucketed_table(li, l_tbl,
                              ["l_orderkey"], n_buckets, sort_cols=["l_orderkey"])
         write_bucketed_table(load_table(spark, sf_dir, "orders"), o_tbl,

@@ -17,6 +17,16 @@ it in O(files) metadata fetches — the same information Spark's own
 statistics use. Works for both layouts the repo sees: a single
 ``.parquet`` file (driver-generated testdata) and a Spark-written
 directory of part files (scale replicas, warehouse tables).
+
+REMOTE PATHS (round-10 review): these probes are os.path-based, so an
+hdfs:// or s3a:// table raises/returns nothing here. Callers must
+treat a probe failure as "unknown" and degrade to their safe branch —
+``scaled_width`` returns its parallelism floor, q7 drops its broadcast
+hint (AQE decides), the bucketed sink falls back to a metadata-only
+``df.count()``. A Hadoop-FS-native probe would need the JVM gateway;
+the graceful-degradation contract keeps the plans correct (never
+fatal, never an unbounded forced build) everywhere, at worst less
+tuned off local disk.
 """
 
 from __future__ import annotations
@@ -49,8 +59,14 @@ def scaled_width(path: str, parallelism: int, rows_per_task: int = 4_000_000) ->
     ``df.repartition(width, key)`` pins it plan-side so the entry
     survives any octave without per-run session tuning (AQE leaves an
     explicit repartition width alone). Both join sides must share the
-    width or the join re-exchanges."""
-    return max(parallelism, parquet_row_count(path) // rows_per_task + 1)
+    width or the join re-exchanges.
+
+    Non-local / unreadable paths degrade to the parallelism floor (the
+    pre-round-10 behavior) instead of failing the plan."""
+    try:
+        return max(parallelism, parquet_row_count(path) // rows_per_task + 1)
+    except (OSError, ValueError):
+        return parallelism
 
 
 def _parquet_files(path: str) -> list[str]:

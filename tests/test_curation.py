@@ -126,6 +126,30 @@ def test_hash_quota_select_matches_rank_prefix(spark):
     only_b = hash_quota_select(df, "grp", "doc_id", quotas_partial)
     assert {r["grp"] for r in only_b.collect()} == {"b"}
     assert only_b.count() == 5
+    # NULL group is a real stratum (round-10 review): the row_number
+    # oracle form ranks a NULL partition, so the device's joins must be
+    # null-safe or the stratum silently vanishes
+    rows_n = [(i, None if i % 5 == 0 else "x") for i in range(100)]
+    dfn = spark.createDataFrame(rows_n, "doc_id long, grp string")
+    quotas_n = spark.createDataFrame([(None, 7), ("x", 3)], "grp string, __quota long")
+    got_n = hash_quota_select(dfn, "grp", "doc_id", quotas_n)
+    by_grp = {}
+    for r in got_n.collect():
+        by_grp.setdefault(r["grp"], []).append(r["doc_id"])
+    assert len(by_grp.get(None, [])) == 7
+    assert len(by_grp.get("x", [])) == 3
+    w_n = Window.partitionBy("grp").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    want_n = (
+        dfn.withColumn("__rn", F.row_number().over(w_n))
+        .filter(F.col("__rn") <= F.when(F.col("grp").isNull(), 7).otherwise(3))
+        .drop("__rn")
+    )
+    keyf = lambda t: (t[0] is not None, t[0] or "", t[1])  # noqa: E731 — None sorts
+    assert sorted(((r["grp"], r["doc_id"]) for r in got_n.collect()), key=keyf) == sorted(
+        ((r["grp"], r["doc_id"]) for r in want_n.collect()), key=keyf
+    )
 
 
 def test_rebalance_mix_quota_and_determinism(spark):

@@ -254,9 +254,14 @@ def main() -> int:
         t_ship = time_best(lambda: run(spec.fn), reps)
         t_duck = None
         if spec.oracle is not None:
-            t0 = time.time()
+            # best-of-reps with a warm first run, matching the Spark
+            # protocol (round-10 review: a single cold duck run inflates
+            # the baseline and flatters ratio_vs_duckdb)
             con.execute(spec.oracle).fetchall()
-            t_duck = time.time() - t0
+            for _ in range(reps):
+                t0 = time.time()
+                con.execute(spec.oracle).fetchall()
+                t_duck = min(t_duck or 1e9, time.time() - t0)
         other_rows = sorted(map(tuple, other_fn(spark, replica).collect()))
         ship_rows = sorted(map(tuple, spec.fn(spark, replica).collect()))
         print(json.dumps({

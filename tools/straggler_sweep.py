@@ -92,9 +92,14 @@ def race_in_subprocess(name: str, replica: str) -> dict:
             signame = _signal.Signals(-proc.returncode).name
         except ValueError:
             signame = f"signal {-proc.returncode}"
+        # NOTE: a kernel/cgroup oom-killer death is a silent SIGKILL —
+        # it lands here, not in oracle_oom, because there is no way to
+        # distinguish it from an operator kill without /var/log access;
+        # the signal name in the record lets the round reviewer decide.
         return {"duckdb_sec": None,
-                "oracle_error": f"died on {signame} (no allocator message): "
-                                f"{blob.strip()[-140:]}"}
+                "oracle_error": f"died on {signame} (no allocator message; "
+                                f"a cgroup oom-kill also looks like this): "
+                                f"{blob.strip()[-120:]}"}
     return {"duckdb_sec": None,
             "oracle_error": f"exit={proc.returncode}: {blob.strip()[-160:]}"}
 
