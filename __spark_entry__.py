@@ -68,27 +68,23 @@ def _driver_certified() -> set[str]:
 # current implementation, so they must re-enter the sample window ahead
 # of stably-certified entries.  Maintained by hand per round; remove a
 # name once a post-rewrite CORRECTNESS file certifies it.
-_REWRITTEN_SINCE_CERT = (
-    # round 9 rewrites (judge re-verified bit-exact at sf0.01, but the
-    # driver's own r9 sample ran the pre-rewrite forms):
-    "cube_status_priority",
-    "agg_corr_covar",
-    "q7_bilateral_volume",
-    "anti_semi_customers",
-    "bucketed_join_zero_shuffle",
-    "stream_minhash_dedup",
-    # round 10 rewrites:
-    "ref_demographics_race_pivot",   # oracle BIGINT casts (the r9 red row)
-    "llm_temperature_mix",           # two-pass hash-threshold quota
-    "llm_mix_rebalance",             # two-pass hash-threshold quota
-    "llm_source_cap",                # two-pass hash-threshold quota
-    "llm_stratified_sample",         # two-pass hash-threshold quota
-    "q4_priority_late_ship",         # derived-pushdown semi join
-    "q9_product_profit",             # plan-encoded exchange width
-    "window_ratio_to_report",        # plan-encoded exchange width
-    "llm_quality_classifier",        # md5-once kernel
-    "etl_quality_report",            # byte-scaled distinct width
-    "etl_fk_integrity",              # byte-scaled distinct width
+# Round during which the names below were rewritten.  A CORRECTNESS file
+# from round >= _REWRITE_ROUND that certifies a listed name makes the list
+# stale (tests/test_contract.py::test_rewritten_list_not_stale fails) —
+# the name must then be pruned.
+_REWRITE_ROUND = 11
+
+_REWRITTEN_SINCE_CERT: tuple[str, ...] = (
+    # (r9/r10 rewrites all re-certified in CORRECTNESS_r10.json — pruned
+    # per this list's contract; tests/test_contract.py enforces that any
+    # listed name is absent from the latest green CORRECTNESS file.)
+    # round 11 rewrites:
+    "agg_corr_covar",         # corr → corr_e9 scaled-BIGINT (DuckDB cast hazard)
+    "llm_source_cap",         # adaptive tiny-quota path in hash_quota_select
+    "llm_stratified_sample",  # null-safe counts join (ADVICE r10)
+    "q5_revenue_by_nation",   # footer-derived exchange width (width law)
+    "q3_top_orders",          # footer-derived exchange width (width law)
+    "asof_purchase_click",    # footer-derived exchange width (width law)
 )
 
 

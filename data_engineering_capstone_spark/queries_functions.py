@@ -506,9 +506,9 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            (sxy / n - (sx / n) * (sy / n)) AS covar_pop,
-           (sxy / n - (sx / n) * (sy / n))
+           CAST(round(((sxy / n - (sx / n) * (sy / n))
              / (sqrt(sxx / n - (sx / n) * (sx / n))
-                * sqrt(syy / n - (sy / n) * (sy / n))) AS corr
+                * sqrt(syy / n - (sy / n) * (sy / n)))) * 1e9) AS BIGINT) AS corr_e9
     FROM m ORDER BY l_returnflag
     """,
 )
@@ -601,8 +601,21 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("sxx") / n - (sx / n) * (sx / n))
         * F.sqrt(F.col("syy") / n - (sy / n) * (sy / n))
     )
+    # corr crosses the syy double: DuckDB's DECIMAL→DOUBLE cast is NOT
+    # correctly rounded once the decimal's unit integer exceeds 2^53
+    # (int128→double, THEN ×10^-4 — two roundings; measured 1-ulp-off on
+    # syy at sf0.001, round 11), while Spark's BigDecimal cast is exact.
+    # So corr ships as the scaled-BIGINT device (scalar_math convention):
+    # CAST(round(corr·1e9) AS BIGINT) both sides — 1-ulp drift (~4e-18)
+    # flips a 5e-10 cell edge with prob ~7e-9. covar_pop stays raw
+    # double: it reads only sxy/sx/sy, whose unit integers stay under
+    # 2^53 through sf0.1 (sxy_units ≈ 2.5e15 there), so both engines'
+    # casts are exact and the assembly is deterministic.
     return m.select(
-        "l_returnflag", "n", covar.alias("covar_pop"), corr.alias("corr")
+        "l_returnflag",
+        "n",
+        covar.alias("covar_pop"),
+        F.round(corr * F.lit(1e9)).cast("bigint").alias("corr_e9"),
     ).orderBy("l_returnflag")
 
 
