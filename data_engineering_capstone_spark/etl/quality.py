@@ -135,13 +135,20 @@ def _distinct_width(df: DataFrame) -> int:
                 for f in files
             )
         else:
-            # remote FS: one content-summary RPC per distinct parent dir
+            # remote FS: one getFileStatus RPC per INPUT FILE (round-11
+            # ADVICE fix: summing getContentSummary over deduped parent
+            # dirs over-counts siblings — single-file tables laid out as
+            # {dir}/<table>.parquet all share one parent, so each table
+            # was charged the whole directory's bytes and the width
+            # inflated toward the 65536 cap). Per-file status is what
+            # the scan planner itself already listed, and it charges
+            # exactly the bytes this df reads.
             jvm = df.sparkSession._jvm
             hconf = df.sparkSession._jsc.hadoopConfiguration()
             scanned = 0
-            for d in {f.rsplit("/", 1)[0] for f in files}:
-                p = jvm.org.apache.hadoop.fs.Path(d)
-                scanned += p.getFileSystem(hconf).getContentSummary(p).getLength()
+            for f in files:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                scanned += p.getFileSystem(hconf).getFileStatus(p).getLen()
         par = max(par, min(scanned // (256 << 20), 65536))
     except Exception:  # noqa: BLE001 — sizing is best-effort by contract
         pass

@@ -258,6 +258,15 @@ def hash_bucket_histogram(
         df.select(F.col(group_col), bucket.alias("__b"))
         .groupBy(group_col, "__b")
         .agg(F.count(F.lit(1)).alias("__n"))
+        # prefix_len rides the schema (column metadata, zero runtime
+        # cost) so hash_quota_select can reject a histogram built at a
+        # different prefix — bucket ids from mismatched prefixes
+        # silently select the wrong row set (round-10 ADVICE).
+        .select(
+            group_col,
+            F.col("__b").alias("__b", metadata={"prefix_len": prefix_len}),
+            "__n",
+        )
         .localCheckpoint()
     )
 
@@ -267,6 +276,85 @@ def group_counts(histogram: DataFrame, group_col: str) -> DataFrame:
     return histogram.groupBy(group_col).agg(F.sum("__n").alias("n_total"))
 
 
+def _tiny_quota_select(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    quotas: DataFrame,
+    prefix_len: int,
+    group_totals: DataFrame,
+) -> DataFrame | None:
+    """Adaptive tiny-quota arm of :func:`hash_quota_select` (round-10
+    verdict task 2 — the `llm_source_cap` watch row).
+
+    When every group's quota is ≤ 1/64 of its rows, the quota-smallest
+    rows by (md5, id) almost surely carry an md5 prefix below
+    ``cut_g = ceil(8 · quota_g · 16^L / n_g)`` (md5 uniform ⇒ the
+    filtered set is Binomial with mean 8·quota_g; P(< quota_g) ≤
+    exp(−49·quota_g/16) ≈ e^−92 at quota 30). Because fixed-width hex
+    prefixes sort with the full hash, "≥ quota_g rows below the cutoff"
+    PROVES the global quota-prefix lies wholly below it — so the rank
+    over the filtered ~8·Σquota rows is exactly the row_number
+    selection, and a verified per-group shortfall (the e^−92 tail, or a
+    caller-supplied ``group_totals`` that overstates a group) returns
+    None so the caller falls back to the histogram device. Exact for
+    every outcome; uniformity buys only speed.
+
+    Cost when armed: one broadcast of the dimension-scale cutoff table,
+    ONE corpus pass (map-only broadcast-hash filter — the corpus never
+    shuffles), a dimension-scale verification aggregate over the
+    checkpointed filtered set, and a rank over ~8·Σquota rows. No
+    16^L-per-group histogram state, no full/boundary union scans.
+    """
+    from pyspark.sql import types as T
+
+    space = 16 ** prefix_len
+    tot = {r[0]: r[1] for r in group_totals.collect()}
+    q = {r[0]: r[1] for r in quotas.collect()}
+    live = [g for g, n in q.items() if n and n > 0 and tot.get(g, 0)]
+    if not live:
+        # every quota is 0 (or every quota'd group is empty): keep nothing,
+        # matching the histogram device's inner-join semantics
+        return df.where(F.lit(False))
+    if any(q[g] * 64 > tot[g] for g in live):
+        return None  # not tiny: the histogram device is the right plan
+    margin = 8
+    cut_rows = [
+        (g, int(q[g]), min(space, -(-margin * int(q[g]) * space // int(tot[g]))))
+        for g in live
+    ]
+    schema = T.StructType(
+        [
+            quotas.schema[group_col],
+            T.StructField("__quota", T.LongType()),
+            T.StructField("__cut", T.LongType()),
+        ]
+    )
+    cut = df.sparkSession.createDataFrame(cut_rows, schema)
+    tagged = df.withColumn("__h", F.md5(F.col(id_col).cast("string"))).withColumn(
+        "__b", F.conv(F.substring(F.col("__h"), 1, prefix_len), 16, 10).cast("long")
+    )
+    c2 = cut.withColumnRenamed(group_col, "__cg")
+    flt = (
+        tagged.join(
+            F.broadcast(c2),
+            F.col(group_col).eqNullSafe(F.col("__cg"))
+            & (F.col("__b") < F.col("__cut")),
+        )
+        .drop("__cg", "__cut")
+        .localCheckpoint()  # one corpus pass serves verify AND rank
+    )
+    got = {r[0]: r[1] for r in flt.groupBy(group_col).count().collect()}
+    if any(c < space and got.get(g, 0) < nq for g, nq, c in cut_rows):
+        return None  # verified shortfall: exactness falls back, never degrades
+    w = Window.partitionBy(group_col).orderBy("__h", id_col)
+    return (
+        flt.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("__quota"))
+        .select(*df.columns)
+    )
+
+
 def hash_quota_select(
     df: DataFrame,
     group_col: str,
@@ -274,6 +362,7 @@ def hash_quota_select(
     quotas: DataFrame,
     prefix_len: int = 4,
     histogram: DataFrame | None = None,
+    group_totals: DataFrame | None = None,
 ) -> DataFrame:
     """Keep the per-group ``quota`` smallest rows by ``(md5(id), id)``
     WITHOUT a per-group global sort — the two-pass hash-threshold quota
@@ -316,7 +405,31 @@ def hash_quota_select(
     Pass ``histogram`` (a :func:`hash_bucket_histogram` of the SAME df
     and prefix_len) when the caller already built it for quota math —
     every count the caller needs then derives from the checkpointed
-    dimension-scale table.
+    dimension-scale table. A histogram built at a DIFFERENT prefix_len
+    is rejected (its schema records the prefix it was built with):
+    bucket ids would not match the tags recomputed from the corpus and
+    the device would silently select the wrong rows.
+
+    Pass ``group_totals`` (``(group_col, n_total)``, dimension-scale,
+    e.g. a plain ``groupBy(group).count()``) INSTEAD of a histogram to
+    arm the ADAPTIVE TINY-QUOTA path (round-10 verdict task 2): when
+    every group's quota is ≤ 1/64 of its rows, the histogram pass is
+    skipped entirely — md5 is uniform, so the quota-smallest rows all
+    live under a per-group hash-prefix cutoff sized at 8× the quota's
+    expected share; ONE column-pruned corpus pass filters to that
+    prefix (a broadcast hash join against the dimension-scale cutoff
+    table, no shuffle of the corpus) and the surviving ~8·Σquota rows
+    take the exact (md5, id) rank. Exactness does NOT rest on the md5
+    uniformity assumption: the filtered per-group counts are verified
+    against the quotas (a dimension-scale aggregate over the
+    checkpointed filtered set), and any shortfall falls back to the
+    histogram device — so the selected set is ALWAYS the global
+    row_number prefix, and ``group_totals`` accuracy affects only the
+    trigger and the cutoff margin, never membership. Shuffle ledger
+    when armed: the totals pass the caller already needed, one
+    broadcast, one rank over ~8·Σquota rows — two corpus passes
+    total vs the classic three, and no 16^prefix_len-per-group
+    aggregation state.
 
     Scan ledger (round-10 review, measured): THREE corpus passes — the
     histogram plus one column-pruned pass per union branch (full-bucket
@@ -330,6 +443,23 @@ def hash_quota_select(
     resource.
     """
     h = F.md5(F.col(id_col).cast("string"))
+
+    if histogram is not None:
+        meta = histogram.schema["__b"].metadata or {}
+        hist_plen = meta.get("prefix_len")
+        if hist_plen is not None and int(hist_plen) != prefix_len:
+            raise ValueError(
+                f"histogram was built with prefix_len={hist_plen} but "
+                f"hash_quota_select was called with prefix_len={prefix_len}; "
+                f"bucket ids would not match the tags recomputed from the corpus"
+            )
+
+    if histogram is None and group_totals is not None:
+        selected = _tiny_quota_select(
+            df, group_col, id_col, quotas, prefix_len, group_totals
+        )
+        if selected is not None:
+            return selected
 
     counts = (
         histogram
@@ -370,11 +500,20 @@ def hash_quota_select(
     # inflates it toward the histogram size), so the broadcast hint is
     # SIZE-GATED, not forced (the anti_semi_customers review standard:
     # never force an unbounded build). decided derives from the
-    # checkpointed histogram, so materializing + counting it costs no
+    # checkpointed histogram, so materializing + sizing it costs no
     # corpus work; past the gate the join ships hint-free and AQE picks
-    # the strategy.
+    # the strategy. The gate is a BYTE budget, not a row count
+    # (round-10 ADVICE: 4M rows of wide group strings serialize to
+    # hundreds of MB and the per-executor hash relation more) — q7's
+    # convention: measured rows × (avg group width + 64 B hash-relation
+    # footprint for the two longs + entry overhead) against 256 MB.
     decided = decided.localCheckpoint()
-    if decided.count() <= 4_000_000:
+    _stats = decided.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.length(F.col(group_col).cast("string"))).alias("w"),
+    ).first()
+    _est = (_stats["n"] or 0) * (int(_stats["w"] or 0) + 64)
+    if _est <= (256 << 20):
         decided = F.broadcast(decided)
     tagged = df.withColumn("__h", h).withColumn(
         "__b", F.conv(F.substring(F.col("__h"), 1, prefix_len), 16, 10).cast("long")
@@ -401,6 +540,7 @@ def rebalance_mix(
     id_col: str,
     weights_bp: dict[str, int],
     histogram: DataFrame | None = None,
+    prefix_len: int = 4,
 ) -> DataFrame:
     """Deterministic target-mix rebalancing: downsample each group to
     ``total * weight_bp // 10000`` documents (capped at the group's
@@ -425,13 +565,24 @@ def rebalance_mix(
     (one scan serves quota math AND bucket decisions — no separate
     count() pass).
     """
-    hist = histogram if histogram is not None else hash_bucket_histogram(df, group_col, id_col)
+    # prefix_len threads to BOTH the histogram build and the selector
+    # (round-10 ADVICE: a caller histogram at another prefix used to be
+    # forwarded against the hardcoded default and silently selected the
+    # wrong rows — now also rejected inside hash_quota_select via the
+    # prefix recorded on the histogram's schema).
+    hist = (
+        histogram
+        if histogram is not None
+        else hash_bucket_histogram(df, group_col, id_col, prefix_len)
+    )
     total = hist.agg(F.sum("__n")).first()[0] or 0
     quotas = df.sparkSession.createDataFrame(
         [(g, total * int(bp) // 10000) for g, bp in sorted(weights_bp.items())],
         f"{group_col} string, __quota long",
     )
-    return hash_quota_select(df, group_col, id_col, quotas, histogram=hist)
+    return hash_quota_select(
+        df, group_col, id_col, quotas, prefix_len=prefix_len, histogram=hist
+    )
 
 
 def bloom_decontaminate(
@@ -521,6 +672,7 @@ def temperature_mix(
     keep_bp: int = 5000,
     alpha: float = 0.5,
     histogram: DataFrame | None = None,
+    prefix_len: int = 4,
 ) -> DataFrame:
     """Temperature-based mixture reweighting: per-group quotas
     proportional to ``n_g ** alpha`` (alpha < 1 upsamples the tail
@@ -542,7 +694,11 @@ def temperature_mix(
     """
     import math
 
-    hist = histogram if histogram is not None else hash_bucket_histogram(df, group_col, id_col)
+    hist = (
+        histogram
+        if histogram is not None
+        else hash_bucket_histogram(df, group_col, id_col, prefix_len)
+    )
     counts = {
         r[0]: r[1]
         for r in group_counts(hist, group_col).collect()
@@ -567,4 +723,6 @@ def temperature_mix(
         ],
         f"{group_col} string, __quota long",
     )
-    return hash_quota_select(df, group_col, id_col, quotas, histogram=hist)
+    return hash_quota_select(
+        df, group_col, id_col, quotas, prefix_len=prefix_len, histogram=hist
+    )

@@ -932,7 +932,15 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_sum"),
             F.min(F.md5(F.col("doc_id").cast("string"))).alias("first_hash"),
         )
-        .join(F.broadcast(counts), "lang")
+        # NULL-SAFE report join (round-10 ADVICE): a plain equi-join
+        # would drop a NULL-lang stratum that the row_number oracle
+        # ranks as its own partition — undoing the null-safe joins
+        # inside hash_quota_select.
+        .join(
+            F.broadcast(counts.withColumnRenamed("lang", "__cg")),
+            F.col("lang").eqNullSafe(F.col("__cg")),
+        )
+        .drop("__cg")
         .select("lang", "n_sampled", "n_total", "id_sum", "first_hash")
         .orderBy("lang")
     )
@@ -1536,21 +1544,45 @@ def llm_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number over the corpus — same selected rows (oracle unchanged),
     but no |sources|-task sort; only the per-source boundary bucket is
     ever ranked.
+
+    Round-11 rewrite (the round-10 watch row): the entry passes
+    ``group_totals`` instead of a pre-built histogram, arming the
+    ADAPTIVE TINY-QUOTA path — a fixed cap of 30 over web-scale sources
+    is exactly the quota/corpus ratio where the 16^4-bucket histogram
+    pass is pure overhead. When every source's cap is ≤ 1/64 of its
+    rows (every production corpus; NOT the 25-row sf0.01 groups, which
+    exercise the classic fallback), the corpus sees ONE map-only
+    broadcast-filtered pass instead of histogram + two union scans; the
+    filtered ~8·30·|sources| rows take the exact (md5, id) rank, with a
+    verified per-group fallback so membership is unconditionally the
+    row_number prefix. The per-source totals the entry needs anyway are
+    ONE map-side-combined count pass (20-row state, checkpointed — it
+    feeds quota math, the device trigger, and the report join without
+    re-scanning). The final report join is NULL-SAFE (round-10 ADVICE:
+    a plain equi-join dropped a NULL-source stratum that the row_number
+    oracle retains).
     """
-    from .llm.curation import group_counts, hash_bucket_histogram, hash_quota_select
+    from .llm.curation import hash_quota_select
 
     d = _t(spark, sf_dir, "documents").select("source", "doc_id")
-    hist = hash_bucket_histogram(d, "source", "doc_id")
-    counts = group_counts(hist, "source")  # no second corpus scan
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .localCheckpoint()
+    )
     quotas = counts.select("source", F.lit(30).cast("long").alias("__quota"))
-    kept = hash_quota_select(d, "source", "doc_id", quotas, histogram=hist)
+    kept = hash_quota_select(d, "source", "doc_id", quotas, group_totals=counts)
     return (
         kept.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.sum("doc_id").alias("kept_id_sum"),
         )
-        .join(F.broadcast(counts), "source")
+        .join(
+            F.broadcast(counts.withColumnRenamed("source", "__cg")),
+            F.col("source").eqNullSafe(F.col("__cg")),
+        )
+        .drop("__cg")
         .select("source", "n_total", "n_kept", "kept_id_sum")
         .orderBy("source")
     )

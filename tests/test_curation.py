@@ -184,3 +184,131 @@ def test_temperature_mix_upsamples_tail(spark):
     ids2 = sorted(r.doc_id for r in
                   temperature_mix(df, "grp", "doc_id", keep_bp=5000, alpha=0.5).collect())
     assert ids1 == ids2
+
+
+def test_tiny_quota_adaptive_path_exact(spark):
+    """Round-11 adaptive arm: when every quota is ≤ 1/64 of its group,
+    _tiny_quota_select must (a) actually arm, and (b) select EXACTLY the
+    per-group row_number prefix — including a NULL stratum — and the
+    public entry point must agree under any layout."""
+    from pyspark.sql import Window
+
+    from data_engineering_capstone_spark.llm.curation import (
+        _tiny_quota_select,
+        hash_quota_select,
+    )
+
+    rows = [(i, [None, "a", "b", "c"][i % 4]) for i in range(8000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    totals = df.groupBy("grp").agg(F.count(F.lit(1)).alias("n_total"))
+    quotas = spark.createDataFrame(
+        [(None, 11), ("a", 7), ("b", 31), ("c", 1)], "grp string, __quota long"
+    )
+    armed = _tiny_quota_select(df, "grp", "doc_id", quotas, 4, totals)
+    assert armed is not None, "trigger must arm at quota ≤ n_g/64"
+    w = Window.partitionBy("grp").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    q = (
+        F.when(F.col("grp").isNull(), 11)
+        .when(F.col("grp") == "a", 7)
+        .when(F.col("grp") == "b", 31)
+        .otherwise(1)
+    )
+    want = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= q)
+        .drop("__rn")
+    )
+    keyf = lambda t: (t[0] is not None, t[0] or "", t[1])  # noqa: E731
+    want_ids = sorted(((r["grp"], r["doc_id"]) for r in want.collect()), key=keyf)
+    assert sorted(((r["grp"], r["doc_id"]) for r in armed.collect()), key=keyf) == want_ids
+    # public entry point, different layout, same membership
+    got = hash_quota_select(
+        df.repartition(17), "grp", "doc_id", quotas, group_totals=totals
+    )
+    assert sorted(((r["grp"], r["doc_id"]) for r in got.collect()), key=keyf) == want_ids
+
+
+def test_tiny_quota_trigger_and_fallback(spark):
+    """The adaptive arm declines (returns None) when a quota exceeds
+    1/64 of its group, and when overstated group_totals shrink the
+    cutoff below the verified need — and the public entry point stays
+    exact through the fallback in both cases."""
+    from data_engineering_capstone_spark.llm.curation import (
+        _tiny_quota_select,
+        hash_quota_select,
+    )
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    totals = df.groupBy("grp").agg(F.count(F.lit(1)).alias("n_total"))
+    # quota 100 of 1000 rows: ratio 1/10 > 1/64 → decline
+    fat = spark.createDataFrame([("a", 100), ("b", 5)], "grp string, __quota long")
+    assert _tiny_quota_select(df, "grp", "doc_id", fat, 4, totals) is None
+    # overstated totals (1000×) → cutoff ~0 rows → verified shortfall → decline
+    lying = totals.withColumn("n_total", F.col("n_total") * 1000000)
+    tiny = spark.createDataFrame([("a", 5), ("b", 5)], "grp string, __quota long")
+    assert _tiny_quota_select(df, "grp", "doc_id", tiny, 4, lying) is None
+    # the public form still selects the exact prefix through the fallback
+    got = hash_quota_select(df, "grp", "doc_id", tiny, group_totals=lying)
+    honest = hash_quota_select(df, "grp", "doc_id", tiny)
+    assert sorted((r["grp"], r["doc_id"]) for r in got.collect()) == sorted(
+        (r["grp"], r["doc_id"]) for r in honest.collect()
+    )
+    # all-zero quotas with totals armed → empty, preserving schema
+    zero = spark.createDataFrame([("a", 0), ("b", 0)], "grp string, __quota long")
+    empty = hash_quota_select(df, "grp", "doc_id", zero, group_totals=totals)
+    assert empty.count() == 0 and empty.columns == df.columns
+
+
+def test_histogram_prefix_len_mismatch_rejected(spark):
+    """Round-10 ADVICE: a histogram built at another prefix_len must be
+    rejected, not silently joined against recomputed tags — and the mix
+    helpers must thread a non-default prefix_len end to end."""
+    from data_engineering_capstone_spark.llm.curation import (
+        hash_bucket_histogram,
+        hash_quota_select,
+        temperature_mix,
+    )
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    hist2 = hash_bucket_histogram(df, "lang", "doc_id", prefix_len=2)
+    quotas = spark.createDataFrame([("en", 5), ("de", 5)], "lang string, __quota long")
+    with pytest.raises(ValueError, match="prefix_len=2"):
+        hash_quota_select(df, "lang", "doc_id", quotas, prefix_len=3, histogram=hist2)
+    # matching prefix passes and selects the same membership as default
+    a = hash_quota_select(df, "lang", "doc_id", quotas, prefix_len=2, histogram=hist2)
+    b = hash_quota_select(df, "lang", "doc_id", quotas)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+    # rebalance/temperature thread prefix_len (membership is prefix-invariant)
+    k3 = rebalance_mix(df, "lang", "doc_id", {"en": 5000, "de": 1000}, prefix_len=3)
+    k4 = rebalance_mix(df, "lang", "doc_id", {"en": 5000, "de": 1000})
+    assert sorted(r["doc_id"] for r in k3.collect()) == sorted(
+        r["doc_id"] for r in k4.collect()
+    )
+    t3 = temperature_mix(df, "lang", "doc_id", keep_bp=5000, prefix_len=3)
+    t4 = temperature_mix(df, "lang", "doc_id", keep_bp=5000)
+    assert sorted(r["doc_id"] for r in t3.collect()) == sorted(
+        r["doc_id"] for r in t4.collect()
+    )
+
+
+def test_entry_report_joins_keep_null_stratum(spark, tmp_path):
+    """Round-10 ADVICE: llm_stratified_sample / llm_source_cap must not
+    drop a NULL-group stratum at the final counts join (the row_number
+    oracles retain it)."""
+    from data_engineering_capstone_spark.catalog import load_all
+
+    rows = [(i, None if i % 10 == 0 else f"s{i % 3}", None if i % 7 == 0 else "en")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    cat = load_all()
+    cap = cat["llm_source_cap"].fn(spark, str(tmp_path)).collect()
+    assert any(r["source"] is None for r in cap), "NULL source stratum dropped"
+    strat = cat["llm_stratified_sample"].fn(spark, str(tmp_path)).collect()
+    assert any(r["lang"] is None for r in strat), "NULL lang stratum dropped"
