@@ -85,6 +85,13 @@ _REWRITTEN_SINCE_CERT: tuple[str, ...] = (
     "q5_revenue_by_nation",   # footer-derived exchange width (width law)
     "q3_top_orders",          # footer-derived exchange width (width law)
     "asof_purchase_click",    # footer-derived exchange width (width law)
+    "q7_bilateral_volume",    # width law
+    "q20_promo_part_suppliers",  # width law + inner-join form
+    "etl_cdc_snapshot_diff",  # width law (null-safe exprs)
+    "etl_dedup_first_event",  # width law via dedup_exact
+    "etl_scd2_customer_segment",  # width law via scd2_apply
+    "window_running_orders",  # width law (fact window)
+    "sql_lateral_topk",       # in-lateral custkey bound
 )
 
 

@@ -37,8 +37,17 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join via tagged union + forward-fill window."""
+    """Backward as-of join via tagged union + forward-fill window.
+
+    ``num_partitions`` pins the tagged-union exchange's width plan-side
+    (round-11 width law, sources/pqmeta.py:scaled_width): the window
+    sorts BOTH sides' rows per task, so a session-width exchange holds
+    (|left|+|right|)/N rows per sorter — the q9 2048× OOM class on any
+    fact-cardinality key. The repartition satisfies the window's
+    distribution, so no second exchange.
+    """
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in keys and c != right_ts
@@ -83,7 +92,10 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = lhs.unionByName(rhs).withColumn(
+    tagged = lhs.unionByName(rhs)
+    if num_partitions is not None:
+        tagged = tagged.repartition(num_partitions, *keys)
+    filled = tagged.withColumn(
         "__r_filled", F.last(F.col("__r"), ignorenulls=True).over(w)
     )
     return filled.filter(F.col("__is_left") == 1).select(

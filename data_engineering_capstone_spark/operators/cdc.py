@@ -23,12 +23,17 @@ def snapshot_diff(
     new: DataFrame,
     keys: list[str],
     compare_cols: list[str],
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Changeset between snapshots: rows only in ``new`` → 'I', only in
     ``old`` → 'D', in both with any ``compare_cols`` difference → 'U'
     (null-safe comparison: NULL → value and value → NULL are updates).
     Unchanged rows are filtered out. Output: op, keys, and
     old_/new_-prefixed compare columns.
+
+    ``num_partitions`` pins the full-outer join's exchange width
+    plan-side (round-11 width law): both snapshots are fact-scale, so a
+    session-width SMJ sorter here is the q9 2048× OOM class.
     """
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
@@ -38,6 +43,22 @@ def snapshot_diff(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
     )
+    if num_partitions is not None:
+        # repartition on the NULL-SAFE key normal form — EnsureRequirements
+        # plans an eqNullSafe join's distribution as (coalesce(k, 0),
+        # isnull(k)), so a raw-column repartition would not satisfy it
+        # and the join would re-exchange at session width (found by the
+        # round-11 explain audit)
+        def _nsafe(prefix):
+            out = []
+            for k in keys:
+                col = F.col(f"{prefix}{k}")
+                zero = F.lit(0).cast(old.schema[k].dataType)
+                out.extend([F.coalesce(col, zero), F.isnull(col)])
+            return out
+
+        o = o.repartition(num_partitions, *_nsafe("__ok_"))
+        n = n.repartition(num_partitions, *_nsafe("__nk_"))
     cond = reduce(
         Column.__and__,
         [F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}")) for k in keys],

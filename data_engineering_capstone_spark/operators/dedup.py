@@ -19,6 +19,7 @@ def dedup_exact(
     df: DataFrame,
     subset: Sequence[str],
     keep_order_by: Sequence | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Keep one row per distinct ``subset`` value.
 
@@ -26,7 +27,15 @@ def dedup_exact(
     single-pass winner per key — partial dedup map-side, then one
     shuffle). With it: deterministic winner via min-by window (e.g. keep
     the lowest doc_id), needed whenever results must be reproducible.
+
+    ``num_partitions`` pins the dedup exchange's width plan-side
+    (round-11 width law, sources/pqmeta.py:scaled_width): on a
+    fact-cardinality ``subset`` the session-width window/aggregate holds
+    corpus/N rows per task — the q9 2048× OOM class. The repartition
+    satisfies the window/aggregate distribution, so no second exchange.
     """
+    if num_partitions is not None:
+        df = df.repartition(num_partitions, *subset)
     if keep_order_by is None:
         return df.dropDuplicates(list(subset))
     w = Window.partitionBy(*subset).orderBy(*keep_order_by)

@@ -35,6 +35,7 @@ def scd2_apply(
     effective_from: str = "valid_from",
     effective_to: str = "valid_to",
     current_flag: str = "is_current",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Type-2 SCD merge: close out the current version of each changed
     key (set ``valid_to`` / drop the current flag) and append the new
@@ -52,6 +53,13 @@ def scd2_apply(
     from pyspark.sql import Window
 
     klist = list(keys)
+    # round-11 width law: one explicit key-hash exchange per side feeds
+    # the change window, the first-change groupBy (single-stage on the
+    # same distribution) AND the close-out join — a session-width
+    # exchange on a fact key is the q9 2048× OOM class
+    if num_partitions is not None:
+        changes = changes.repartition(num_partitions, *klist)
+        current = current.repartition(num_partitions, *klist)
     w = Window.partitionBy(*klist).orderBy(F.col(change_ts_col).asc())
     nxt = F.lead(change_ts_col).over(w)
     new_versions = (

@@ -167,9 +167,16 @@ def etl_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference: notebook cell-7 'duplicate data'). Reproducible winner via
     ordered window, not dropDuplicates' arbitrary pick.
     """
+    from .sources.pqmeta import fact_width
+
     e = _t(spark, sf_dir, "events")
     kept = dedup_exact(
-        e, ["user_id", "event_type"], keep_order_by=[F.col("ts"), F.col("event_id")]
+        e,
+        ["user_id", "event_type"],
+        keep_order_by=[F.col("ts"), F.col("event_id")],
+        # round-11 width law: the dedup window holds every event of a
+        # task's users — footer-scaled width bounds that per task
+        num_partitions=fact_width(spark, sf_dir, "events"),
     )
     return kept.select("user_id", "event_type", "event_id", "value")
 
@@ -368,7 +375,12 @@ def etl_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    diff = snapshot_diff(a, b, ["o_orderkey"], ["p"])
+    from .sources.pqmeta import fact_width
+
+    diff = snapshot_diff(
+        a, b, ["o_orderkey"], ["p"],
+        num_partitions=fact_width(spark, sf_dir, "orders"),
+    )
     return diff.select(
         "op",
         "o_orderkey",
@@ -527,7 +539,12 @@ def etl_scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_mktsegment", F.lit("PIVOTED"))
         .withColumn("chg", F.lit("2024-06-01").cast("date"))
     )
-    out = scd2_apply(current, changes, ["c_custkey"], "chg")
+    from .sources.pqmeta import fact_width
+
+    out = scd2_apply(
+        current, changes, ["c_custkey"], "chg",
+        num_partitions=fact_width(spark, sf_dir, "customer"),
+    )
     return (
         out.groupBy("is_current", "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"))

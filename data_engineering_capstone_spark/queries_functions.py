@@ -273,9 +273,13 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_event_id"), "value"
     )
+    from .sources.pqmeta import fact_width
+
     joined = asof_join(
         purchases, clicks, on="user_id", left_ts="ts", right_ts="c_ts",
         right_cols=["click_event_id", "value"],
+        # round-11 width law: the tagged union carries both event slices
+        num_partitions=fact_width(spark, sf_dir, "events"),
     )
     return joined.select(
         "event_id", "user_id", "click_event_id", F.col("value").alias("click_value")

@@ -151,9 +151,22 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     are broadcast, so the big side never reshuffles for them. Measured
     1.42s -> 1.16s at sf0.1. Mirrors the reference's code→name dim joins
     (I94_SAS_Labels_Descriptions.SAS:9-1036) at TPC-H shape.
+
+    Round-11 width law (verdict task 1): both fact exchanges carry the
+    footer-derived width (~4M rows/reducer, sources/pqmeta.py). The
+    pre-agg runs SINGLE-STAGE on the widthed lineitem exchange — map-
+    side combine is traded for a per-task hash state bounded by
+    ~distinct-orders/width, because the unbounded final-agg hash (all
+    orders over 32 session partitions) is exactly the q9 2048×
+    UNABLE_TO_ACQUIRE_MEMORY class, while the raw-row exchange volume
+    is bounded by width on every octave. Orders' hash build is bounded
+    the same way.
     """
-    l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
+    from .sources.pqmeta import fact_width
+
+    width = fact_width(spark, sf_dir, "lineitem")
+    l = _t(spark, sf_dir, "lineitem").repartition(width, "l_orderkey")
+    o = _t(spark, sf_dir, "orders").repartition(width, "o_orderkey")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
@@ -215,7 +228,14 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per partition cross to the driver, never the full sort.
     """
     cutoff = F.lit("1998-06-01").cast("timestamp")
-    par = spark.sparkContext.defaultParallelism
+    # Round-11: the pinned width is FOOTER-SCALED (~4M rows/reducer),
+    # not the fixed defaultParallelism it shipped with — a fixed width
+    # is the 100 TB ceiling class the audit now flags (verdict task 1);
+    # at small SF the law floors at the same parallelism, so the plan
+    # (and the 128× race above) is unchanged there.
+    from .sources.pqmeta import fact_width
+
+    par = fact_width(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
@@ -536,8 +556,17 @@ def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_running_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window family: running sum, moving average (rows frame),
-    lag/lead/first_value per customer order history."""
-    o = _t(spark, sf_dir, "orders")
+    lag/lead/first_value per customer order history.
+
+    Round-11 width law: the window exchange on o_custkey carries every
+    order — footer-scaled width bounds each task's sort (the
+    window_ratio class; repartition on the partition key satisfies the
+    window's distribution, so no second exchange)."""
+    from .sources.pqmeta import fact_width
+
+    o = _t(spark, sf_dir, "orders").repartition(
+        fact_width(spark, sf_dir, "orders"), "o_custkey"
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     mov = w.rowsBetween(-2, 0)
@@ -1274,12 +1303,20 @@ def q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s.join(F.broadcast(sn), s.s_nationkey == sn.sn_key).select(
         "s_suppkey", "supp_nation"
     )
+    # Round-11 width law: the surviving fact-fact exchange (pruned
+    # lineitem ⋈ pruned orders on orderkey) carries the footer-derived
+    # width — applied AFTER the 2-nation prunes so only survivors cross,
+    # shared by both sides so the join adds no extra exchange (q9's
+    # device; a session-width SMJ sorter here is the 2048× OOM class).
+    from .sources.pqmeta import fact_width
+
+    width = fact_width(spark, sf_dir, "lineitem")
     o_pruned = o.join(gated(c2, "customer"), o.o_custkey == c2.c_custkey).select(
         "o_orderkey", "cust_nation"
-    )
+    ).repartition(width, "o_orderkey")
     l_pruned = l.join(gated(s2, "supplier"), l.l_suppkey == s2.s_suppkey).select(
         "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "supp_nation"
-    )
+    ).repartition(width, "l_orderkey")
     joined = l_pruned.join(o_pruned, l_pruned.l_orderkey == o_pruned.o_orderkey).filter(
         F.col("cust_nation") != F.col("supp_nation")
     )

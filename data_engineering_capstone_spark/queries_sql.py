@@ -125,8 +125,13 @@ _LATERAL_SQL = """
 SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
 FROM customer c,
 LATERAL (
+  -- o_custkey < 100 restates the outer c_custkey bound INSIDE the
+  -- lateral: the decorrelated window otherwise ranks ALL orders (the
+  -- inferred constraint lands above the window exchange, not at the
+  -- scan — round-11 explain audit), turning a constant-slice query
+  -- into a corpus-wide fact window
   SELECT o_orderkey, o_totalprice FROM orders
-  WHERE o_custkey = c.c_custkey
+  WHERE o_custkey = c.c_custkey AND o_custkey < 100
   ORDER BY o_totalprice DESC, o_orderkey
   LIMIT 2
 ) o

@@ -656,15 +656,32 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
+    # Round-11 width law: the join's two supplier-cardinality sides
+    # carry the footer-scaled width (supplier is SF-proportional; a
+    # session-width build is the q9 OOM class at enough octaves). The
+    # qualifying aggregate keeps its map-side combine — its exchange
+    # carries partially-combined suppkey rows, a ~|lineitem|/|supplier|
+    # (~30×) reduction the raw-row width form would forfeit — so only
+    # the post-agg supplier-scale rows pay the extra widthed exchange.
+    # The semi join became an INNER join (identical rows: qualifying's
+    # groupBy output is unique per l_suppkey) because Catalyst's
+    # PushdownLeftSemiAntiJoin pushes a LEFT SEMI below the supplier
+    # repartition, re-parking that side on session width; an inner join
+    # stays put, so the width reaches both exchanges.
+    from .sources.pqmeta import fact_width
+
+    width = fact_width(spark, sf_dir, "supplier")
     qualifying = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("__tot"))
         .filter(F.col("__tot") > 100)
         .select("l_suppkey")
+        .repartition(width, "l_suppkey")
     )
+    s2 = s.repartition(width, "s_suppkey")
     return (
-        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        s2.join(qualifying, s2.s_suppkey == qualifying.l_suppkey)
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )

@@ -69,6 +69,23 @@ def scaled_width(path: str, parallelism: int, rows_per_task: int = 4_000_000) ->
         return parallelism
 
 
+def fact_width(spark, sf_dir: str, table: str,
+               rows_per_task: int = 4_000_000) -> int:
+    """:func:`scaled_width` for a testdata table — the one-line form of
+    the round-10/11 exchange-width law so every fact-fact join and
+    fact-partitioned window spells it identically (round-11 verdict
+    task 1: the law is a CATALOG property, not a per-entry adjudication;
+    tools/explain_audit.py flags any plan that forgets it). Pass a
+    smaller ``rows_per_task`` when the exchanged relation is an
+    EXPANSION of the scanned one (token/gram explodes): the law meters
+    exchanged rows, not scanned rows."""
+    return scaled_width(
+        f"{sf_dir}/{table}.parquet",
+        spark.sparkContext.defaultParallelism,
+        rows_per_task,
+    )
+
+
 def _parquet_files(path: str) -> list[str]:
     if os.path.isfile(path):
         return [path]

@@ -367,3 +367,67 @@ def test_pandas_udaf_partial_grain_law(spark, sf_dir):
             from tools.explain_audit import udaf_grain_flags
 
             assert not udaf_grain_flags(p), f"{name} plans a grain-less pandas UDAF"
+
+
+def test_fact_fact_exchange_width_law(spark, sf_dir):
+    """Round-11 verdict task 1 pinned as a plan test: every fact-fact
+    join and fact-partitioned window in the catalog must carry a
+    PLAN-ENCODED exchange width (sources/pqmeta.py:scaled_width —
+    REPARTITION_BY_NUM in the plan), never the session default
+    (ENSURE_REQUIREMENTS): a session-width SMJ sorter / window sort
+    holds corpus/N rows per task, which died UNABLE_TO_ACQUIRE_MEMORY
+    at the 2048x octave before round 10 (q9, BASELINE.md). The audit
+    (tools/explain_audit.py:fact_fact_width_flags) enforces it
+    catalog-wide per round; this test pins the representative plans AND
+    proves the audit still catches the violating shapes."""
+    from data_engineering_capstone_spark.catalog import load_all
+    from tools.explain_audit import audit_one, plan_text
+
+    cat = load_all()
+    width_law_entries = [
+        "q5_revenue_by_nation",      # fact-fact SHJ via per-order pre-agg
+        "q3_top_orders",             # fact-fact SHJ, filtered sides
+        "q7_bilateral_volume",       # pruned lineitem x pruned orders
+        "q9_product_profit",         # the original round-10 law site
+        "q20_promo_part_suppliers",  # supplier-cardinality inner join
+        "etl_cdc_snapshot_diff",     # null-safe full outer (nsafe exprs)
+        "asof_purchase_click",       # tagged-union window on user_id
+        "window_running_orders",     # fact window on o_custkey
+        "etl_scd2_customer_segment", # merge operator num_partitions
+        "etl_dedup_first_event",     # dedup operator num_partitions
+    ]
+    for name in width_law_entries:
+        plan = plan_text(cat[name].fn(spark, sf_dir))
+        flags = [f for f in audit_one(name, plan) if "width" in f]
+        assert flags == [], (name, flags)
+        assert "REPARTITION_BY_NUM" in plan, (
+            f"{name}: width law expects an explicit plan-encoded width")
+
+    # negative controls: the audit must FLAG the exact shapes the law
+    # forbids (otherwise the per-round audit run proves nothing)
+    from data_engineering_capstone_spark.sources.testdata import load_table
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_join = li.hint("MERGE").join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "o_orderdate"
+    )
+    flags = audit_one("unwidthed_join_probe", plan_text(bad_join))
+    assert any("fact-fact join exchange" in f for f in flags), flags
+
+    e = load_table(spark, sf_dir, "events")
+    bad_win = e.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    flags = audit_one("unwidthed_window_probe", plan_text(bad_win))
+    assert any("fact-partitioned window" in f for f in flags), flags
+
+    # constant key-range slices stay exempt (the ts_*/lateral family):
+    # the same window over user_id < 10 is NOT fact-scale at any SF
+    sliced = e.filter(F.col("user_id") < 10).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    assert audit_one("const_slice_probe", plan_text(sliced)) == []

@@ -160,6 +160,214 @@ def udaf_grain_flags(plan: str) -> list[str]:
     return flags
 
 
+# --- fact-fact exchange width audit (round-11 verdict task 1) ---------
+#
+# Round 10 proved the class: a fact-fact SMJ whose exchanges ride the
+# SESSION shuffle width puts corpus/N rows in each sorter and dies
+# UNABLE_TO_ACQUIRE_MEMORY at the 2048x octave (q9, BASELINE.md). The
+# fix is plan-encoded: repartition both sides on the join key at
+# sources/pqmeta.py:scaled_width (~4M rows/reducer from parquet
+# footers). This audit makes the law CATALOG-WIDE: every SMJ /
+# ShuffledHashJoin whose BOTH inputs carry unreduced fact-scale rows
+# must read REPARTITION_BY_NUM (an explicit width) on its exchanges,
+# never ENSURE_REQUIREMENTS (the session default).
+#
+# The same law covers WINDOW functions partitioned on a fact key (the
+# window_ratio_to_report / asof tagged-union class): their exchange
+# carries every fact row too.
+#
+# "Unreduced fact-scale" = below the exchange there is a scan of an
+# SF-proportional table, where aggregates prune the walk ONLY when
+# keyed on group-scale columns: an aggregate keyed on a fact KEY
+# (l_orderkey, doc_id, ...) has fact-cardinality output, so partial
+# aggregation before the exchange does not save it (q5's per-order
+# pre-agg is the canonical case).
+
+_FACT_COL_PREFIXES = ("l_", "o_", "c_", "s_", "ps_")
+_FACT_COL_NAMES = {"doc_id", "user_id", "event_id", "embedding", "p_partkey",
+                   "p_name", "p_retailprice", "p_type", "p_brand"}
+_DIM_COL_PREFIXES = ("n_", "r_")
+_AGG_NODES = ("HashAggregate", "ObjectHashAggregate", "SortAggregate",
+              "ArrowAggregatePython")
+# SF-proportional key columns: an aggregate/window keyed on one of
+# these stays fact-cardinality
+_FACT_KEYS = {
+    "l_orderkey", "l_partkey", "l_suppkey", "o_orderkey", "o_custkey",
+    "c_custkey", "s_suppkey", "p_partkey", "ps_partkey", "ps_suppkey",
+    "doc_id", "user_id", "event_id", "emb_id",
+}
+
+
+def _bracket_groups(text: str) -> list[str]:
+    """Top-level [...] groups of a plan node line."""
+    out, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return out
+
+
+def _keys_are_fact(text: str) -> bool:
+    m = re.search(r"keys=\[([^\]]*)\]", text)
+    if not m:
+        return False
+    return any(re.sub(r"#\d+L?", "", k.strip()) in _FACT_KEYS
+               for k in m.group(1).split(","))
+
+
+def _parse_tree(plan: str):
+    """Parse the LAST '== Physical Plan ==' section (simple mode) into
+    a list of (depth, text) nodes in pre-order."""
+    section = plan.rsplit("== Physical Plan ==", 1)[-1]
+    nodes = []
+    for ln in section.splitlines():
+        m = re.match(r"^([: ]*)(?:[+:]- )?(\*?\(\d+\) )?(\S.*)$", ln)
+        if not m or not m.group(3):
+            continue
+        text = m.group(3)
+        if text.startswith("=="):
+            break
+        # depth = indentation groups of 3 ("   " or ":  "), +1 if a
+        # branch marker was present (root has none)
+        prefix = ln[: len(ln) - len(ln.lstrip(": +-*("))]
+        marker = re.match(r"^([: ]*)([+:]- )", ln)
+        depth = (len(marker.group(1)) // 3 + 1) if marker else 0
+        nodes.append((depth, text))
+    return nodes
+
+
+def _subtree(nodes, i):
+    """Indices of the subtree rooted at nodes[i] (pre-order, contiguous)."""
+    d = nodes[i][0]
+    j = i + 1
+    while j < len(nodes) and nodes[j][0] > d:
+        j += 1
+    return list(range(i, j))
+
+
+def _children(nodes, i):
+    """Direct child indices of nodes[i]."""
+    d = nodes[i][0]
+    out = []
+    for j in _subtree(nodes, i)[1:]:
+        if nodes[j][0] == d + 1:
+            out.append(j)
+    return out
+
+
+def _scan_is_fact(text: str) -> bool:
+    cols = re.findall(r"(\w+)#\d+", text.split("Batched:")[0])
+    if any(c.startswith(_DIM_COL_PREFIXES) for c in cols):
+        return False
+    return any(
+        c.startswith(_FACT_COL_PREFIXES) or c in _FACT_COL_NAMES for c in cols
+    )
+
+
+def _side_fact_exchange(nodes, child_i):
+    """(is_unreduced_fact, exchange_text|None) for one join input: find
+    the side's first Exchange, then check whether a fact scan is
+    reachable below it without crossing an aggregate."""
+    sub = _subtree(nodes, child_i)
+    exch = None
+    for j in sub:
+        if nodes[j][1].startswith("Exchange"):
+            exch = j
+            break
+        if nodes[j][1].startswith("ReusedExchange"):
+            return False, None  # original exchange audited elsewhere
+    if exch is None:
+        return False, None
+    return _reach_fact(nodes, exch), nodes[exch][1]
+
+
+_KEY_RANGE = re.compile(
+    r"\((\w+)#\d+L? <=? \d+\)|\(\d+ >=? (\w+)#\d+L?\)"
+)
+
+
+def _is_constant_slice(text: str) -> bool:
+    """A Filter bounding a FACT KEY by a literal (user_id < 10,
+    doc_id < 100, c_custkey < 100): keys are dense from 0, so the kept
+    slice is a CONSTANT number of key values at any SF — the branch
+    below is not fact-scale no matter what it scans (the ts_* /
+    lateral-topk / range-frame-7d family)."""
+    if not text.startswith("Filter"):
+        return False
+    for m in _KEY_RANGE.finditer(text):
+        key = m.group(1) or m.group(2)
+        if key in _FACT_KEYS:
+            return True
+    return False
+
+
+def _reach_fact(nodes, i) -> bool:
+    """Is a fact scan reachable below nodes[i] without crossing a
+    group-scale aggregate or a constant key-range slice? Aggregates
+    keyed on fact keys pass through."""
+    for c in _children(nodes, i):
+        t = nodes[c][1]
+        if t.startswith(_AGG_NODES) and not _keys_are_fact(t):
+            continue
+        if _is_constant_slice(t):
+            continue
+        if t.startswith(("FileScan", "Scan parquet")) and _scan_is_fact(t):
+            return True
+        if _reach_fact(nodes, c):
+            return True
+    return False
+
+
+def fact_fact_width_flags(plan: str) -> list[str]:
+    nodes = _parse_tree(plan)
+    for i, (_d, text) in enumerate(nodes):
+        if text.startswith(("SortMergeJoin", "ShuffledHashJoin")):
+            kids = _children(nodes, i)
+            if len(kids) < 2:
+                continue
+            sides = [_side_fact_exchange(nodes, k) for k in kids[:2]]
+            if not all(f for f, _e in sides):
+                continue  # at least one side is reduced / dim / reused
+            for _f, etext in sides:
+                if etext and "ENSURE_REQUIREMENTS" in etext:
+                    return [
+                        "fact-fact join exchange rides session width "
+                        "(ENSURE_REQUIREMENTS) — thread sources/pqmeta.py:"
+                        "scaled_width through both sides (the q9 2048x OOM class)"
+                    ]
+        elif text.startswith("Window"):
+            # width helps only when the partition key is itself
+            # fact-cardinality (user_id, doc_id, ...): a window hashed
+            # on 5 langs fills 5 partitions no matter the width (that
+            # class needs a different device, e.g. the two-phase
+            # prefix sum), and group-scale windows are fine as-is
+            pkeys = _bracket_groups(text)
+            pcols = set()
+            if len(pkeys) >= 3:
+                pcols = {re.sub(r"#\d+L?", "", k.strip())
+                         for k in pkeys[-2].split(",") if k.strip()}
+            if not pcols & _FACT_KEYS:
+                continue
+            fact, etext = _side_fact_exchange(nodes, i)
+            if fact and etext and "ENSURE_REQUIREMENTS" in etext:
+                return [
+                    "fact-partitioned window exchange rides session width "
+                    "(ENSURE_REQUIREMENTS) — repartition on the window keys at "
+                    "sources/pqmeta.py:scaled_width (the window_ratio class)"
+                ]
+    return []
+
+
 def audit_one(name: str, plan: str) -> list[str]:
     flags: list[str] = []
     if name not in INTENTIONAL_CROSS:
@@ -169,6 +377,7 @@ def audit_one(name: str, plan: str) -> list[str]:
         flags.append("row-at-a-time Python UDF (use pandas_udf)")
     if name not in UDAF_HIGH_CARDINALITY_OK:
         flags.extend(udaf_grain_flags(plan))
+    flags.extend(fact_fact_width_flags(plan))
     # SortMergeJoin whose JOIN KEYS are a tiny dim's (nation/region) —
     # checked against the SMJ node's own "Left/Right keys" detail lines,
     # not the whole subtree (round-9 fix: the old DOTALL regex flagged
