@@ -22,6 +22,19 @@ BENCH_r02 recorded under external sandbox load):
   contaminated — ``max_load1`` in the summary plus per-query values in
   ``loadavg`` let any reader re-run and compare like for like.
 
+Round-11 hardening (verdict task 3 — BENCH_r10's +8.8% took a judge
+adjudication to dismiss as ambient load):
+
+* **load gate in the child**: if load1 > ``LOAD_GATE`` right before
+  timing, the child waits up to 3×15 s for the machine to drain (JVM
+  startup already absorbed the previous child's 1-min-average decay);
+  the final load and wait count are recorded either way.
+* **two children per query, min wins**: each query is measured by TWO
+  independent fresh processes; if they disagree by >10 % a third runs.
+  The recorded value is the min (least-contaminated run of identical
+  code); per-query ``spread`` (relative gap of the two best) is in the
+  artifact, so a reader can see measurement stability without a rerun.
+
 Set ``SPARK_GRAFT_BENCH_INPROC=1`` for the fast shared-session mode
 (iteration convenience; not for recorded artifacts).
 """
@@ -55,6 +68,11 @@ HEADLINE = [
 ]
 
 REPS = 3
+# pre-timing ambient-load gate: 32 cores idle-but-for-us should sit well
+# under 10 even while a previous child's burst decays out of the 1-min
+# average (JVM startup buys ~10 s of decay for free)
+LOAD_GATE = 10.0
+SPREAD_GATE = 0.10
 
 
 def run_one(fn, spark, sf_dir: str) -> float:
@@ -71,10 +89,20 @@ def bench_query(name: str, sf_dir: str) -> dict:
 
     spark = get_spark(f"bench-{name}")
     fn = load_all()[name].fn
+    waits = 0
     load1 = os.getloadavg()[0]
+    while load1 > LOAD_GATE and waits < 3:
+        time.sleep(15)
+        waits += 1
+        load1 = os.getloadavg()[0]
     run_one(fn, spark, sf_dir)  # warm: JIT, footer cache, codegen
     best = min(run_one(fn, spark, sf_dir) for _ in range(REPS))
-    return {"name": name, "best": round(best, 3), "load1": round(load1, 2)}
+    return {
+        "name": name,
+        "best": round(best, 3),
+        "load1": round(load1, 2),
+        "gate_waits": waits,
+    }
 
 
 def main() -> int:
@@ -104,7 +132,7 @@ def main() -> int:
                 min(run_one(catalog[name].fn, spark, sf_dir) for _ in range(REPS)), 3
             )
     else:
-        for name in names:
+        def run_child(name: str) -> dict | None:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child", name],
                 capture_output=True,
@@ -121,13 +149,27 @@ def main() -> int:
                     f"{proc.stderr[-2000:]}",
                     file=sys.stderr,
                 )
+                return None
+            return json.loads(line[len("CHILD_RESULT "):])
+
+        spreads: dict[str, float] = {}
+        for name in names:
+            results = [run_child(name), run_child(name)]
+            if any(r is None for r in results):
                 return 1
-            res = json.loads(line[len("CHILD_RESULT "):])
-            timings[name] = res["best"]
-            loads[name] = res["load1"]
+            vals = sorted(r["best"] for r in results)
+            if vals[0] > 0 and (vals[1] - vals[0]) / vals[0] > SPREAD_GATE:
+                extra = run_child(name)
+                if extra is None:
+                    return 1
+                results.append(extra)
+                vals = sorted(r["best"] for r in results)
+            timings[name] = vals[0]
+            spreads[name] = round((vals[1] - vals[0]) / vals[0], 3) if vals[0] else 0.0
+            loads[name] = max(r["load1"] for r in results)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -136,7 +178,11 @@ def main() -> int:
         "loadavg": loads,
         "max_load1": max(loads.values()) if loads else None,
         "isolation": "inproc" if os.environ.get("SPARK_GRAFT_BENCH_INPROC") else "subprocess",
-    }))
+    }
+    if not os.environ.get("SPARK_GRAFT_BENCH_INPROC"):
+        out["spread"] = spreads
+        out["max_spread"] = max(spreads.values()) if spreads else None
+    print(json.dumps(out))
     return 0
 
 

@@ -63,6 +63,64 @@ def _hash_weight(m: Column) -> Column:
     return (h % _SLOTS - F.lit(1000)) / F.lit(1000.0)
 
 
+def trained_quality_weights(vocab_slots: int = 4096, seed: int = 42) -> list[float]:
+    """Stand-in for a LOADED classifier checkpoint: a seeded ~N(0, 0.3)
+    weight vector over ``vocab_slots`` hashed-feature slots. No training
+    corpus ships in this container, so the vector is synthesized
+    deterministically — but the loading path a real model takes
+    (np.load → list → one array literal riding the plan broadcast) is
+    byte-for-byte this one, and 4096 float64 slots ≈ 32 KB scales to a
+    fastText-sized 2^20 table (~8 MB) without changing the plan."""
+    import numpy as np
+
+    return [float(w) for w in np.random.RandomState(seed).normal(0.0, 0.3, vocab_slots)]
+
+
+def hashed_linear_score(
+    text_col: Column | str,
+    weights: list[float],
+    slot_fn=None,
+) -> Column:
+    """PRODUCTION kernel of the quality classifier: token → weight-table
+    slot → ``element_at`` lookup in ONE broadcast array literal → summed
+    logit / sqrt(n) → sigmoid. Same zero-shuffle single-scan plan as
+    :func:`quality_classifier_score`; the differences are (a) the weight
+    VALUES come from a real (loaded) vector instead of the md5 formula,
+    and (b) the default slot hash is ``pmod(xxhash64(token), V)`` — the
+    round-10 counter-measurement kernel that measured 2.20 s vs the md5
+    form's 5.06 s at 64× (fully codegen'd hash), rejected there only
+    because DuckDB cannot replay xxhash64. This form is therefore
+    rows-only in the catalog; its correctness is pinned differentially:
+    installing the md5 slot function and the md5 twin's formula weights
+    reproduces ``llm_quality_classifier``'s scores bit-for-bit
+    (tests/test_llm.py), proving the lookup kernel is a drop-in for the
+    arithmetic stand-in.
+
+    ``slot_fn`` maps a token Column to a LONG slot in
+    ``[0, len(weights))``.
+    """
+    vocab = len(weights)
+    if slot_fn is None:
+        def slot_fn(tok: Column) -> Column:
+            return F.pmod(F.xxhash64(tok), F.lit(vocab))
+
+    warr = F.lit(weights)  # ONE ArrayData literal — not |V| expressions
+    t = tokens(text_col)
+    n = F.size(t)
+    # slots → looked-up weights as chained transforms (the round-10
+    # md5-once discipline: interpreted lambdas do not CSE)
+    logit_sum = F.aggregate(
+        F.transform(
+            F.transform(t, slot_fn),
+            lambda s: F.element_at(warr, s.cast("int") + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    z = F.when(n > 0, logit_sum / F.sqrt(n.cast("double"))).otherwise(F.lit(0.0))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 def quality_classifier_score(text_col: Column | str) -> Column:
     """Linear-classifier quality score in (0, 1).
 

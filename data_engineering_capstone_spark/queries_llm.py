@@ -2054,6 +2054,36 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query("llm_quality_classifier_trained", oracle=None)
+def llm_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the quality classifier (round-10 verdict
+    task 6): a real broadcast weight vector (seeded checkpoint stand-in,
+    llm/scoring.py:trained_quality_weights) looked up by
+    ``pmod(xxhash64(token), V)`` — the fully-codegen'd kernel the
+    round-10 race measured at 2.20 s vs the shipped md5 form's 5.06 s
+    and the DuckDB oracle's 3.74 s at 64× (UNDER the single-node
+    baseline; BASELINE.md). Rows-only by contract: DuckDB cannot replay
+    xxhash64, so the md5 twin (``llm_quality_classifier``) carries the
+    oracle parity and THIS entry carries the production kernel, pinned
+    differentially — the same lookup kernel with the md5 slot function
+    and formula weights reproduces the twin's scores bit-for-bit
+    (tests/test_llm.py::test_trained_classifier_kernel_drop_in).
+
+    Plan: one scan, zero exchanges, per-doc work linear in tokens —
+    unchanged at 100 TB; the weight table rides the plan broadcast
+    (32 KB here, ~8 MB at a fastText-sized 2^20 vocabulary).
+    """
+    from .llm.scoring import hashed_linear_score, trained_quality_weights
+
+    d = _t(spark, sf_dir, "documents")
+    score = F.round(hashed_linear_score("text", trained_quality_weights()), 6)
+    return d.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
 @query(
     "llm_shard_manifest",
     oracle="""

@@ -1104,3 +1104,64 @@ def test_semantic_decontamination_planted(spark, tmp_path):
     assert set(out) == {100, 102}
     assert out[100].nearest_bench_id == 0 and out[100].max_cos == 1.0
     assert out[102].nearest_bench_id == 1 and out[102].max_cos == 1.0
+
+
+def test_trained_classifier_kernel_drop_in(spark, sf_dir):
+    """Round-11 (verdict task 6): the production lookup kernel
+    (hashed_linear_score — broadcast weight array + slot hash) must be a
+    bit-exact drop-in for the md5 arithmetic stand-in when the md5 slot
+    function and formula weights are installed — the differential that
+    lets llm_quality_classifier_trained ship rows-only while the md5
+    twin carries the oracle."""
+    from data_engineering_capstone_spark.catalog import load_all
+    from data_engineering_capstone_spark.llm.scoring import (
+        _SLOTS,
+        hashed_linear_score,
+        trained_quality_weights,
+    )
+
+    cat = load_all()
+    twin = {
+        (r["doc_id"], r["quality_score"])
+        for r in cat["llm_quality_classifier"].fn(spark, sf_dir).collect()
+    }
+
+    def md5_slot(tok):
+        m = F.md5(tok)
+
+        def a(i):
+            return F.ascii(F.substring(m, i, 1)).cast("long")
+
+        return (((a(1) * 31 + a(2)) * 31 + a(3)) * 31 + a(4)) % _SLOTS
+
+    formula_w = [(s - 1000) / 1000.0 for s in range(_SLOTS)]
+    d = load_table(spark, sf_dir, "documents")
+    mine = {
+        (r["doc_id"], r["quality_score"])
+        for r in d.select(
+            "doc_id",
+            F.round(hashed_linear_score("text", formula_w, md5_slot), 6).alias(
+                "quality_score"
+            ),
+        ).collect()
+    }
+    assert mine == twin
+
+    # the shipped trained entry: deterministic under relayout, bounded
+    # scores, keep == score >= 0.5, and a shuffle-free single-scan plan
+    ent = cat["llm_quality_classifier_trained"]
+    out1 = ent.fn(spark, sf_dir)
+    rows1 = out1.collect()
+    assert all(0.0 < r["quality_score"] < 1.0 for r in rows1)
+    assert all(r["keep"] == (r["quality_score"] >= 0.5) for r in rows1)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out1.explain()
+    plan = buf.getvalue()
+    assert "Exchange hashpartitioning" not in plan, "classifier must not shuffle"
+    assert "BatchEvalPython" not in plan
+    # weights really are the checkpoint stand-in (same seed -> same list)
+    assert trained_quality_weights() == trained_quality_weights()
