@@ -86,12 +86,34 @@ def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     many:1 key ratio to win. All three forms verified row-identical at
     the replica.
     """
-    o = _t(spark, sf_dir, "orders").filter(
+    from .sources.pqmeta import fact_width
+
+    return q4_plan(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        width=fact_width(spark, sf_dir, "lineitem"),
+    )
+
+
+def q4_plan(orders: DataFrame, lineitem: DataFrame,
+            width: int | None = None) -> DataFrame:
+    """The shipped q4 plan over supplied inputs — factored out so the
+    scale tools (the round-11 view-doubled 4096× point) race the EXACT
+    entry plan on synthetic unions instead of re-implementing it.
+
+    ``width`` pins the semi join's exchange width plan-side (round-11
+    width law). Only the LINEITEM side repartitions: Catalyst's
+    PushdownLeftSemiAntiJoin would re-park an orders-side repartition
+    above the join, and EnsureRequirements aligns the orders exchange
+    to the lineitem side's explicit width anyway (measured — one
+    REPARTITION_BY_NUM side propagates its width to the partner's
+    ENSURE exchange)."""
+    o = orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     )
     l = (
-        _t(spark, sf_dir, "lineitem")
+        lineitem
         .select("l_orderkey", "l_shipdate")
         # derived bound: min possible o_orderdate in the window + 60 days
         .filter(
@@ -99,6 +121,8 @@ def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit("1996-01-01").cast("timestamp") + F.expr("INTERVAL 60 DAYS")
         )
     )
+    if width is not None:
+        l = l.repartition(width, "l_orderkey")
     cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )

@@ -338,13 +338,18 @@ def fact_fact_width_flags(plan: str) -> list[str]:
             sides = [_side_fact_exchange(nodes, k) for k in kids[:2]]
             if not all(f for f, _e in sides):
                 continue  # at least one side is reduced / dim / reused
-            for _f, etext in sides:
-                if etext and "ENSURE_REQUIREMENTS" in etext:
-                    return [
-                        "fact-fact join exchange rides session width "
-                        "(ENSURE_REQUIREMENTS) — thread sources/pqmeta.py:"
-                        "scaled_width through both sides (the q9 2048x OOM class)"
-                    ]
+            # ONE plan-encoded side suffices: EnsureRequirements aligns
+            # the partner's exchange to the explicit width (measured:
+            # a right-side repartition(48) turns the left ENSURE
+            # exchange into hashpartitioning(..., 48))
+            etexts = [e for _f, e in sides if e]
+            if etexts and all("ENSURE_REQUIREMENTS" in e for e in etexts):
+                return [
+                    "fact-fact join exchange rides session width "
+                    "(ENSURE_REQUIREMENTS) — thread sources/pqmeta.py:"
+                    "scaled_width through at least one side (the q9 "
+                    "2048x OOM class)"
+                ]
         elif text.startswith("Window"):
             # width helps only when the partition key is itself
             # fact-cardinality (user_id, doc_id, ...): a window hashed

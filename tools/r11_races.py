@@ -66,6 +66,9 @@ def source_cap_classic(spark, sf_dir):
 
 
 def main() -> int:
+    if sys.argv[1] == "--width":
+        width_races(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+        return 0
     replica = sys.argv[1]
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     spark = get_spark("r11_races")
@@ -124,6 +127,77 @@ def main() -> int:
         out.append(rec)
         print(json.dumps(rec))
     return 0
+
+
+
+
+# --- width-law regression races (round-11 task 1) ---------------------
+# The width threads must not cost anything at the octaves where the
+# session width was fine; each shipped form races its r10 predecessor.
+
+def q5_r10(spark, sf_dir):
+    """Pre-round-11 q5: partial-agg pre-reduce at session width."""
+    from pyspark.sql import functions as F
+    from data_engineering_capstone_spark.queries_relational import _revenue_units
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    per_order = l.groupBy("l_orderkey").agg(F.sum(_revenue_units()).alias("__order_units"))
+    joined = (
+        per_order.join(o.hint("SHUFFLE_HASH"), per_order.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            (F.sum(F.col("__order_units").cast("decimal(38,0)")).cast("double") / 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+def q4_r10(spark, sf_dir):
+    """Pre-round-11 q4: same plan, no plan-encoded width."""
+    from data_engineering_capstone_spark.queries_tpch2 import q4_plan
+
+    return q4_plan(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def width_races(replica: str, reps: int = 3) -> None:
+    spark = get_spark("r11_width_races")
+    spark.sparkContext.setLogLevel("ERROR")
+    from data_engineering_capstone_spark.catalog import load_all
+
+    catalog = load_all()
+    for label, entry, other_fn in [
+        ("q5_width_vs_r10", "q5_revenue_by_nation", q5_r10),
+        ("q4_width_vs_r10", "q4_priority_late_ship", q4_r10),
+    ]:
+        spec = catalog[entry]
+
+        def run(fn):
+            fn(spark, replica).write.format("noop").mode("overwrite").save()
+
+        run(other_fn)
+        t_other = time_best(lambda: run(other_fn), reps)
+        run(spec.fn)
+        t_ship = time_best(lambda: run(spec.fn), reps)
+        same = sorted(map(tuple, spec.fn(spark, replica).collect())) == sorted(
+            map(tuple, other_fn(spark, replica).collect())
+        )
+        print(json.dumps({
+            "race": label, "replica": replica,
+            "t_shipped_s": round(t_ship, 2), "t_other_s": round(t_other, 2),
+            "identical_output": same,
+        }))
 
 
 if __name__ == "__main__":
