@@ -1109,6 +1109,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = l.groupBy("l_partkey", "l_suppkey").agg(
         F.min(to_cents("l_extendedprice")).alias("cost_c")
     )
+    # Round-11 width law: the window's re-exchange of the (pk, sk)
+    # grain to pk happens either way (the agg output is hashed on the
+    # pair) — the repartition only PINS its width, costing nothing
+    # extra. Pairs ≈ suppliers-per-part × |part|, so the part footer at
+    # 1M rows/task meters ~4M exchanged pairs per reducer; a
+    # session-width window sort on an SF-proportional grain is the q9
+    # OOM class. The agg itself keeps its map-side combine.
+    from .sources.pqmeta import fact_width
+
+    per_supp = per_supp.repartition(
+        fact_width(spark, sf_dir, "part", rows_per_task=1_000_000), "l_partkey"
+    )
     w_part = Window.partitionBy("l_partkey")
     winners = per_supp.withColumn(
         "min_c", F.min("cost_c").over(w_part)

@@ -361,6 +361,13 @@ def fact_fact_width_flags(plan: str) -> list[str]:
             if len(pkeys) >= 3:
                 pcols = {re.sub(r"#\d+L?", "", k.strip())
                          for k in pkeys[-2].split(",") if k.strip()}
+            elif len(pkeys) == 2 and " ASC" not in pkeys[-1] and " DESC" not in pkeys[-1]:
+                # no-ORDER-BY window (unbounded-frame min/max): only two
+                # bracket groups print, the second IS the partition spec
+                # (an order spec always carries ASC/DESC) — found via
+                # q2's min-over-partition window slipping the audit
+                pcols = {re.sub(r"#\d+L?", "", k.strip())
+                         for k in pkeys[-1].split(",") if k.strip()}
             if not pcols & _FACT_KEYS:
                 continue
             fact, etext = _side_fact_exchange(nodes, i)
