@@ -92,6 +92,8 @@ _REWRITTEN_SINCE_CERT: tuple[str, ...] = (
     "etl_scd2_customer_segment",  # width law via scd2_apply
     "window_running_orders",  # width law (fact window)
     "sql_lateral_topk",       # in-lateral custkey bound
+    "q2_min_cost_supplier",   # width law (pair-grain window exchange)
+    "q4_priority_late_ship",  # width law (lineitem-side repartition)
 )
 
 

@@ -33,6 +33,53 @@ def broadcast_join(left: DataFrame, right: DataFrame, on, how: str = "inner") ->
     return left.join(broadcast(right), on, how)
 
 
+def gated_broadcast(
+    sf_dir: str,
+    df: DataFrame,
+    table: str,
+    budget_bytes: int = 256 << 20,
+    row_bytes: int = 64,
+) -> DataFrame:
+    """q7's SIZE-GATED broadcast hint as the house one-liner (round-11:
+    applied to every forced broadcast of an SF-PROPORTIONAL table —
+    part/supplier/customer slices — which were unbounded forced builds,
+    the exact class the round-9 ADVICE killed for q7/anti_semi).
+
+    Hint only when the FULL source table's parquet-footer row count ×
+    a conservative ``row_bytes`` hash-relation footprint fits
+    ``budget_bytes`` — zero Spark jobs, and deliberately ignoring
+    filter selectivity so the gate only ever UNDER-broadcasts. Past the
+    gate (or on an unreadable/remote footer) the join ships hint-free:
+    AQE decides at runtime, and can still broadcast a filtered slice
+    that turned out small — the safe degradation, never a forced OOM.
+    """
+    from pyspark.sql.functions import broadcast
+
+    if footer_fits_broadcast(sf_dir, table, budget_bytes, row_bytes):
+        return broadcast(df)
+    return df
+
+
+def footer_fits_broadcast(
+    sf_dir: str,
+    table: str,
+    budget_bytes: int = 256 << 20,
+    row_bytes: int = 64,
+) -> bool:
+    """The :func:`gated_broadcast` predicate, exposed for callers that
+    must PLAN differently past the gate (e.g. q10: broadcast customer
+    under budget, else repartition BOTH join sides at the footer width
+    — a bare un-hinted join past the gate would ride session width,
+    the q9 OOM class). Unknown/remote footers read as NOT fitting:
+    never force an unsized build."""
+    from ..sources.pqmeta import parquet_row_count
+
+    try:
+        return parquet_row_count(f"{sf_dir}/{table}.parquet") * row_bytes <= budget_bytes
+    except (OSError, ValueError):
+        return False
+
+
 def merge_join(left: DataFrame, right: DataFrame, on, how: str = "inner") -> DataFrame:
     return left.join(right.hint("merge"), on, how)
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from .catalog import query
 from .session import prep
+from .plans.strategies import gated_broadcast
 from .sources.testdata import load_table
 
 
@@ -209,11 +210,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(12,2)")
     nat_rev = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(gated_broadcast(sf_dir, p, "part"), l.l_partkey == p.p_partkey)
+        .join(gated_broadcast(sf_dir, s, "supplier"), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(sf_dir, c, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -276,8 +277,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * _dec("l_quantity")
     )
     pruned = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(gated_broadcast(sf_dir, p, "part"), l.l_partkey == p.p_partkey)
+        .join(gated_broadcast(sf_dir, s, "supplier"), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .repartition(width, "l_orderkey")
     )
@@ -316,6 +317,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     would make the cutoff engine-dependent) with c_custkey as the
     unique tiebreaker, then projects to double.
     """
+    from .plans.strategies import footer_fits_broadcast
+    from .sources.pqmeta import fact_width
+
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -323,9 +327,23 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
+    # Round-11 width law, gated form: customer⋈orders is fact-fact at
+    # scale but customer broadcasts comfortably at probe SFs — so the
+    # gate hints the broadcast under budget, and PAST the gate both
+    # sides take the footer width (a bare un-hinted join there would
+    # ride session width — the q9 OOM class). The lineitem join takes a
+    # one-sided width either way (EnsureRequirements aligns the
+    # partner; measured, see q4_plan).
+    width = fact_width(spark, sf_dir, "lineitem")
+    if footer_fits_broadcast(sf_dir, "customer"):
+        c_side, o_side = F.broadcast(c), o
+    else:
+        w_co = fact_width(spark, sf_dir, "orders")
+        c_side = c.repartition(w_co, "c_custkey")
+        o_side = o.repartition(w_co, "o_custkey")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        c_side.join(o_side, c.c_custkey == o.o_custkey)
+        .join(l.repartition(width, "l_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_rev()).alias("_rev_dec"))
@@ -375,7 +393,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
     pv = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(gated_broadcast(sf_dir, s, "supplier"), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_rev()).cast("decimal(18,4)").alias("value_dec"))
@@ -558,8 +576,8 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select("s_suppkey")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        l.join(gated_broadcast(sf_dir, p, "part"), l.l_partkey == p.p_partkey)
+        .join(gated_broadcast(sf_dir, bad, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -601,7 +619,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(gated_broadcast(sf_dir, p, "part"), l.l_partkey == p.p_partkey)
         .join(pa, "l_partkey")
         .filter(5 * F.col("l_quantity").cast("bigint") * F.col("cnt") < F.col("sq"))
         .agg((F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
@@ -642,7 +660,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((br == "Brand#13") & sz.between(20, 50) & q.between(20, 40))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(gated_broadcast(sf_dir, p, "part"), l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
@@ -696,7 +714,7 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     width = fact_width(spark, sf_dir, "supplier")
     qualifying = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(gated_broadcast(sf_dir, p, "part"), l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("__tot"))
         .filter(F.col("__tot") > 100)

@@ -431,3 +431,34 @@ def test_fact_fact_exchange_width_law(spark, sf_dir):
         F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")),
     )
     assert audit_one("const_slice_probe", plan_text(sliced)) == []
+
+
+def test_gated_broadcast_footer_predicate(spark, sf_dir):
+    """Round-11: every forced broadcast of an SF-proportional table
+    (part/supplier/customer slices in the TPC-H shapes) now rides
+    plans/strategies.gated_broadcast — hint under a footer-byte budget,
+    hint-free past it (AQE decides; never a forced unbounded build,
+    the q7/anti_semi standard)."""
+    from data_engineering_capstone_spark.plans.strategies import (
+        footer_fits_broadcast,
+        gated_broadcast,
+    )
+    from data_engineering_capstone_spark.sources.testdata import load_table
+
+    assert footer_fits_broadcast(sf_dir, "customer")
+    assert not footer_fits_broadcast(sf_dir, "customer", budget_bytes=1)
+    assert not footer_fits_broadcast(sf_dir, "no_such_table")  # unknown → never force
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    hinted = o.join(gated_broadcast(sf_dir, c, "customer"), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in physical_plan(hinted)
+    # past the gate: no hint — and the q10 fallback branch pins widths
+    past = gated_broadcast(sf_dir, c, "customer", budget_bytes=1)
+    assert past is c  # unhinted passthrough
+    w = 48
+    widthed = o.repartition(w, "o_custkey").join(
+        c.repartition(w, "c_custkey"), o.o_custkey == c.c_custkey
+    )
+    plan = physical_plan(widthed)
+    assert "REPARTITION_BY_NUM" in plan
