@@ -94,6 +94,16 @@ _REWRITTEN_SINCE_CERT: tuple[str, ...] = (
     "sql_lateral_topk",       # in-lateral custkey bound
     "q2_min_cost_supplier",   # width law (pair-grain window exchange)
     "q4_priority_late_ship",  # width law (lineitem-side repartition)
+    # size-gated broadcasts of SF-proportional builds (q7 standard):
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",     # + gated width form for customer⋈orders
+    "q11_important_parts",
+    "q14_conditional_ratio",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_sole_supplier_orders",
 )
 
 
