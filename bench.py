@@ -29,11 +29,20 @@ adjudication to dismiss as ambient load):
   timing, the child waits up to 3×15 s for the machine to drain (JVM
   startup already absorbed the previous child's 1-min-average decay);
   the final load and wait count are recorded either way.
-* **two children per query, min wins**: each query is measured by TWO
-  independent fresh processes; if they disagree by >10 % a third runs.
-  The recorded value is the min (least-contaminated run of identical
-  code); per-query ``spread`` (relative gap of the two best) is in the
-  artifact, so a reader can see measurement stability without a rerun.
+* **adaptive children per query, min wins**: each query starts with TWO
+  independent fresh processes; children are added (to at most 5) until
+  the two best agree within 5 % — measured on an IDLE box, single-JVM
+  bests of one sub-second query span ~24 % (codegen/JIT luck), so the
+  min over enough JVMs, not more reps inside one JVM, is what
+  stabilizes. The recorded value is the min; per-query ``spread``
+  (relative gap of the two best) is in the artifact, so a reader can
+  see measurement stability without a rerun.
+* **interleaved passes** (round-11 follow-up, measured 21.7 % worst
+  cross-run spread with consecutive children): the two children of a
+  query run ~7 min apart (pass 1 over all queries, then pass 2), so a
+  multi-minute ambient-load window can poison at most ONE of them —
+  min-wins then recovers the clean window. Consecutive children shared
+  the same window and drifted together, which no rep count fixes.
 
 Set ``SPARK_GRAFT_BENCH_INPROC=1`` for the fast shared-session mode
 (iteration convenience; not for recorded artifacts).
@@ -72,7 +81,7 @@ REPS = 3
 # under 10 even while a previous child's burst decays out of the 1-min
 # average (JVM startup buys ~10 s of decay for free)
 LOAD_GATE = 10.0
-SPREAD_GATE = 0.10
+SPREAD_GATE = 0.05
 
 
 def run_one(fn, spark, sf_dir: str) -> float:
@@ -97,6 +106,10 @@ def bench_query(name: str, sf_dir: str) -> dict:
         load1 = os.getloadavg()[0]
     run_one(fn, spark, sf_dir)  # warm: JIT, footer cache, codegen
     best = min(run_one(fn, spark, sf_dir) for _ in range(REPS))
+    if best < 2.0:
+        # sub-2s plans are scheduler-jitter-bound: two more reps cost
+        # ~2 s and shave the intra-window tail
+        best = min(best, *(run_one(fn, spark, sf_dir) for _ in range(2)))
     return {
         "name": name,
         "best": round(best, 3),
@@ -153,12 +166,25 @@ def main() -> int:
             return json.loads(line[len("CHILD_RESULT "):])
 
         spreads: dict[str, float] = {}
+        by_name: dict[str, list[dict]] = {n: [] for n in names}
+        for _pass in range(2):  # interleave: decorrelate a query's two windows
+            for name in names:
+                r = run_child(name)
+                if r is None:
+                    return 1
+                by_name[name].append(r)
         for name in names:
-            results = [run_child(name), run_child(name)]
-            if any(r is None for r in results):
-                return 1
+            results = by_name[name]
             vals = sorted(r["best"] for r in results)
-            if vals[0] > 0 and (vals[1] - vals[0]) / vals[0] > SPREAD_GATE:
+            # Cross-JVM variance dominates (measured: idle-box children of
+            # one sub-second query span 24% — codegen/JIT luck, not load).
+            # Add children until the two best agree within SPREAD_GATE:
+            # the min is then a stable estimate of the plan's floor.
+            while (
+                vals[0] > 0
+                and (vals[1] - vals[0]) / vals[0] > SPREAD_GATE
+                and len(results) < 5
+            ):
                 extra = run_child(name)
                 if extra is None:
                     return 1
