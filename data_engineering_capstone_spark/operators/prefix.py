@@ -23,6 +23,8 @@ aggregations — running totals enter via the extension surface,
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -64,4 +66,96 @@ def global_running_sum(
         withb.join(F.broadcast(offsets), "__bkt")
         .withColumn(out_col, F.sum(value_col).over(w_in) + F.col("__offset"))
         .drop("__bkt", "__offset")
+    )
+
+
+def keyed_running_sum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    chunk_expr: Column,
+    out_col: str = "running_sum",
+    n_col: str = "running_n",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skew-safe PER-KEY running sum + row count: the hot-partition
+    counterpart of :func:`global_running_sum`.
+
+    ``SUM(x) OVER (PARTITION BY key ORDER BY ...)`` puts each key's
+    ENTIRE history in one task's sort — fine for uniform keys, fatal
+    when one key carries a large share of the data (the celebrity-user /
+    template-spam / null-key shape; tools/skew_probe.py measures it).
+    Salting (operators/skew.py) rescues aggregates but not windows: a
+    running sum is order-dependent, so random salt destroys it.
+
+    The remedy is deterministic ORDER-ALIGNED chunking — the classic
+    distributed prefix-sum:
+
+    1. ``chunk_expr`` maps each row to a chunk id that is monotone
+       non-decreasing in the FIRST order column (equal order values get
+       equal chunks, so chunk boundaries never split ties). E.g.
+       ``floor(datediff(order_date, '1992-01-01') / 60)``.
+    2. per-(key, chunk) totals: sum + count — one row per key-chunk.
+    3. per-key EXCLUSIVE running offsets over the totals: a window
+       partitioned by key whose partitions hold at most one row per distinct chunk id
+       REGARDLESS of key heat — the hot key's window work collapses
+       from O(its rows) to O(n_chunks).
+    4. join offsets back on (key, chunk) and add an intra-chunk running
+       sum: this window partitions by (key, chunk), so the hot key
+       fans out over its chunks instead of one task.
+
+    Output = the plain window's, bit-exact (ties broken by the full
+    ``order_cols`` inside each chunk; chunk monotonicity keeps
+    cross-chunk order). ``num_partitions`` widths the (key, chunk)
+    exchange per the round-11 width law.
+    """
+    keys = list(key_cols)
+    order = list(order_cols)
+    join_keys = [*keys, "__chunk"]
+    withc = df.withColumn("__chunk", chunk_expr.cast("int"))
+    if num_partitions:
+        # Width law (round 11): one explicit (key, chunk) exchange at
+        # footer width serves the totals aggregate, the intra-chunk
+        # window AND the probe side of the offsets join — every
+        # fact-scale stage runs at ``num_partitions``, none at session
+        # width.
+        withc = withc.repartition(num_partitions, *join_keys)
+
+    totals = withc.groupBy(*keys, "__chunk").agg(
+        F.sum(value_col).alias("__c_sum"), F.count(F.lit(1)).alias("__c_n")
+    )
+    if num_partitions:
+        # The totals table is fact-proportional at scale (keys x chunks
+        # barely reduces a sparse fact): width its per-key window
+        # exchange too — (key, chunk) partitioning does NOT satisfy a
+        # keys-only window, so without this the planner inserts a
+        # session-width exchange here (the audited class). Its per-task
+        # SORT is bounded either way: no key exceeds the distinct-chunk count,
+        # which is the whole device. The offsets join side then aligns
+        # to the probe's explicit width via EnsureRequirements (one
+        # plan-encoded side suffices — the round-11 join-width law).
+        totals = totals.repartition(num_partitions, *keys)
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *keys,
+        "__chunk",
+        F.coalesce(F.sum("__c_sum").over(w_off), F.lit(0)).alias("__off_sum"),
+        F.coalesce(F.sum("__c_n").over(w_off), F.lit(0)).alias("__off_n"),
+    )
+
+    w_in = (
+        Window.partitionBy(*join_keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        withc.join(offsets, join_keys)
+        .withColumn(out_col, F.sum(value_col).over(w_in) + F.col("__off_sum"))
+        .withColumn(n_col, F.count(F.lit(1)).over(w_in) + F.col("__off_n"))
+        .drop("__chunk", "__off_sum", "__off_n")
     )

@@ -586,6 +586,71 @@ def window_running_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_running_skew_safe",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)                                        AS running_total,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT)                                        AS running_n
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def window_running_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running total via the distributed prefix-sum device
+    (operators/prefix.py:keyed_running_sum) — the SKEW-SAFE twin of
+    window_running_orders's cumulative columns.
+
+    The plain form sorts each customer's whole history in one task; a
+    hot key (celebrity user, template spam, null bucket — the shapes
+    tools/skew_probe.py builds) turns that task into the job's critical
+    path, and salting can't rescue an order-dependent window. Here the
+    hot key fans out over order-aligned date chunks: the per-key window
+    runs over AT MOST ~44 chunk-total rows per key regardless of key
+    heat, and the intra-chunk windows partition by (key, chunk). Same
+    output bit-exact — the oracle is the PLAIN window SQL.
+
+    100 TB: every stage's per-task work is bounded by chunk span or
+    footer width, none by key frequency. (reference scope: capstone
+    extension surface, BASELINE.json:6; SURVEY.md §2 C-window.)
+    """
+    from .operators.prefix import keyed_running_sum
+    from .sources.pqmeta import fact_width
+
+    o = _t(spark, sf_dir, "orders")
+    # ~60-day chunks over the 1992–1998 order range → ~44 chunks
+    chunk = F.floor(F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) / 60)
+    out = keyed_running_sum(
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("__price"),
+        ),
+        key_cols=["o_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+        value_col="__price",
+        chunk_expr=chunk,
+        out_col="__run",
+        n_col="__n",
+        num_partitions=fact_width(spark, sf_dir, "orders"),
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("__run").cast("double").alias("running_total"),
+        F.col("__n").cast("bigint").alias("running_n"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
 # --------------------------------------------------------------------------
 # Set operations / semi / anti / outer joins
 # --------------------------------------------------------------------------

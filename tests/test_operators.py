@@ -407,3 +407,73 @@ def test_multiset_aggregate_form_matches_intersectall_exceptall(spark):
         F.sum(F.greatest(F.col("ca") - F.col("cr"), F.lit(0))).alias("e_all"),
     ).collect()[0]
     assert (agg["i_all"], agg["e_all"]) == (n_intersect, n_except)
+
+
+def test_keyed_running_sum_matches_plain_window_on_skew(spark):
+    """Distributed prefix-sum vs the plain per-key cumulative window on
+    a deliberately skewed table: one hot key carries half the rows
+    (plus ties on the order column and a single-row key)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from data_engineering_capstone_spark.operators.prefix import keyed_running_sum
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(2000):  # hot key: half the table, many order ties
+        rows.append(("hot", rng.randrange(50), i, float(rng.randrange(100))))
+    for i in range(2000, 4000):
+        rows.append((f"k{rng.randrange(200)}", rng.randrange(50), i, float(rng.randrange(100))))
+    rows.append(("lonely", 3, 99999, 42.0))
+    df = spark.createDataFrame(rows, "key string, ord int, uid long, val double")
+
+    got = keyed_running_sum(
+        df,
+        key_cols=["key"],
+        order_cols=["ord", "uid"],
+        value_col="val",
+        chunk_expr=F.floor(F.col("ord") / 8),  # order-aligned chunks, ties intact
+        out_col="run",
+        n_col="n",
+    )
+    w = Window.partitionBy("key").orderBy("ord", "uid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.select(
+        "key", "uid", F.sum("val").over(w).alias("run"), F.count(F.lit(1)).over(w).alias("n")
+    )
+    got_m = {(r["key"], r["uid"]): (r["run"], r["n"]) for r in got.collect()}
+    want_m = {(r["key"], r["uid"]): (r["run"], r["n"]) for r in want.collect()}
+    assert got_m == want_m
+
+
+def test_keyed_running_sum_no_per_key_sort_task(spark):
+    """Plan shape: no window partitioned ONLY on the key may remain —
+    every window must ride (key, chunk) or the chunk-totals table."""
+    from data_engineering_capstone_spark.operators.prefix import keyed_running_sum
+
+    df = spark.range(100).select(
+        F.lit("hot").alias("key"),
+        (F.col("id") % 10).alias("ord"),
+        F.col("id").alias("uid"),
+        F.col("id").cast("double").alias("val"),
+    )
+    out = keyed_running_sum(
+        df,
+        key_cols=["key"],
+        order_cols=["ord", "uid"],
+        value_col="val",
+        chunk_expr=F.floor(F.col("ord") / 2),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "no window in plan"
+    # Every window spec must involve __chunk: the intra-chunk window
+    # PARTITIONS by it, the offsets window ORDERS by it. A plain per-key
+    # window spec (partition key, order ord/uid) carries no __chunk and
+    # fails here — that is the single-hot-task shape this device removes.
+    for spec in specs:
+        assert "__chunk" in spec, f"key-only window survived: {spec}"

@@ -86,6 +86,29 @@ def main() -> int:
         .drop(SALT_COL, "r1")
     )
 
+    # the shape salting CANNOT rescue: an order-dependent running sum.
+    # plain: the hot key's whole history sorts in one task; chunked
+    # (operators/prefix.py:keyed_running_sum): order-aligned chunks fan
+    # it out, per-key offsets window sees <= chunks rows per key.
+    from data_engineering_capstone_spark.operators.prefix import keyed_running_sum
+
+    w_run = Window.partitionBy("k").orderBy("v", "id2").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dfi = df.withColumn("id2", F.monotonically_increasing_id()).localCheckpoint()
+    plain_running = dfi.select(
+        "k", "id2", F.sum("v").over(w_run).alias("run"), F.count(F.lit(1)).over(w_run).alias("n")
+    )
+    chunked_running = keyed_running_sum(
+        dfi,
+        key_cols=["k"],
+        order_cols=["v", "id2"],
+        value_col="v",
+        chunk_expr=F.floor(F.col("v") / 16),  # v in [0,1000) -> 63 chunks
+        out_col="run",
+        n_col="n",
+    ).select("k", "id2", "run", "n")
+
     # join skew: every probe row must meet its dim row — the hot key's
     # entire probe mass lands on ONE reducer in the shuffle join
     from data_engineering_capstone_spark.operators.skew import salted_join
@@ -104,12 +127,24 @@ def main() -> int:
         "agg_salted_sec": round(time_best(salted), 2),
         "window_plain_sec": round(time_best(plain_window), 2),
         "window_salted_sec": round(time_best(salted_window), 2),
+        "running_plain_sec": round(time_best(plain_running), 2),
+        "running_chunked_sec": round(time_best(chunked_running), 2),
         "join_plain_sec": round(time_best(plain_join), 2),
         "join_salted_sec": round(time_best(sj), 2),
     }
     # correctness cross-checks
     assert sorted(plain_agg.collect()) == sorted(salted.collect())
     assert plain_window.count() == salted_window.count()
+    mism = (
+        plain_running.withColumnRenamed("run", "p_run").withColumnRenamed("n", "p_n")
+        .join(chunked_running, ["k", "id2"])
+        .where(
+            (F.abs(F.col("p_run") - F.col("run")) > F.lit(1e-9) * (F.abs(F.col("p_run")) + 1))
+            | (F.col("p_n") != F.col("n"))
+        )
+        .count()
+    )
+    assert mism == 0, f"{mism} running-sum mismatches"
     assert plain_join.count() == sj.count()
     print(json.dumps(out))
     return 0
