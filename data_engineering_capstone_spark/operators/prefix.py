@@ -107,13 +107,35 @@ def keyed_running_sum(
 
     Output = the plain window's, bit-exact (ties broken by the full
     ``order_cols`` inside each chunk; chunk monotonicity keeps
-    cross-chunk order). ``num_partitions`` widths the (key, chunk)
-    exchange per the round-11 width law.
+    cross-chunk order). NULL keys form their own group and NULL order
+    values sort first, both exactly as Spark's plain window treats
+    them: the device's join/group/partition keys are the materialized
+    null-safe normal form (coalesce + isnull REAL columns, the
+    snapshot_diff convention) — an eqNullSafe join would instead make
+    EnsureRequirements re-derive that form internally and re-exchange
+    the explicitly-widthed input (the round-11 Catalyst trap).
+    ``num_partitions`` widths the (key, chunk) exchange per the
+    round-11 width law.
     """
     keys = list(key_cols)
     order = list(order_cols)
-    join_keys = [*keys, "__chunk"]
-    withc = df.withColumn("__chunk", chunk_expr.cast("int"))
+    # Null-safe normal form as real columns: one plain-equality key set
+    # serves repartition + aggregate + both windows + the join, so the
+    # single explicit exchange is never re-derived. A NULL chunk (from
+    # a NULL order value) gets INT_MIN — it sorts before every real
+    # chunk, matching the plain window's NULLS FIRST.
+    nk: list[str] = []
+    withc = df.withColumn(
+        "__chunk", F.coalesce(chunk_expr.cast("int"), F.lit(-(2**31)))
+    )
+    for i, k in enumerate(keys):
+        zero = F.lit(0).cast(df.schema[k].dataType)
+        withc = withc.withColumn(f"__k{i}", F.coalesce(F.col(k), zero)).withColumn(
+            f"__kn{i}", F.isnull(F.col(k))
+        )
+        nk.extend([f"__k{i}", f"__kn{i}"])
+    join_keys = [*nk, "__chunk"]
+    helper = [*join_keys, "__off_sum", "__off_n"]
     if num_partitions:
         # Width law (round 11): one explicit (key, chunk) exchange at
         # footer width serves the totals aggregate, the intra-chunk
@@ -122,7 +144,7 @@ def keyed_running_sum(
         # width.
         withc = withc.repartition(num_partitions, *join_keys)
 
-    totals = withc.groupBy(*keys, "__chunk").agg(
+    totals = withc.groupBy(*join_keys).agg(
         F.sum(value_col).alias("__c_sum"), F.count(F.lit(1)).alias("__c_n")
     )
     if num_partitions:
@@ -131,18 +153,18 @@ def keyed_running_sum(
         # exchange too — (key, chunk) partitioning does NOT satisfy a
         # keys-only window, so without this the planner inserts a
         # session-width exchange here (the audited class). Its per-task
-        # SORT is bounded either way: no key exceeds the distinct-chunk count,
-        # which is the whole device. The offsets join side then aligns
-        # to the probe's explicit width via EnsureRequirements (one
-        # plan-encoded side suffices — the round-11 join-width law).
-        totals = totals.repartition(num_partitions, *keys)
+        # SORT is bounded either way: no key exceeds the distinct-chunk
+        # count, which is the whole device. The offsets join side then
+        # aligns to the probe's explicit width via EnsureRequirements
+        # (one plan-encoded side suffices — the round-11 join-width law).
+        totals = totals.repartition(num_partitions, *nk)
     w_off = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*nk)
         .orderBy("__chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        *keys,
+        *nk,
         "__chunk",
         F.coalesce(F.sum("__c_sum").over(w_off), F.lit(0)).alias("__off_sum"),
         F.coalesce(F.sum("__c_n").over(w_off), F.lit(0)).alias("__off_n"),
@@ -157,5 +179,5 @@ def keyed_running_sum(
         withc.join(offsets, join_keys)
         .withColumn(out_col, F.sum(value_col).over(w_in) + F.col("__off_sum"))
         .withColumn(n_col, F.count(F.lit(1)).over(w_in) + F.col("__off_n"))
-        .drop("__chunk", "__off_sum", "__off_n")
+        .drop(*helper)
     )

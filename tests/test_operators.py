@@ -426,6 +426,11 @@ def test_keyed_running_sum_matches_plain_window_on_skew(spark):
     for i in range(2000, 4000):
         rows.append((f"k{rng.randrange(200)}", rng.randrange(50), i, float(rng.randrange(100))))
     rows.append(("lonely", 3, 99999, 42.0))
+    # NULL key is a group of its own; NULL order values sort first; a
+    # real "0" key must NOT merge with the NULL group's coalesce form
+    rows += [(None, rng.randrange(50), 100000 + i, float(i)) for i in range(50)]
+    rows += [("0", rng.randrange(50), 101000 + i, float(i)) for i in range(20)]
+    rows += [("hot", None, 102000 + i, float(i)) for i in range(30)]
     df = spark.createDataFrame(rows, "key string, ord int, uid long, val double")
 
     got = keyed_running_sum(
