@@ -104,6 +104,10 @@ _REWRITTEN_SINCE_CERT: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q21_sole_supplier_orders",
+    # hash_quota_select byte-gate + histogram prefix metadata changed under
+    # these two as well (round-11 self-review):
+    "llm_temperature_mix",
+    "llm_mix_rebalance",
 )
 
 

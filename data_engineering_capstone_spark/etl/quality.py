@@ -135,20 +135,33 @@ def _distinct_width(df: DataFrame) -> int:
                 for f in files
             )
         else:
-            # remote FS: one getFileStatus RPC per INPUT FILE (round-11
-            # ADVICE fix: summing getContentSummary over deduped parent
-            # dirs over-counts siblings — single-file tables laid out as
+            # remote FS (round-11 ADVICE fix + self-review follow-up):
+            # getContentSummary over deduped parent dirs over-counted
+            # siblings (single-file tables laid out as
             # {dir}/<table>.parquet all share one parent, so each table
             # was charged the whole directory's bytes and the width
-            # inflated toward the 65536 cap). Per-file status is what
-            # the scan planner itself already listed, and it charges
-            # exactly the bytes this df reads.
+            # inflated toward the 65536 cap), and one getFileStatus RPC
+            # per input file costs O(files) NameNode/S3 round trips on
+            # a many-part table. listStatus once per DISTINCT PARENT
+            # and sum only the lengths of files this df actually reads:
+            # exact per-file bytes at O(dirs) RPCs.
             jvm = df.sparkSession._jvm
             hconf = df.sparkSession._jsc.hadoopConfiguration()
-            scanned = 0
+            # match on the scheme/authority-free path component: the
+            # planner's inputFiles() URIs and listStatus's paths can
+            # disagree on host:port normalization
+            wanted = set()
+            parents = {}
             for f in files:
                 p = jvm.org.apache.hadoop.fs.Path(f)
-                scanned += p.getFileSystem(hconf).getFileStatus(p).getLen()
+                wanted.add(p.toUri().getPath())
+                parents.setdefault(str(p.getParent()), p.getParent())
+            scanned = 0
+            for parent in parents.values():
+                fs = parent.getFileSystem(hconf)
+                for st in fs.listStatus(parent):
+                    if st.getPath().toUri().getPath() in wanted:
+                        scanned += st.getLen()
         par = max(par, min(scanned // (256 << 20), 65536))
     except Exception:  # noqa: BLE001 — sizing is best-effort by contract
         pass

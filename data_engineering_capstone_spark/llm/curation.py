@@ -311,11 +311,18 @@ def _tiny_quota_select(
     space = 16 ** prefix_len
     tot = {r[0]: r[1] for r in group_totals.collect()}
     q = {r[0]: r[1] for r in quotas.collect()}
-    live = [g for g, n in q.items() if n and n > 0 and tot.get(g, 0)]
+    live = [g for g, n in q.items() if n and n > 0]
     if not live:
-        # every quota is 0 (or every quota'd group is empty): keep nothing,
-        # matching the histogram device's inner-join semantics
+        # every quota is 0: keep nothing, matching the histogram
+        # device's inner-join semantics
         return df.where(F.lit(False))
+    if any(not tot.get(g, 0) for g in live):
+        # a quota'd group is missing (or zero) in the caller-supplied
+        # totals — stale/partial totals must never decide MEMBERSHIP, so
+        # fall back to the histogram device, which reads df itself and
+        # selects the group's prefix exactly (round-11 self-review: the
+        # old code silently dropped such a group's entire quota)
+        return None
     if any(q[g] * 64 > tot[g] for g in live):
         return None  # not tiny: the histogram device is the right plan
     margin = 8

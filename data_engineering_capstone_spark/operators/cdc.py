@@ -34,39 +34,42 @@ def snapshot_diff(
     ``num_partitions`` pins the full-outer join's exchange width
     plan-side (round-11 width law): both snapshots are fact-scale, so a
     session-width SMJ sorter here is the q9 2048× OOM class.
+
+    NULL keys are first-class: the join runs on the MATERIALIZED
+    null-safe normal form (``coalesce(k, type-default)`` + ``isnull(k)``
+    real columns, plain equality — functions/nullkeys.py explains why a
+    hand-written form or an eqNullSafe join both silently discard the
+    explicit width for non-numeric keys) and presence is detected by
+    dedicated marker columns, not key NULL-ness (a NULL-key row present
+    only in ``new`` used to classify as 'D').
     """
-    o = old.select(
-        *[F.col(k).alias(f"__ok_{k}") for k in keys],
-        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
-    )
-    n = new.select(
-        *[F.col(k).alias(f"__nk_{k}") for k in keys],
-        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
-    )
+    from ..functions.nullkeys import null_default
+
+    def _norm(df: DataFrame, side: str) -> DataFrame:
+        cols = [F.lit(True).alias(f"__{side}_m")]
+        for i, k in enumerate(keys):
+            dflt = null_default(df.schema[k].dataType)
+            cols.append(F.coalesce(F.col(k), dflt).alias(f"__jk{i}"))
+            cols.append(F.isnull(F.col(k)).alias(f"__jn{i}"))
+        return df.select(
+            *cols,
+            *[F.col(k).alias(f"__{side}v_{k}") for k in keys],
+            *[F.col(c).alias(f"{'old' if side == 'o' else 'new'}_{c}") for c in compare_cols],
+        )
+
+    jk = [c for i in range(len(keys)) for c in (f"__jk{i}", f"__jn{i}")]
+    o = _norm(old, "o")
+    n = _norm(new, "n")
     if num_partitions is not None:
-        # repartition on the NULL-SAFE key normal form — EnsureRequirements
-        # plans an eqNullSafe join's distribution as (coalesce(k, 0),
-        # isnull(k)), so a raw-column repartition would not satisfy it
-        # and the join would re-exchange at session width (found by the
-        # round-11 explain audit)
-        def _nsafe(prefix):
-            out = []
-            for k in keys:
-                col = F.col(f"{prefix}{k}")
-                zero = F.lit(0).cast(old.schema[k].dataType)
-                out.extend([F.coalesce(col, zero), F.isnull(col)])
-            return out
+        # the normal-form columns are plain non-null columns, so this
+        # explicit width is exactly what the equi-join requires — no
+        # planner-internal rewrite can re-derive a different form
+        o = o.repartition(num_partitions, *jk)
+        n = n.repartition(num_partitions, *jk)
+    joined = o.join(n, jk, "full_outer")
 
-        o = o.repartition(num_partitions, *_nsafe("__ok_"))
-        n = n.repartition(num_partitions, *_nsafe("__nk_"))
-    cond = reduce(
-        Column.__and__,
-        [F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}")) for k in keys],
-    )
-    joined = o.join(n, cond, "full_outer")
-
-    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    in_old = F.col("__o_m").isNotNull()
+    in_new = F.col("__n_m").isNotNull()
     changed = ~reduce(
         Column.__and__,
         [F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")) for c in compare_cols],
@@ -83,7 +86,7 @@ def snapshot_diff(
         .select(
             "op",
             *[
-                F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
+                F.when(in_new, F.col(f"__nv_{k}")).otherwise(F.col(f"__ov_{k}")).alias(k)
                 for k in keys
             ],
             *[F.col(f"old_{c}") for c in compare_cols],

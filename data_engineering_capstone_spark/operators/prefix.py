@@ -128,9 +128,11 @@ def keyed_running_sum(
     withc = df.withColumn(
         "__chunk", F.coalesce(chunk_expr.cast("int"), F.lit(-(2**31)))
     )
+    from ..functions.nullkeys import null_default
+
     for i, k in enumerate(keys):
-        zero = F.lit(0).cast(df.schema[k].dataType)
-        withc = withc.withColumn(f"__k{i}", F.coalesce(F.col(k), zero)).withColumn(
+        dflt = null_default(df.schema[k].dataType)
+        withc = withc.withColumn(f"__k{i}", F.coalesce(F.col(k), dflt)).withColumn(
             f"__kn{i}", F.isnull(F.col(k))
         )
         nk.extend([f"__k{i}", f"__kn{i}"])

@@ -39,6 +39,7 @@ def gated_broadcast(
     table: str,
     budget_bytes: int = 256 << 20,
     row_bytes: int = 64,
+    key: str | list[str] | None = None,
 ) -> DataFrame:
     """q7's SIZE-GATED broadcast hint as the house one-liner (round-11:
     applied to every forced broadcast of an SF-PROPORTIONAL table —
@@ -49,14 +50,26 @@ def gated_broadcast(
     a conservative ``row_bytes`` hash-relation footprint fits
     ``budget_bytes`` — zero Spark jobs, and deliberately ignoring
     filter selectivity so the gate only ever UNDER-broadcasts. Past the
-    gate (or on an unreadable/remote footer) the join ships hint-free:
-    AQE decides at runtime, and can still broadcast a filtered slice
-    that turned out small — the safe degradation, never a forced OOM.
+    gate the join must not degrade to a bare session-width SMJ (the q9
+    OOM class the gate exists to prevent): pass ``key`` — the join key
+    column(s) on THIS side — and the fallback repartitions this side at
+    the table's footer width, which EnsureRequirements propagates to
+    the fact side too (one plan-encoded side suffices, the round-11
+    join-width law). Without ``key`` the past-gate join ships hint-free
+    at session width — legacy shape, kept only for call sites whose
+    partner side already carries an explicit width.
     """
     from pyspark.sql.functions import broadcast
 
     if footer_fits_broadcast(sf_dir, table, budget_bytes, row_bytes):
         return broadcast(df)
+    if key is not None:
+        from ..sources.pqmeta import fact_width
+
+        keys = [key] if isinstance(key, str) else list(key)
+        return df.repartition(
+            fact_width(df.sparkSession, sf_dir, table), *keys
+        )
     return df
 
 

@@ -178,7 +178,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sort-merge join would pay. Measured 7.97 s -> 5.88 s at 64× sf0.1.
     joined = (
         per_order.join(o.hint("SHUFFLE_HASH"), per_order.l_orderkey == o.o_orderkey)
-        .join(gated_broadcast(sf_dir, c, "customer"), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(sf_dir, c, "customer", key="c_custkey"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -1192,8 +1192,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_c", F.min("cost_c").over(w_part)
     ).filter(F.col("cost_c") == F.col("min_c"))
     return (
-        winners.join(gated_broadcast(sf_dir, p, "part"), winners.l_partkey == p.p_partkey)
-        .join(gated_broadcast(sf_dir, s, "supplier"), winners.l_suppkey == s.s_suppkey)
+        winners.join(gated_broadcast(sf_dir, p, "part", key="p_partkey"), winners.l_partkey == p.p_partkey)
+        .join(gated_broadcast(sf_dir, s, "supplier", key="s_suppkey"), winners.l_suppkey == s.s_suppkey)
         .select(
             "p_partkey", "s_name",
             (F.col("cost_c").cast("double") / 100.0).alias("cost"),
@@ -1246,7 +1246,7 @@ def q14_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type").isin("PROMO", "ECONOMY"), units).otherwise(
         F.lit(0).cast("bigint")
     )
-    j = l.join(gated_broadcast(sf_dir, p, "part"), l.l_partkey == p.p_partkey).select(
+    j = l.join(gated_broadcast(sf_dir, p, "part", key="p_partkey"), l.l_partkey == p.p_partkey).select(
         F.year("l_shipdate").cast("int").alias("ship_year"),
         units.alias("__units"),
         promo.alias("__promo"),
@@ -1486,7 +1486,7 @@ def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sole = per_order.filter(F.col("sole_suppkey") == F.col("__mx"))
     agg = (
-        sole.join(gated_broadcast(sf_dir, s, "supplier"), sole.sole_suppkey == s.s_suppkey)
+        sole.join(gated_broadcast(sf_dir, s, "supplier", key="s_suppkey"), sole.sole_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_sole_orders"))
     )

@@ -210,11 +210,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(12,2)")
     nat_rev = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero)
     return (
-        l.join(gated_broadcast(sf_dir, p, "part"), l.l_partkey == p.p_partkey)
-        .join(gated_broadcast(sf_dir, s, "supplier"), l.l_suppkey == s.s_suppkey)
+        l.join(gated_broadcast(sf_dir, p, "part", key="p_partkey"), l.l_partkey == p.p_partkey)
+        .join(gated_broadcast(sf_dir, s, "supplier", key="s_suppkey"), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(gated_broadcast(sf_dir, c, "customer"), o.o_custkey == c.c_custkey)
+        .join(gated_broadcast(sf_dir, c, "customer", key="c_custkey"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -277,8 +277,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * _dec("l_quantity")
     )
     pruned = (
-        l.join(gated_broadcast(sf_dir, p, "part"), l.l_partkey == p.p_partkey)
-        .join(gated_broadcast(sf_dir, s, "supplier"), l.l_suppkey == s.s_suppkey)
+        l.join(gated_broadcast(sf_dir, p, "part", key="p_partkey"), l.l_partkey == p.p_partkey)
+        .join(gated_broadcast(sf_dir, s, "supplier", key="s_suppkey"), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .repartition(width, "l_orderkey")
     )
@@ -393,7 +393,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
     pv = (
-        l.join(gated_broadcast(sf_dir, s, "supplier"), l.l_suppkey == s.s_suppkey)
+        l.join(gated_broadcast(sf_dir, s, "supplier", key="s_suppkey"), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_rev()).cast("decimal(18,4)").alias("value_dec"))
@@ -576,8 +576,8 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select("s_suppkey")
     return (
-        l.join(gated_broadcast(sf_dir, p, "part"), l.l_partkey == p.p_partkey)
-        .join(gated_broadcast(sf_dir, bad, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        l.join(gated_broadcast(sf_dir, p, "part", key="p_partkey"), l.l_partkey == p.p_partkey)
+        .join(gated_broadcast(sf_dir, bad, "supplier", key="s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -619,7 +619,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
-        l.join(gated_broadcast(sf_dir, p, "part"), l.l_partkey == p.p_partkey)
+        l.join(gated_broadcast(sf_dir, p, "part", key="p_partkey"), l.l_partkey == p.p_partkey)
         .join(pa, "l_partkey")
         .filter(5 * F.col("l_quantity").cast("bigint") * F.col("cnt") < F.col("sq"))
         .agg((F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
@@ -660,7 +660,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((br == "Brand#13") & sz.between(20, 50) & q.between(20, 40))
     )
     return (
-        l.join(gated_broadcast(sf_dir, p, "part"), l.l_partkey == p.p_partkey)
+        l.join(gated_broadcast(sf_dir, p, "part", key="p_partkey"), l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
@@ -714,7 +714,7 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     width = fact_width(spark, sf_dir, "supplier")
     qualifying = (
-        l.join(gated_broadcast(sf_dir, p, "part"), l.l_partkey == p.p_partkey)
+        l.join(gated_broadcast(sf_dir, p, "part", key="p_partkey"), l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("__tot"))
         .filter(F.col("__tot") > 100)

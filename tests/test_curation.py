@@ -260,6 +260,19 @@ def test_tiny_quota_trigger_and_fallback(spark):
     zero = spark.createDataFrame([("a", 0), ("b", 0)], "grp string, __quota long")
     empty = hash_quota_select(df, "grp", "doc_id", zero, group_totals=totals)
     assert empty.count() == 0 and empty.columns == df.columns
+    # a quota'd group MISSING from (or zero in) the caller totals must
+    # fall back, not silently drop the group (round-11 self-review):
+    # stale totals omit 'b' entirely, and record 0 for 'a' in a second case
+    part = spark.createDataFrame([("a", 1000)], "grp string, n_total long")
+    assert _tiny_quota_select(df, "grp", "doc_id", tiny, 4, part) is None
+    zeroed = spark.createDataFrame(
+        [("a", 0), ("b", 1000)], "grp string, n_total long"
+    )
+    assert _tiny_quota_select(df, "grp", "doc_id", tiny, 4, zeroed) is None
+    via_entry = hash_quota_select(df, "grp", "doc_id", tiny, group_totals=part)
+    assert sorted((r["grp"], r["doc_id"]) for r in via_entry.collect()) == sorted(
+        (r["grp"], r["doc_id"]) for r in honest.collect()
+    )
 
 
 def test_histogram_prefix_len_mismatch_rejected(spark):

@@ -482,3 +482,69 @@ def test_keyed_running_sum_no_per_key_sort_task(spark):
     # fails here — that is the single-hot-task shape this device removes.
     for spec in specs:
         assert "__chunk" in spec, f"key-only window survived: {spec}"
+
+
+def test_snapshot_diff_null_key_and_date_key(spark):
+    """Round-11 self-review regressions: (a) a NULL-key row present only
+    in `new` must classify as 'I' (key-NULL-ness is not presence);
+    (b) a DATE-typed key with an explicit width must plan (the old
+    lit(0).cast(DATE) normal form was an illegal cast); (c) a STRING
+    key with explicit width keeps the width (the old hand-written
+    coalesce(k, 0) form mismatched Catalyst's eqNullSafe rewrite and
+    silently re-exchanged at session width)."""
+    import datetime as _dt
+
+    from data_engineering_capstone_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([("a", 1.0), (None, 5.0)], "k string, v double")
+    new = spark.createDataFrame([("a", 1.0), (None, 7.0), (None, None)], "k string, v double")
+    # NULL key appears once in old (v=5.0) and twice in new (7.0, NULL):
+    # the join is many-to-many on the NULL group — both new rows pair
+    # with the old row as updates
+    rows = snapshot_diff(old, new, ["k"], ["v"], num_partitions=4).collect()
+    ops = {(r["k"], r["op"], r["new_v"]) for r in rows}
+    assert ops == {(None, "U", None), (None, "U", 7.0)}
+
+    # string-key width survives: the only exchanges are the two explicit
+    # REPARTITION_BY_NUM(4) ones plus whatever the final grain needs —
+    # no session-width hashpartitioning over the join keys
+    plan = (
+        snapshot_diff(old, new, ["k"], ["v"], num_partitions=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    widths = re.findall(r"Exchange hashpartitioning\([^)]*, (\d+)\), (\w+)", plan)
+    assert widths and all(w == "4" and kind == "REPARTITION_BY_NUM" for w, kind in widths), widths
+
+    d_old = spark.createDataFrame([(_dt.date(2024, 1, 1), 1.0)], "k date, v double")
+    d_new = spark.createDataFrame([(_dt.date(2024, 1, 1), 2.0)], "k date, v double")
+    got = snapshot_diff(d_old, d_new, ["k"], ["v"], num_partitions=4).collect()
+    assert [(r["op"], r["k"]) for r in got] == [("U", _dt.date(2024, 1, 1))]
+
+
+def test_keyed_running_sum_date_key(spark):
+    """DATE-typed partition key must work (shared null_default helper)."""
+    import datetime as _dt
+
+    from pyspark.sql import Window
+
+    from data_engineering_capstone_spark.operators.prefix import keyed_running_sum
+
+    rows = [
+        (_dt.date(2024, 1, 1 + (i % 3)), i % 10, i, float(i % 7)) for i in range(200)
+    ] + [(None, 5, 999, 3.0)]
+    df = spark.createDataFrame(rows, "key date, ord int, uid long, val double")
+    got = keyed_running_sum(
+        df, ["key"], ["ord", "uid"], "val",
+        chunk_expr=F.floor(F.col("ord") / 4), out_col="run", n_col="n",
+        num_partitions=4,
+    )
+    w = Window.partitionBy("key").orderBy("ord", "uid").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.select("key", "uid", F.sum("val").over(w).alias("run"),
+                     F.count(F.lit(1)).over(w).alias("n"))
+    gm = {(r["key"], r["uid"]): (r["run"], r["n"]) for r in got.collect()}
+    wm = {(r["key"], r["uid"]): (r["run"], r["n"]) for r in want.collect()}
+    assert gm == wm

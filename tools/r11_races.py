@@ -66,6 +66,9 @@ def source_cap_classic(spark, sf_dir):
 
 
 def main() -> int:
+    if len(sys.argv) < 2 or (sys.argv[1] == "--width" and len(sys.argv) < 3):
+        print("usage: r11_races.py REPLICA_DIR [reps] | --width REPLICA_DIR [reps]")
+        return 2
     if sys.argv[1] == "--width":
         width_races(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
         return 0
