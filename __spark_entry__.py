@@ -108,6 +108,7 @@ _REWRITTEN_SINCE_CERT: tuple[str, ...] = (
     # these two as well (round-11 self-review):
     "llm_temperature_mix",
     "llm_mix_rebalance",
+    "etl_time_travel_diff",   # version_diff now widths its snapshot_diff
 )
 
 

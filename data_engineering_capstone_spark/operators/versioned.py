@@ -96,15 +96,21 @@ def diff_versions(
     compare_cols: list[str],
 ) -> DataFrame:
     """Changeset between two committed versions via the CDC snapshot
-    diff — I/U/D rows keyed by ``key_cols`` (operators/cdc.py)."""
+    diff — I/U/D rows keyed by ``key_cols`` (operators/cdc.py). Both
+    snapshots are whole table versions (fact scale), so the diff's
+    full-outer exchange rides the width law from the larger version's
+    parquet footers."""
+    from ..sources.pqmeta import scaled_width
     from .cdc import snapshot_diff
 
-    return snapshot_diff(
-        read_version(spark, table_dir, v_old),
-        read_version(spark, table_dir, v_new),
-        key_cols,
-        compare_cols,
-    )
+    old_df = read_version(spark, table_dir, v_old)
+    new_df = read_version(spark, table_dir, v_new)
+    par = spark.sparkContext.defaultParallelism
+    width = max(
+        scaled_width(os.path.join(table_dir, f"v={v_old}"), par),
+        scaled_width(os.path.join(table_dir, f"v={v_new}"), par),
+    )  # unreadable footers degrade to the parallelism floor inside scaled_width
+    return snapshot_diff(old_df, new_df, key_cols, compare_cols, num_partitions=width)
 
 
 def vacuum_versions(table_dir: str, keep_last: int = 2) -> list[int]:
