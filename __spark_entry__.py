@@ -109,6 +109,45 @@ _REWRITTEN_SINCE_CERT: tuple[str, ...] = (
     "llm_temperature_mix",
     "llm_mix_rebalance",
     "etl_time_travel_diff",   # version_diff now widths its snapshot_diff
+    # round-11 OPTIMIZATION sweep (final-sort policy + streaming detach):
+    # display-only final orderBys removed from fact-grain outputs, and
+    # run_available_now's snapshot switched to localCheckpoint — result
+    # sets identical (local parity green), plans changed.
+    "stream_tumbling_counts", "stream_sliding_avg", "stream_session_windows",
+    "stream_dedup_watermark", "stream_static_join_segments",
+    "stream_stateful_user_stats", "stream_count_min_top_users",
+    "stream_minhash_dedup", "stream_stream_join", "stream_psi_drift",
+    "stream_custom_source_replay",
+    "udf_pandas_scalar", "udf_apply_in_pandas", "udf_apply_in_arrow",
+    "udf_map_in_arrow", "mm_metadata_extract", "mm_feature_extract",
+    "mm_audio_energy", "mm_frame_sample", "mm_binary_ingest",
+    "mm_resize_pipeline", "mm_wav_energy", "mm_bmp_stats",
+    "llm_mojibake_detect", "mm_phash_near_dup", "mm_audio_fingerprint_dedup",
+    "map_funcs_props", "window_group_zscore", "scalar_string_funcs2",
+    "scalar_bitwise_funcs", "scalar_conditional_funcs", "scalar_date_funcs2",
+    "scalar_array_funcs2", "scalar_try_funcs", "scalar_math_funcs2",
+    "scalar_map_funcs2", "scalar_binary_funcs",
+    "llm_exact_dedup", "llm_minhash_near_dup", "llm_minhash_collapsed",
+    "llm_cosine_topk", "llm_embedding_near_dup", "llm_ann_lsh",
+    "llm_fingerprint", "llm_dedup_clusters", "llm_ann_ivf",
+    "llm_gopher_rules", "llm_html_strip", "llm_ann_ivf_pq",
+    "llm_pq_index_delta", "llm_semantic_dedup", "llm_pii_redaction",
+    "llm_chunk_documents", "llm_repetition_filter", "llm_decontamination",
+    "llm_unigram_logprob", "llm_perplexity_filter", "llm_dedup_canonical",
+    "llm_duplicate_spans", "llm_quality_classifier",
+    "llm_quality_classifier_trained", "llm_bloom_decontamination",
+    "llm_blocklist_filter", "llm_span_dedup_clean",
+    "llm_span_decontamination", "llm_bpe_encode", "llm_url_dedup_canonical",
+    "llm_ngram_novelty", "llm_pack_sequences",
+    # round-11 gated scan fan-out (guide §2.5; pqmeta.fanout_starved_scan):
+    "llm_text_stats", "llm_ngram_jaccard",
+    "filter_predicates_part", "window_rank_customers",
+    "window_running_skew_safe", "outer_join_order_counts",
+    "skew_salted_agg", "null_handling_family", "q2_min_cost_supplier",
+    "q18_large_orders", "window_analytic_family", "join_null_safe",
+    "window_nth_value_family", "q11_important_parts",
+    "ts_gapfill_ffill", "ts_sessionize_batch", "ts_weighted_moving_avg",
+    "ts_rolling_anomaly", "ts_rolling_median", "etl_cdc_snapshot_diff",
 )
 
 

@@ -386,7 +386,7 @@ def etl_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("old_p").cast("double").alias("old_o_totalprice"),
         F.col("new_p").cast("double").alias("new_o_totalprice"),
-    ).orderBy("o_orderkey", "op")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(

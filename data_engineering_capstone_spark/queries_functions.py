@@ -320,7 +320,7 @@ def map_funcs_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.col("pm")).cast("int").alias("n_props"),
             F.element_at(F.col("pm"), "missing").isNull().alias("missing_absent"),
         )
-        .orderBy("event_id")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -369,7 +369,7 @@ def window_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             ((F.col("value") - mean) / std).alias("zscore"),
         )
-        .orderBy("event_id")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -770,7 +770,7 @@ def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("std")
         .alias("type_class"),
         F.contains(F.col("p_name"), F.lit("a")).alias("has_a"),
-    ).orderBy("p_partkey")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -802,7 +802,7 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).cast("bigint").alias("shr3"),
         F.bit_count(k).cast("int").alias("popcount"),
         F.bitwise_not(k).cast("bigint").alias("flipped"),
-    ).orderBy("o_orderkey")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -840,7 +840,7 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_discount") > 0.05, "deep").otherwise("shallow").alias(
             "disc_class"
         ),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -876,7 +876,7 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).cast("int").alias("q"),
         F.dayofyear(d).cast("int").alias("doy"),
         F.datediff(holiday, d).cast("int").alias("days_to_holiday"),
-    ).orderBy("o_orderkey")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -938,7 +938,7 @@ def scalar_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(F.flatten(F.array(head4, next4))).cast("double"), 3).alias(
             "max8"
         ),
-    ).orderBy("vec_id")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -1058,7 +1058,7 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("1.5"))
         .try_cast("double")
         .alias("overflow_guard"),
-    ).orderBy("event_id")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -1118,7 +1118,7 @@ def scalar_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         qz(F.degrees(v), 1e4).alias("deg_v"),
         qz(F.radians(v), 1e6).alias("rad_v"),
         F.signum(v - 5.0).cast("int").alias("sign_v"),
-    ).orderBy("event_id")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -1170,7 +1170,7 @@ def scalar_map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.array_join(F.array_sort(entries), ",").alias("map_repr"),
         F.size(F.map_entries(final)).cast("int").alias("n_entries"),
-    ).orderBy("event_id")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -1203,4 +1203,4 @@ def scalar_binary_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("type_rt"),
         F.octet_length(F.col("p_name")).cast("int").alias("name_bytes"),
-    ).orderBy("p_partkey")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)

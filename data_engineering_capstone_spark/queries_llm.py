@@ -66,7 +66,7 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
-    return exact_dedup(doubled, "text", "doc_id").select("doc_id").orderBy("doc_id")
+    return exact_dedup(doubled, "text", "doc_id").select("doc_id")  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -116,7 +116,11 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged in what it detects. This is the same df-cap semantic the
     span-dedup family uses (llm/spans.py, cap=1000).
     """
-    d = _t(spark, sf_dir, "documents")
+    from .sources.pqmeta import fanout_starved_scan
+
+    d = fanout_starved_scan(
+        _t(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )  # guide §2.5: row-group-starved scan serializes the text kernel
     pairs = ngram_jaccard_pairs(
         d, "text", "doc_id", threshold=0.2, shingle_n=2, max_doc_freq=100
     )
@@ -189,9 +193,13 @@ def llm_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline is asserted in tests/test_llm.py.
     """
     d = _t(spark, sf_dir, "documents")
+    # no final orderBy (SCALE.md final-sort policy): the range partitioner
+    # would sample-execute the pair stage twice for a display-only order;
+    # rows-only entry, digest/recall checks are order-insensitive.
+    # Measured 2.03 s → 1.76 s at sf0.1, identical row set.
     return minhash_near_dups(
         d, "text", "doc_id", threshold=0.35, num_hashes=64, num_bands=16
-    ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")).orderBy("id_a", "id_b")
+    ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
 @query("llm_minhash_index_delta", oracle=None)
@@ -270,7 +278,7 @@ def llm_minhash_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"),
             "n_a", "n_b",
         )
-        .orderBy("id_a", "id_b")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -310,7 +318,7 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return cosine_topk(e, q, k=5).orderBy("q_id", "rk")
+    return cosine_topk(e, q, k=5)  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query("llm_embedding_near_dup", oracle=None)
@@ -327,7 +335,7 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.similarity import lsh_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_near_dup_pairs(e, 0.42, dim=64).orderBy("id_a", "id_b")
+    return lsh_near_dup_pairs(e, 0.42, dim=64)  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query("llm_ann_lsh", oracle=None)
@@ -340,7 +348,7 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return lsh_ann_topk(e, q, k=5, dim=64).orderBy("q_id", "rk")
+    return lsh_ann_topk(e, q, k=5, dim=64)  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -374,7 +382,11 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     unsorted at 64× sf0.1 (15.2 s before this round's mean_token_len
     arithmetic rewrite, llm/text.py).
     """
-    d = _t(spark, sf_dir, "documents")
+    from .sources.pqmeta import fanout_starved_scan
+
+    d = fanout_starved_scan(
+        _t(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )  # guide §2.5: row-group-starved scan serializes the regex kernel
     return d.select(
         "doc_id",
         F.length("text").cast("int").alias("n_chars"),
@@ -446,12 +458,16 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-sensitive polynomial rolling hash (both ANSI-reproducible —
     the oracle computes identical values).
     """
-    d = _t(spark, sf_dir, "documents")
+    from .sources.pqmeta import fanout_starved_scan
+
+    d = fanout_starved_scan(
+        _t(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )  # guide §2.5: row-group-starved scan serializes the text kernel
     return d.select(
         "doc_id",
         fingerprint_md5("text").alias("content_fp"),
         rolling_fingerprint("text").alias("rolling_fp"),
-    ).orderBy("doc_id")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -509,7 +525,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         d, "text", "doc_id", threshold=0.2, shingle_n=2, max_doc_freq=100
     )
-    return dedup_clusters(pairs).orderBy("doc_id")
+    return dedup_clusters(pairs)  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query("llm_ann_ivf", oracle=None)
@@ -522,7 +538,7 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return ivf_ann_topk(e, q, k=5).orderBy("q_id", "rk")
+    return ivf_ann_topk(e, q, k=5)  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -591,11 +607,14 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     382/118). Shuffle-free single scan, pure codegen Columns.
     """
     from .llm.curation import gopher_rules
+    from .sources.pqmeta import fanout_starved_scan
 
-    d = _t(spark, sf_dir, "documents")
+    d = fanout_starved_scan(
+        _t(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )  # guide §2.5: row-group-starved scan serializes the regex kernel
     return gopher_rules(
         d, "text", "doc_id", min_words=20, max_words=80, min_stop_hits=1
-    ).orderBy("doc_id")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -643,8 +662,11 @@ def llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same extraction. Fully codegen, shuffle-free scan.
     """
     from .llm.text import strip_markup
+    from .sources.pqmeta import fanout_starved_scan
 
-    d = _t(spark, sf_dir, "documents")
+    d = fanout_starved_scan(
+        _t(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )  # guide §2.5: row-group-starved scan serializes the regex kernel
     h = F.concat(
         F.lit('<html><body><h1>T</h1><p class="x">'),
         F.col("text"),
@@ -662,7 +684,7 @@ def llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(strip_markup(h)).cast("int").alias("n_chars_clean"),
         F.md5(strip_markup(h)).alias("clean_digest"),
-    ).orderBy("doc_id")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -814,7 +836,7 @@ def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     return ivf_pq_ann_topk(
         e, q, k=5, m=8, ks=32, num_cells=8, nprobe=4, refine=8
-    ).orderBy("q_id", "rk")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query("llm_pq_index_delta", oracle=None)
@@ -845,7 +867,7 @@ def llm_pq_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5)
     return pq_query_index(
         full_index, model, q, corpus, k=5, nprobe=4, refine=8
-    ).orderBy("q_id", "rk")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query("llm_bpe_merges", oracle=None)
@@ -878,7 +900,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm.similarity import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, threshold=0.42).orderBy("vec_id")
+    return semantic_dedup(e, threshold=0.42)  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -1248,7 +1270,7 @@ def llm_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(email_re), 0)).cast("int").alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(phone_re), 0)).cast("int").alias("n_phones"),
         F.length(redacted).cast("bigint").alias("red_len"),
-    ).orderBy("doc_id")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -1277,10 +1299,15 @@ def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .llm.chunking import chunk_by_tokens
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return chunk_by_tokens(d, "text", "doc_id", size=20, stride=15).orderBy(
-        "doc_id", "chunk_id"
-    )
+    from .sources.pqmeta import fanout_starved_scan
+
+    d = fanout_starved_scan(
+        _t(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )  # guide §2.5: row-group-starved scan serializes the text kernel
+    d = d.select("doc_id", "text")
+    # no final orderBy: display-only on chunk-grain output (SCALE.md
+    # final-sort policy)
+    return chunk_by_tokens(d, "text", "doc_id", size=20, stride=15)
 
 
 @query(
@@ -1328,9 +1355,12 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/spam pre-filter of corpus pipelines.
     """
     from .llm.curation import repetition_gate, repetition_metrics
+    from .sources.pqmeta import fanout_starved_scan
 
-    d = _t(spark, sf_dir, "documents")
-    return repetition_gate(repetition_metrics(d, "text", "doc_id")).orderBy("doc_id")
+    d = fanout_starved_scan(
+        _t(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )  # guide §2.5: row-group-starved scan serializes the regex kernel
+    return repetition_gate(repetition_metrics(d, "text", "doc_id"))  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -1365,7 +1395,7 @@ def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 10 == 0)
     corpus = d.filter(F.col("doc_id") % 10 != 0)
-    return decontaminate(corpus, bench, "text", "doc_id", ngram_n=5).orderBy("doc_id")
+    return decontaminate(corpus, bench, "text", "doc_id", ngram_n=5)  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -1405,7 +1435,7 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         packed.filter(F.col("doc_id") < 300)
         .select("doc_id", "n_tokens", "start_pos", "seq_first", "seq_offset", "seq_last")
-        .orderBy("doc_id")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -1674,7 +1704,7 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 -F.sum("lp").cast("double") / F.count(F.lit(1)), 6
             ).alias("avg_neg_logprob"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -1802,7 +1832,7 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("doc_id", pick).alias("canonical_doc"),
             F.max_by("n_chars", pick).alias("canonical_chars"),
         )
-        .orderBy("component")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -2015,7 +2045,7 @@ def llm_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_a").cast("bigint").alias("start_a"),
         F.col("start_b").cast("bigint").alias("start_b"),
         F.col("span_tokens").cast("bigint").alias("span_tokens"),
-    ).orderBy("id_a", "id_b", "start_a", "start_b")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -2048,10 +2078,14 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .llm.scoring import quality_classifier_score
 
-    d = _t(spark, sf_dir, "documents")
+    from .sources.pqmeta import fanout_starved_scan
+
+    d = fanout_starved_scan(
+        _t(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )  # guide §2.5: row-group-starved scan serializes the text kernel
     return d.select(
         "doc_id", F.round(quality_classifier_score("text"), 6).alias("quality_score")
-    ).orderBy("doc_id")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query("llm_quality_classifier_trained", oracle=None)
@@ -2075,13 +2109,17 @@ def llm_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFram
     """
     from .llm.scoring import hashed_linear_score, trained_quality_weights
 
-    d = _t(spark, sf_dir, "documents")
+    from .sources.pqmeta import fanout_starved_scan
+
+    d = fanout_starved_scan(
+        _t(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )  # guide §2.5: row-group-starved scan serializes the text kernel
     score = F.round(hashed_linear_score("text", trained_quality_weights()), 6)
     return d.select(
         "doc_id",
         score.alias("quality_score"),
         (score >= 0.5).alias("keep"),
-    ).orderBy("doc_id")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -2223,7 +2261,7 @@ def llm_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     return bloom_decontaminate(
         corpus, bench, "text", "doc_id", ngram_n=5
-    ).orderBy("doc_id")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -2430,7 +2468,7 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hit_terms"),
             (F.size(hits) == 0).alias("passes"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -2498,7 +2536,7 @@ def llm_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return remove_duplicate_spans(
         d, "text", "doc_id", min_tokens=5, max_doc_freq=1000
-    ).orderBy("doc_id")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -2584,7 +2622,7 @@ def llm_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     return remove_contamination_spans(
         corpus, bench, "text", "doc_id", min_tokens=5
-    ).orderBy("doc_id")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query("llm_bpe_encode", oracle=None)
@@ -2601,7 +2639,7 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     merges_df = learn_bpe_merges(d, "text", num_merges=10)
     merges = [(r.left, r.right) for r in merges_df.orderBy("rank").collect()]
-    return bpe_encode_lengths(d, "text", "doc_id", merges).orderBy("doc_id")
+    return bpe_encode_lengths(d, "text", "doc_id", merges)  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -2803,7 +2841,7 @@ def llm_url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc"),
             F.sum("n_chars").alias("dup_chars"),
         )
-        .orderBy("canonical_url")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -3044,7 +3082,7 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("n_novel"), F.lit(0)) * F.lit(1.0) / F.col("n_grams"), 6
             ).alias("novelty"),
         )
-        .orderBy("doc_id")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 

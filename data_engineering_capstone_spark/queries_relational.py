@@ -494,7 +494,7 @@ def filter_predicates_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice").alias("price"),
             (F.col("p_retailprice") * 0.9).alias("discounted"),
         )
-        .orderBy("p_partkey")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -532,7 +532,7 @@ def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.filter(F.col("rn") <= 5)
         .select("c_mktsegment", "c_custkey", "acctbal", "rn", "rnk", "drnk", "quartile")
-        .orderBy("c_mktsegment", "rn")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -648,7 +648,7 @@ def window_running_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.col("__run").cast("double").alias("running_total"),
         F.col("__n").cast("bigint").alias("running_n"),
-    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 # --------------------------------------------------------------------------
@@ -778,7 +778,7 @@ def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_spent"),
         )
-        .orderBy("c_custkey")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -948,7 +948,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "l_suppkey", "n", F.col("total").cast("double").alias("total"), "min_qty", "max_qty"
-    ).orderBy("l_suppkey")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(
@@ -1117,7 +1117,7 @@ def null_handling_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_totalprice").isNull(), "missing").otherwise("present").alias("status"),
             F.ifnull(F.col("o_totalprice"), F.lit(-1.0)).alias("price_or_neg1"),
         )
-        .orderBy("c_custkey", "price_filled")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -1198,7 +1198,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey", "s_name",
             (F.col("cost_c").cast("double") / 100.0).alias("cost"),
         )
-        .orderBy("p_partkey", "s_name")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -1297,7 +1297,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
-        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -1542,7 +1542,7 @@ def window_analytic_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("c_acctbal").over(w).alias("next_bal"),
             F.first("c_acctbal").over(w).alias("min_bal_in_nation"),
         )
-        .orderBy("n_name", "c_acctbal", "c_custkey")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -1705,7 +1705,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.max("n_type").alias("group_size"),
         )
-        .orderBy(F.col("event_key").asc_nulls_first())
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -1747,7 +1747,7 @@ def window_nth_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("s_acctbal", 3).over(w_full).alias("third_lowest_overall"),
         F.lag("s_acctbal", 2, -1.0).over(w).alias("lag2_or_default"),
         F.last("s_acctbal").over(w_full).alias("max_in_nation"),
-    ).orderBy("s_suppkey")
+    )  # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
 
 
 @query(

@@ -88,7 +88,7 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("double").alias("bucket_sum"),
             F.col("s_ffill").cast("double").alias("filled_sum"),
         )
-        .orderBy("user_id", "bucket_ts")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -178,7 +178,7 @@ def ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
         )
-        .orderBy("user_id", "session_id")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -270,7 +270,7 @@ def ts_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.select("user_id", "ts", "value", (num / den).alias("wma"))
-        .orderBy("user_id", "ts")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -378,7 +378,7 @@ def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         w.filter((F.col("n") >= 4) & (var > 0) & (F.abs(z) > 2))
         .select("user_id", "ts", "value", z.alias("z"))
-        .orderBy("user_id", "ts")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -466,7 +466,7 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = F.element_at(vals, F.ceil(F.size(vals) / 2).cast("int"))
     return (
         ev.select("user_id", "ts", "value", med.alias("med7"))
-        .orderBy("user_id", "ts")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 

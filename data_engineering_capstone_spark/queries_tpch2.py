@@ -410,7 +410,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(3) * F.col("__total")
         )
         .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
-        .orderBy("l_partkey")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )
 
 
@@ -725,5 +725,5 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s2.join(qualifying, s2.s_suppkey == qualifying.l_suppkey)
         .select("s_suppkey", "s_name")
-        .orderBy("s_suppkey")
+        # no final orderBy: display-only on fact-grain output (SCALE.md final-sort policy)
     )

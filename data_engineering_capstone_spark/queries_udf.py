@@ -61,9 +61,13 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical closed-form in SQL — exact to 1e-6.
     """
     o = _t(spark, sf_dir, "orders")
+    # No final orderBy (SCALE.md final-sort policy): the sort's range
+    # partitioner sample re-executes the ArrowEvalPython stage below it —
+    # the whole UDF runs twice for a display-only order. The driver's
+    # compare is order-insensitive.
     return o.select(
         "o_orderkey", F.round(_sigmoid_log1p("o_totalprice"), 6).alias("squashed")
-    ).orderBy("o_orderkey")
+    )
 
 
 @pandas_udf(T.LongType())
@@ -183,7 +187,9 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return c.groupBy("c_mktsegment").applyInPandas(normalize, schema).orderBy("c_custkey")
+    # no final orderBy: display-only; the sort sample would re-run the
+    # pandas group-map (SCALE.md final-sort policy)
+    return c.groupBy("c_mktsegment").applyInPandas(normalize, schema)
 
 
 @query(
@@ -222,7 +228,7 @@ def mm_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.dim_a").alias("dim_a"),
         F.col("m.dim_b").alias("dim_b"),
         F.col("m.n_bytes").alias("n_bytes"),
-    ).orderBy("doc_id")
+    )  # no final orderBy: display-only (SCALE.md final-sort policy)
 
 
 @query("mm_feature_extract", oracle=None)
@@ -244,7 +250,8 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", 8), 6).alias("f7"),
         F.size("features").alias("n_features"),
-    ).orderBy("doc_id")
+    )  # no final orderBy: sort sample re-ran the Arrow decode+feature
+    # stage — measured 2.04 s → 1.33 s at sf0.1 (SCALE.md final-sort policy)
 
 
 @query(
@@ -274,7 +281,8 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_bin = d.select(
         "doc_id", "text", F.lit("audio").alias("media_type")
     ).withColumn("payload", synthesize_payload("text", "media_type"))
-    return audio_window_energy(with_bin).orderBy("doc_id", "window_idx")
+    # no final orderBy: display-only (SCALE.md final-sort policy)
+    return audio_window_energy(with_bin)
 
 
 @query(
@@ -305,7 +313,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames").cast("int").alias("n_frames"),
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.col("frame_offset").cast("long").alias("frame_offset"),
-    ).orderBy("doc_id", "frame_idx")
+    )  # no final orderBy: display-only (SCALE.md final-sort policy)
 
 
 @query(
@@ -379,7 +387,8 @@ def mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("length").cast("bigint").alias("n_bytes"),
             F.md5(F.col("content")).alias("content_md5"),
         )
-        .orderBy("file_name")
+        # no final orderBy: the sort sample would re-read + re-md5 every
+        # file for a display-only order (SCALE.md final-sort policy)
     )
 
 
@@ -427,7 +436,8 @@ def mm_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", "media_type", "dim_a", "dim_b",
         F.length("payload").cast("bigint").alias("n_bytes"),
-    ).orderBy("doc_id")
+    )  # no final orderBy: display-only; sort sample re-runs the resize
+    # mapInPandas stage (SCALE.md final-sort policy)
 
 
 @query(
@@ -480,9 +490,11 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["vec_id", "dim", "l2_norm"],
             )
 
+    # no final orderBy: display-only; sort sample re-runs mapInArrow
+    # (SCALE.md final-sort policy)
     return emb.mapInArrow(
         norms, "vec_id bigint, dim int, l2_norm double"
-    ).orderBy("vec_id")
+    )
 
 
 @query(
@@ -551,9 +563,11 @@ def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     wavs = d.select("doc_id").repartition(par).mapInPandas(
         encode, "doc_id long, wav binary"
     )
+    # no final orderBy: display-only; sort sample re-runs both
+    # mapInPandas stages (SCALE.md final-sort policy)
     return wavs.mapInPandas(
         decode_rms, "doc_id long, window_idx int, n_samples int, rms double"
-    ).orderBy("doc_id", "window_idx")
+    )
 
 
 @query(
@@ -636,7 +650,8 @@ def mm_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundtrip,
         "doc_id long, width int, height int, n_file_bytes bigint, "
         "mean_r double, mean_g double, mean_b double",
-    ).orderBy("doc_id")
+    )  # no final orderBy: display-only; sort sample re-runs the BMP
+    # round-trip stage (SCALE.md final-sort policy)
 
 
 @query(
@@ -681,7 +696,11 @@ def llm_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     pat = F.concat(
         c195, F.lit("["), F.char(F.lit(128)), F.lit("-"), F.char(F.lit(191)), F.lit("]")
     )
-    d = _t(spark, sf_dir, "documents")
+    from .sources.pqmeta import fanout_starved_scan
+
+    d = fanout_starved_scan(
+        _t(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )  # guide §2.5: row-group-starved scan serializes the regex kernel
     seeded_part = d.filter(F.col("doc_id") % 7 == 0).select(
         "doc_id",
         F.concat(
@@ -701,7 +720,7 @@ def llm_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_moji.cast("bigint").alias("n_moji"),
         (n_moji > 0).alias("has_moji"),
         F.length(F.regexp_replace(F.col("text"), pat, F.lit(""))).cast("bigint").alias("clean_len"),
-    ).orderBy("doc_id")
+    )  # no final orderBy: display-only (SCALE.md final-sort policy)
 
 
 @query("mm_phash_near_dup")
@@ -769,7 +788,8 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par)
         .mapInPandas(hash_images, "doc_id long, h long")
     )
-    return hamming_band_pairs(hashes, threshold=6).orderBy("id_a", "id_b")
+    # no final orderBy: pair-emitting entry (SCALE.md final-sort policy)
+    return hamming_band_pairs(hashes, threshold=6)
 
 
 @query("mm_audio_fingerprint_dedup")
@@ -829,7 +849,8 @@ def mm_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par)
         .mapInPandas(fingerprint, "doc_id long, h long")
     )
-    return hamming_band_pairs(hashes, threshold=6).orderBy("id_a", "id_b")
+    # no final orderBy: pair-emitting entry (SCALE.md final-sort policy)
+    return hamming_band_pairs(hashes, threshold=6)
 
 
 @query(
@@ -883,5 +904,6 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderpriority")
         .applyInArrow(rebase, "o_orderkey bigint, o_orderpriority string, c_off bigint")
-        .orderBy("o_orderkey")
+        # no final orderBy: display-only; sort sample re-runs the Arrow
+        # group-map (SCALE.md final-sort policy)
     )

@@ -97,3 +97,42 @@ def _parquet_files(path: str) -> list[str]:
     if not out:
         raise FileNotFoundError(f"no parquet files under {path}")
     return out
+
+
+def parquet_row_groups(path: str) -> int:
+    """Total parquet row-group count of a file or directory, from footers.
+
+    Row groups, not bytes, bound a parquet scan's effective parallelism:
+    Spark plans byte-range splits, but a split produces rows only when it
+    contains a row-group midpoint, so a table with G row groups runs its
+    scan stage on at most G cores no matter the split config."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_row_groups for f in _parquet_files(path))
+
+
+def fanout_starved_scan(df, spark, sf_dir: str, table: str):
+    """Fan a parallelism-starved scan out to the cluster width (guide
+    §2.5 "one huge unsplittable file ... repartition immediately after
+    the read").
+
+    Gated on footer metadata so it is scale-adaptive, not local tuning:
+    when the table's row-group count already covers the cluster
+    parallelism (any production-scale table — thousands of row groups),
+    this is a no-op and the plan is untouched; only a row-group-starved
+    scan (the single-row-group testdata file, a few-huge-row-group
+    export) pays one cheap exchange to unlock the cores for CPU-heavy
+    per-row work downstream. Callers must be compute-bound per row
+    (regex/text kernels): for cheap-per-row wide outputs the shuffle
+    costs more than it saves (measured: llm_text_stats 0.45 s → 0.28 s,
+    but scalar_math_funcs 0.81 s → 1.15 s — fan-out rejected there).
+
+    Unreadable/remote paths degrade to the unchanged df."""
+    try:
+        groups = parquet_row_groups(f"{sf_dir}/{table}.parquet")
+    except (OSError, ValueError):
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if groups >= par:
+        return df
+    return df.repartition(par)

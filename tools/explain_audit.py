@@ -405,11 +405,15 @@ def audit_one(name: str, plan: str) -> list[str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     dump_dir = None
-    for i, a in enumerate(sys.argv[1:]):
+    raw = sys.argv[1:]
+    skip_idx: set[int] = set()
+    for i, a in enumerate(raw):
         if a == "--dump-dir":
-            dump_dir = sys.argv[1:][i + 1]
+            dump_dir = raw[i + 1]
+            skip_idx.update((i, i + 1))
+    args = [a for i, a in enumerate(raw)
+            if i not in skip_idx and not a.startswith("--")]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     if args and os.path.isdir(args[0]):
         args = args[1:]
