@@ -153,8 +153,13 @@ def main() -> int:
         f"local-cluster[4,8,{EXEC_MB}]", "cluster4x8", mult, only,
         # executors are separate JVMs: give each a bounded heap and let
         # the driver stay at the default; python workers spawn per
-        # executor from the same interpreter on PATH
-        {"spark.executor.memory": f"{EXEC_MB}m"},
+        # executor from the same interpreter on PATH. Python workers get
+        # their own work dir, so the package must ride PYTHONPATH for
+        # entries whose closures import it (mapInPandas kernels) — the
+        # streaming_cluster_probe convention.
+        {"spark.executor.memory": f"{EXEC_MB}m",
+         "spark.executorEnv.PYTHONPATH": os.path.dirname(
+             os.path.dirname(os.path.abspath(__file__)))},
     )
 
     n_exec = cluster["executors_incl_driver"]
