@@ -140,14 +140,16 @@ _REWRITTEN_SINCE_CERT: tuple[str, ...] = (
     "llm_span_decontamination", "llm_bpe_encode", "llm_url_dedup_canonical",
     "llm_ngram_novelty", "llm_pack_sequences",
     # round-11 gated scan fan-out (guide §2.5; pqmeta.fanout_starved_scan):
-    "llm_text_stats", "llm_ngram_jaccard",
+    "llm_text_stats", "llm_ngram_jaccard", "llm_ngram_containment",
     "filter_predicates_part", "window_rank_customers",
     "window_running_skew_safe", "outer_join_order_counts",
-    "skew_salted_agg", "null_handling_family", "q2_min_cost_supplier",
+    "skew_salted_agg", "null_handling_family",
     "q18_large_orders", "window_analytic_family", "join_null_safe",
-    "window_nth_value_family", "q11_important_parts",
+    "window_nth_value_family",
     "ts_gapfill_ffill", "ts_sessionize_batch", "ts_weighted_moving_avg",
-    "ts_rolling_anomaly", "ts_rolling_median", "etl_cdc_snapshot_diff",
+    "ts_rolling_anomaly", "ts_rolling_median",
+    # (q2_min_cost_supplier, q11_important_parts, etl_cdc_snapshot_diff
+    # also in the sweep — already listed above for the width law.)
 )
 
 

@@ -171,7 +171,11 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-shingle cap as llm_ngram_jaccard (llm/dedup.py:
     ngram_containment_pairs); the oracle mirrors cap and definition.
     """
-    d = _t(spark, sf_dir, "documents")
+    from .sources.pqmeta import fanout_starved_scan
+
+    d = fanout_starved_scan(
+        _t(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+    )  # guide §2.5: row-group-starved scan serializes the gram explode
     pairs = ngram_containment_pairs(
         d, "text", "doc_id", threshold=0.5, shingle_n=2, max_doc_freq=100
     )
