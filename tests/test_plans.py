@@ -462,3 +462,29 @@ def test_gated_broadcast_footer_predicate(spark, sf_dir):
     )
     plan = physical_plan(widthed)
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_final_sort_law_fact_grain_entries_unsorted(spark, sf_dir):
+    """Round-11 final-sort sweep (SCALE.md §28): a display-only global
+    sort re-executes the plan below it (the range partitioner's sample
+    pass), so fact-grain entries must not root in Sort/rangepartitioning.
+    Pins one representative per swept mechanism class."""
+    from data_engineering_capstone_spark.catalog import load_all
+
+    catalog = load_all()
+    for name in (
+        "udf_pandas_scalar",      # ArrowEvalPython ran twice pre-sweep
+        "mm_feature_extract",     # mapInPandas decode ran twice
+        "scalar_conditional_funcs",  # codegen projection ran twice
+        "llm_minhash_near_dup",   # pair-stage re-execution
+        "llm_text_stats",         # documented in-entry since round 5
+    ):
+        df = catalog[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        root = plan.splitlines()[0] if plan else ""
+        assert "rangepartitioning" not in plan.lower(), (
+            f"{name} re-grew a global sort exchange:\n{plan[:500]}"
+        )
+        assert not root.lstrip("*+- (0123456789)").startswith("Sort"), (
+            f"{name} roots in a Sort:\n{root}"
+        )

@@ -48,3 +48,47 @@ def test_missing_path_raises(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         parquet_row_count(str(tmp_path / "nope"))
+
+
+def test_row_groups_counts_footers(spark, sf_dir, tmp_path):
+    from data_engineering_capstone_spark.sources.pqmeta import parquet_row_groups
+
+    # driver-generated testdata ships ONE row group per table
+    assert parquet_row_groups(f"{sf_dir}/nation.parquet") == 1
+    # a Spark-written 4-file directory has >= 4 row groups
+    out = str(tmp_path / "rg_multi")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").repartition(4).write.parquet(out)
+    assert parquet_row_groups(out) >= 4
+
+
+def test_fanout_starved_scan_gate(spark, sf_dir, tmp_path):
+    """The round-11 fan-out law (guide §2.5): repartition ONLY when the
+    table's row-group count is below cluster parallelism — at production
+    scale (row groups >= cores) the plan must be untouched."""
+    from data_engineering_capstone_spark.sources.pqmeta import fanout_starved_scan
+    from data_engineering_capstone_spark.sources.testdata import load_table
+
+    par = spark.sparkContext.defaultParallelism
+
+    # starved: single-row-group testdata file -> explicit round-robin width
+    d = load_table(spark, sf_dir, "documents")
+    fanned = fanout_starved_scan(d, spark, sf_dir, "documents")
+    plan = fanned._jdf.queryExecution().toString()
+    assert f"RoundRobinPartitioning({par})" in plan or "REPARTITION_BY_NUM" in plan
+    # row set unchanged
+    assert fanned.count() == d.count()
+
+    # not starved: a directory with >= parallelism row groups -> no-op
+    out = str(tmp_path / "fanout_wide")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").repartition(par).write.parquet(out)
+    import shutil
+
+    stage = tmp_path / "sfdir"
+    stage.mkdir()
+    shutil.move(out, str(stage / "customer.parquet"))
+    c = spark.read.parquet(str(stage / "customer.parquet"))
+    unfanned = fanout_starved_scan(c, spark, str(stage), "customer")
+    assert unfanned is c  # identical object: gate false, plan untouched
+
+    # unreadable path degrades to the unchanged df
+    assert fanout_starved_scan(d, spark, "/nonexistent", "nope") is d
