@@ -68,88 +68,60 @@ def _driver_certified() -> set[str]:
 # current implementation, so they must re-enter the sample window ahead
 # of stably-certified entries.  Maintained by hand per round; remove a
 # name once a post-rewrite CORRECTNESS file certifies it.
-# Round during which the names below were rewritten.  A CORRECTNESS file
-# from round >= _REWRITE_ROUND that certifies a listed name makes the list
-# stale (tests/test_contract.py::test_rewritten_list_not_stale fails) —
-# the name must then be pruned.
-_REWRITE_ROUND = 11
+# Round during which the names below were last rewritten.  A CORRECTNESS
+# file from round >= _REWRITE_ROUND that certifies a listed name makes the
+# list stale (tests/test_contract.py::test_rewritten_list_not_stale fails)
+# — the name must then be pruned.
+_REWRITE_ROUND = 12
 
 _REWRITTEN_SINCE_CERT: tuple[str, ...] = (
-    # (r9/r10 rewrites all re-certified in CORRECTNESS_r10.json — pruned
-    # per this list's contract; tests/test_contract.py enforces that any
-    # listed name is absent from the latest green CORRECTNESS file.)
-    # round 11 rewrites:
-    "agg_corr_covar",         # corr → corr_e9 scaled-BIGINT (DuckDB cast hazard)
+    # (r11 rewrites certified by CORRECTNESS_r11.json — 50 names: q3/q5/
+    # width-law relational, scalar_*2 families, etl_*, agg_corr_covar,
+    # minhash/ngram/cosine llm entries, fan-out window/join families —
+    # all pruned per this list's contract.  The round-11 verdict also
+    # flagged the old comment labeling filter_predicates_part /
+    # window_rank_customers / skew_salted_agg etc. as "gated scan
+    # fan-out": those were final-sort-sweep entries (fan-out only ever
+    # touched queries_llm/udf call sites); they are certified and pruned
+    # now, and the groups below carry their actual mechanism.)
+    #
+    # round-11 build rewrites, not yet driver-certified:
     "llm_source_cap",         # adaptive tiny-quota path in hash_quota_select
     "llm_stratified_sample",  # null-safe counts join (ADVICE r10)
-    "q5_revenue_by_nation",   # footer-derived exchange width (width law)
-    "q3_top_orders",          # footer-derived exchange width (width law)
-    "asof_purchase_click",    # footer-derived exchange width (width law)
-    "q7_bilateral_volume",    # width law
-    "q20_promo_part_suppliers",  # width law + inner-join form
-    "etl_cdc_snapshot_diff",  # width law (null-safe exprs)
-    "etl_dedup_first_event",  # width law via dedup_exact
-    "etl_scd2_customer_segment",  # width law via scd2_apply
-    "window_running_orders",  # width law (fact window)
     "sql_lateral_topk",       # in-lateral custkey bound
-    "q2_min_cost_supplier",   # width law (pair-grain window exchange)
-    "q4_priority_late_ship",  # width law (lineitem-side repartition)
-    # size-gated broadcasts of SF-proportional builds (q7 standard):
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",     # + gated width form for customer⋈orders
-    "q11_important_parts",
-    "q14_conditional_ratio",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q21_sole_supplier_orders",
-    # hash_quota_select byte-gate + histogram prefix metadata changed under
-    # these two as well (round-11 self-review):
-    "llm_temperature_mix",
-    "llm_mix_rebalance",
-    "etl_time_travel_diff",   # version_diff now widths its snapshot_diff
-    # round-11 OPTIMIZATION sweep (final-sort policy + streaming detach):
-    # display-only final orderBys removed from fact-grain outputs, and
-    # run_available_now's snapshot switched to localCheckpoint — result
-    # sets identical (local parity green), plans changed.
+    "llm_temperature_mix",    # hash_quota_select byte-gate + histogram prefix
+    "llm_mix_rebalance",      # hash_quota_select byte-gate + histogram prefix
+    # round-12 streaming snapshot rework (driver-resident memory sink →
+    # executor-side foreachBatch parquet snapshot; result sets identical,
+    # drain machinery changed) — supersedes the r11 localCheckpoint form:
     "stream_tumbling_counts", "stream_sliding_avg", "stream_session_windows",
     "stream_dedup_watermark", "stream_static_join_segments",
     "stream_stateful_user_stats", "stream_count_min_top_users",
     "stream_minhash_dedup", "stream_stream_join", "stream_psi_drift",
     "stream_custom_source_replay",
+    # round-11 final-sort sweep (display-only orderBy removed from
+    # fact-grain outputs), not yet driver-certified:
     "udf_pandas_scalar", "udf_apply_in_pandas", "udf_apply_in_arrow",
     "udf_map_in_arrow", "mm_metadata_extract", "mm_feature_extract",
     "mm_audio_energy", "mm_frame_sample", "mm_binary_ingest",
     "mm_resize_pipeline", "mm_wav_energy", "mm_bmp_stats",
-    "llm_mojibake_detect", "mm_phash_near_dup", "mm_audio_fingerprint_dedup",
-    "map_funcs_props", "window_group_zscore", "scalar_string_funcs2",
-    "scalar_bitwise_funcs", "scalar_conditional_funcs", "scalar_date_funcs2",
-    "scalar_array_funcs2", "scalar_try_funcs", "scalar_math_funcs2",
-    "scalar_map_funcs2", "scalar_binary_funcs",
-    "llm_exact_dedup", "llm_minhash_near_dup", "llm_minhash_collapsed",
-    "llm_cosine_topk", "llm_embedding_near_dup", "llm_ann_lsh",
+    "mm_phash_near_dup", "mm_audio_fingerprint_dedup",
+    "llm_embedding_near_dup", "llm_ann_lsh",
     "llm_fingerprint", "llm_dedup_clusters", "llm_ann_ivf",
     "llm_gopher_rules", "llm_html_strip", "llm_ann_ivf_pq",
     "llm_pq_index_delta", "llm_semantic_dedup", "llm_pii_redaction",
     "llm_chunk_documents", "llm_repetition_filter", "llm_decontamination",
     "llm_unigram_logprob", "llm_perplexity_filter", "llm_dedup_canonical",
     "llm_duplicate_spans", "llm_quality_classifier",
-    "llm_quality_classifier_trained", "llm_bloom_decontamination",
+    "llm_bloom_decontamination",
     "llm_blocklist_filter", "llm_span_dedup_clean",
     "llm_span_decontamination", "llm_bpe_encode", "llm_url_dedup_canonical",
     "llm_ngram_novelty", "llm_pack_sequences",
-    # round-11 gated scan fan-out (guide §2.5; pqmeta.fanout_starved_scan):
-    "llm_text_stats", "llm_ngram_jaccard", "llm_ngram_containment",
-    "filter_predicates_part", "window_rank_customers",
-    "window_running_skew_safe", "outer_join_order_counts",
-    "skew_salted_agg", "null_handling_family",
-    "q18_large_orders", "window_analytic_family", "join_null_safe",
-    "window_nth_value_family",
     "ts_gapfill_ffill", "ts_sessionize_batch", "ts_weighted_moving_avg",
     "ts_rolling_anomaly", "ts_rolling_median",
-    # (q2_min_cost_supplier, q11_important_parts, etl_cdc_snapshot_diff
-    # also in the sweep — already listed above for the width law.)
+    # round-11 gated scan fan-out (guide §2.5; pqmeta.fanout_starved_scan),
+    # not yet driver-certified (several carry the sort sweep too):
+    "llm_text_stats", "llm_mojibake_detect",
 )
 
 

@@ -44,6 +44,20 @@ adjudication to dismiss as ambient load):
   min-wins then recovers the clean window. Consecutive children shared
   the same window and drifted together, which no rep count fixes.
 
+Round-12 hardening (verdict item 1 — r11's three ">10% regressions"
+were all load-wave samples the gate-at-start could not see):
+
+* **window load re-check**: the child records load1 at timing start AND
+  end (``load1_max`` = the worse of the two); the parent re-runs (fresh
+  subprocess, same adaptive cap) any query whose WINNING child's window
+  saw load1 > ``0.5 × cpus`` — a wave that arrives mid-window now
+  triggers a re-measure instead of silently inflating the artifact.
+  The recorded value stays the min over children (load only ever
+  inflates a timing, so min-wins is already wave-robust — the re-check
+  guarantees the min itself came from a clean window whenever one was
+  obtainable within the cap). ``window_load`` per query in the artifact
+  is the winning child's load1_max.
+
 Set ``SPARK_GRAFT_BENCH_INPROC=1`` for the fast shared-session mode
 (iteration convenience; not for recorded artifacts).
 """
@@ -110,10 +124,12 @@ def bench_query(name: str, sf_dir: str) -> dict:
         # sub-2s plans are scheduler-jitter-bound: two more reps cost
         # ~2 s and shave the intra-window tail
         best = min(best, *(run_one(fn, spark, sf_dir) for _ in range(2)))
+    load1_end = os.getloadavg()[0]
     return {
         "name": name,
         "best": round(best, 3),
         "load1": round(load1, 2),
+        "load1_max": round(max(load1, load1_end), 2),
         "gate_waits": waits,
     }
 
@@ -165,7 +181,10 @@ def main() -> int:
                 return None
             return json.loads(line[len("CHILD_RESULT "):])
 
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
+        window_gate = 0.5 * cpus  # verdict r11 item 1: ~0.5×cpus
         spreads: dict[str, float] = {}
+        window_loads: dict[str, float] = {}
         by_name: dict[str, list[dict]] = {n: [] for n in names}
         for _pass in range(2):  # interleave: decorrelate a query's two windows
             for name in names:
@@ -175,14 +194,23 @@ def main() -> int:
                 by_name[name].append(r)
         for name in names:
             results = by_name[name]
+
+            def winner() -> dict:
+                return min(results, key=lambda r: r["best"])
+
             vals = sorted(r["best"] for r in results)
             # Cross-JVM variance dominates (measured: idle-box children of
             # one sub-second query span 24% — codegen/JIT luck, not load).
-            # Add children until the two best agree within SPREAD_GATE:
-            # the min is then a stable estimate of the plan's floor.
+            # Add children until the two best agree within SPREAD_GATE AND
+            # the winning child's timing window was load-clean: a wave
+            # arriving mid-window (invisible to the start-of-child gate)
+            # now triggers a fresh subprocess instead of a dirty artifact.
             while (
                 vals[0] > 0
-                and (vals[1] - vals[0]) / vals[0] > SPREAD_GATE
+                and (
+                    (vals[1] - vals[0]) / vals[0] > SPREAD_GATE
+                    or winner().get("load1_max", 0.0) > window_gate
+                )
                 and len(results) < 5
             ):
                 extra = run_child(name)
@@ -193,6 +221,7 @@ def main() -> int:
             timings[name] = vals[0]
             spreads[name] = round((vals[1] - vals[0]) / vals[0], 3) if vals[0] else 0.0
             loads[name] = max(r["load1"] for r in results)
+            window_loads[name] = winner().get("load1_max", winner()["load1"])
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -208,6 +237,8 @@ def main() -> int:
     if not os.environ.get("SPARK_GRAFT_BENCH_INPROC"):
         out["spread"] = spreads
         out["max_spread"] = max(spreads.values()) if spreads else None
+        out["window_load"] = window_loads
+        out["window_gate"] = window_gate
     print(json.dumps(out))
     return 0
 

@@ -442,11 +442,19 @@ def stream_custom_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), 8)))
-    name = "stream_custom_replay_result"
+    # round-12: executor-side foreachBatch snapshot, same rationale as
+    # run_available_now — the old memory sink + collect() round-tripped
+    # the complete-mode state through driver Python objects every drain
+    from .streaming.windows import _snapshot_root
+
+    snap_dir = tempfile.mkdtemp(prefix="replay_", dir=_snapshot_root())
+
+    def _snap(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(snap_dir)
+
     try:
         q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
+            agg.writeStream.foreachBatch(_snap)
             .outputMode("complete")
             .start()
         )
@@ -455,8 +463,7 @@ def stream_custom_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    out = spark.table(name)
-    snap = spark.createDataFrame(out.collect(), out.schema)
+    snap = spark.read.schema(agg.schema).parquet(snap_dir)
     return snap.orderBy("window_start", "event_type")
 
 

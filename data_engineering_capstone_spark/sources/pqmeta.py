@@ -111,6 +111,39 @@ def parquet_row_groups(path: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_row_groups for f in _parquet_files(path))
 
 
+# (path, mtime, threshold) → bool cache for the fan-out gate probe.
+# Metadata only (footer counts), never query results: the same
+# information Spark's own footer cache holds, memoized so repeated plan
+# builds against one table cost zero re-reads. Keyed on the directory/
+# file mtime so a regenerated table re-probes instead of reading stale.
+_RG_GATE_CACHE: dict[tuple[str, float, int], bool] = {}
+
+
+def row_groups_at_least(path: str, threshold: int) -> bool:
+    """True iff the table at ``path`` has >= ``threshold`` row groups.
+
+    Round-12 fix (verdict item 4): the round-11 gate summed EVERY
+    footer on the driver per query build — at 100 TB a table is
+    thousands of files, serially opened just to conclude "no-op". The
+    comparison only needs ``groups >= threshold``, so stop opening
+    footers the moment the running sum crosses it (a production-scale
+    table satisfies the gate within the first file or two), and
+    memoize the verdict per (path, mtime, threshold)."""
+    import pyarrow.parquet as pq
+
+    key = (path, os.stat(path).st_mtime, threshold)
+    hit = _RG_GATE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    groups = 0
+    for f in _parquet_files(path):
+        groups += pq.ParquetFile(f).metadata.num_row_groups
+        if groups >= threshold:
+            break
+    _RG_GATE_CACHE[key] = groups >= threshold
+    return _RG_GATE_CACHE[key]
+
+
 def fanout_starved_scan(df, spark, sf_dir: str, table: str):
     """Fan a parallelism-starved scan out to the cluster width (guide
     §2.5 "one huge unsplittable file ... repartition immediately after
@@ -127,12 +160,16 @@ def fanout_starved_scan(df, spark, sf_dir: str, table: str):
     costs more than it saves (measured: llm_text_stats 0.45 s → 0.28 s,
     but scalar_math_funcs 0.81 s → 1.15 s — fan-out rejected there).
 
-    Unreadable/remote paths degrade to the unchanged df."""
-    try:
-        groups = parquet_row_groups(f"{sf_dir}/{table}.parquet")
-    except (OSError, ValueError):
-        return df
+    The probe short-circuits at the parallelism threshold and memoizes
+    per (path, mtime), so at scale it opens at most a handful of
+    footers once per table, not every footer per query build.
+
+    Unreadable/remote paths (or a missing pyarrow) degrade to the
+    unchanged df — the module's graceful-degradation contract."""
     par = spark.sparkContext.defaultParallelism
-    if groups >= par:
+    try:
+        if row_groups_at_least(f"{sf_dir}/{table}.parquet", par):
+            return df
+    except (OSError, ValueError, ImportError):
         return df
     return df.repartition(par)

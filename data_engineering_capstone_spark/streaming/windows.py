@@ -69,7 +69,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_available_now(
     stream_df: DataFrame, output_mode: str, partitions: int | None = None
 ) -> DataFrame:
-    """Drain the stream through an in-memory sink and return the result.
+    """Drain the stream through an executor-side snapshot sink and
+    return the result as a DataFrame.
 
     ``availableNow`` processes the full backlog then stops — the
     streaming query becomes a deterministic function of its input, which
@@ -99,11 +100,32 @@ def run_available_now(
     spark_.conf.set("spark.sql.shuffle.partitions", str(eff))
     # no work left after the backlog drains — skip the empty flush batch
     spark_.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    name = f"stream_result_{next(_MEM_COUNTER)}"
+    # Round-12 snapshot rework (verdict item 3 → guide §5: the driver
+    # does no data work). The memory sink accumulated EVERY result row
+    # on the driver before any snapshot could detach it — the last
+    # driver-memory-proportional structure in the streaming family —
+    # and the r11 localCheckpoint detach was additionally non-reliable
+    # (an executor loss after lineage truncation kills the query instead
+    # of recomputing; ADVICE r11). A foreachBatch parquet sink writes
+    # each micro-batch's output from the EXECUTORS to local disk
+    # (complete mode overwrites with the full result, append/update
+    # modes accumulate emitted rows — the same per-batch semantics the
+    # memory sink applied driver-side), and the returned DataFrame is a
+    # plain parquet scan of that snapshot: immutable (fresh dir per
+    # call, later stream runs can't touch it), executor-loss-safe
+    # (re-readable from disk), and never driver-resident.
+    snap_dir = tempfile.mkdtemp(
+        prefix=f"snap_{next(_MEM_COUNTER)}_",
+        dir=_snapshot_root(),
+    )
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def _snapshot(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(snap_dir)
+
     try:
         q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
+            stream_df.writeStream.foreachBatch(_snapshot)
             .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
@@ -112,15 +134,19 @@ def run_available_now(
     finally:
         spark_.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark_.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old_nodata)
-    out = spark_.table(name)
-    # Detach from the memory sink (snapshot) so later runs can't mutate
-    # it. localCheckpoint materializes the rows on the executors — the
-    # old collect()+createDataFrame snapshot round-tripped every row
-    # through driver-side Python objects, and every downstream action on
-    # the resulting LocalRelation re-serialized them; measured 2.4 s →
-    # 1.7 s end-to-end on stream_tumbling_counts at sf0.1 (guide §5:
-    # the driver should do no data work).
-    return out.localCheckpoint(eager=True)
+    try:
+        return spark_.read.schema(stream_df.schema).parquet(snap_dir)
+    except Exception:
+        # zero batches ran / all batches empty → no part files landed
+        return spark_.createDataFrame([], stream_df.schema)
+
+
+def _snapshot_root() -> str:
+    """Per-process snapshot root (concurrent harness processes don't
+    race each other); dirs live for the process, like the stage dirs."""
+    root = os.path.join(tempfile.gettempdir(), "dec_spark_stream_snap", str(os.getpid()))
+    os.makedirs(root, exist_ok=True)
+    return root
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

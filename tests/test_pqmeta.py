@@ -55,9 +55,13 @@ def test_row_groups_counts_footers(spark, sf_dir, tmp_path):
 
     # driver-generated testdata ships ONE row group per table
     assert parquet_row_groups(f"{sf_dir}/nation.parquet") == 1
-    # a Spark-written 4-file directory has >= 4 row groups
+    # a Spark-written 4-file directory has >= 4 row groups (precondition:
+    # enough rows that no round-robin partition is empty — an empty
+    # partition writes a 0-row-group part file, ADVICE r11)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert cust.count() >= 4
     out = str(tmp_path / "rg_multi")
-    spark.read.parquet(f"{sf_dir}/customer.parquet").repartition(4).write.parquet(out)
+    cust.repartition(4).write.parquet(out)
     assert parquet_row_groups(out) >= 4
 
 
@@ -79,8 +83,12 @@ def test_fanout_starved_scan_gate(spark, sf_dir, tmp_path):
     assert fanned.count() == d.count()
 
     # not starved: a directory with >= parallelism row groups -> no-op
+    # (precondition per ADVICE r11: enough rows that no round-robin
+    # partition writes a 0-row-group part file)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert cust.count() >= par
     out = str(tmp_path / "fanout_wide")
-    spark.read.parquet(f"{sf_dir}/customer.parquet").repartition(par).write.parquet(out)
+    cust.repartition(par).write.parquet(out)
     import shutil
 
     stage = tmp_path / "sfdir"
@@ -92,3 +100,40 @@ def test_fanout_starved_scan_gate(spark, sf_dir, tmp_path):
 
     # unreadable path degrades to the unchanged df
     assert fanout_starved_scan(d, spark, "/nonexistent", "nope") is d
+
+
+def test_row_groups_gate_short_circuits_and_memoizes(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-12 (verdict item 4): the fan-out gate must not open every
+    footer of a many-file table just to conclude 'no-op' — it stops at
+    the threshold and memoizes per (path, mtime, threshold)."""
+    import pyarrow.parquet as pq
+
+    from data_engineering_capstone_spark.sources import pqmeta
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n_files = 16
+    assert cust.count() >= n_files  # no empty round-robin partitions
+    out = str(tmp_path / "many_files")
+    cust.repartition(n_files).write.parquet(out)
+
+    opened: list[str] = []
+    real = pq.ParquetFile
+
+    def counting(f, *a, **k):
+        opened.append(f)
+        return real(f, *a, **k)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    pqmeta._RG_GATE_CACHE.clear()
+    threshold = 4
+    assert pqmeta.row_groups_at_least(out, threshold) is True
+    # short-circuit: the 16-file directory satisfied threshold=4 after
+    # at most `threshold` footers (1 row group per part file here)
+    assert len(opened) <= threshold
+    # memoized: the second probe opens nothing
+    opened.clear()
+    assert pqmeta.row_groups_at_least(out, threshold) is True
+    assert opened == []
+    # a starved probe still answers False (single-row-group file)
+    pqmeta._RG_GATE_CACHE.clear()
+    assert pqmeta.row_groups_at_least(f"{sf_dir}/nation.parquet", threshold) is False

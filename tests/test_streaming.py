@@ -92,6 +92,24 @@ def test_run_available_now_restores_session_confs(spark, sf_dir):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+def test_snapshot_is_executor_side_and_detached(spark, sf_dir):
+    """Round-12 snapshot rework: the drained result must be (a) a plain
+    file scan — no driver-resident LocalRelation / memory-sink table, the
+    guide-§5 'driver does no data work' contract — and (b) detached: a
+    later drain of the same query shape cannot mutate an earlier
+    snapshot."""
+    out1 = run_available_now(tumbling_counts(stream_events(spark, sf_dir)), "complete")
+    plan = out1._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan or "BatchScan" in plan, plan[:1500]
+    assert "LocalTableScan" not in plan and "MemoryPlan" not in plan
+    rows1 = {tuple(r) for r in out1.collect()}
+    assert rows1
+    out2 = run_available_now(tumbling_counts(stream_events(spark, sf_dir)), "complete")
+    assert {tuple(r) for r in out2.collect()} == rows1  # deterministic drain
+    # first snapshot unchanged after the second drain
+    assert {tuple(r) for r in out1.collect()} == rows1
+
+
 def test_kafka_plumbing_raises_clear_error_without_connector(spark):
     """No Kafka jar in this container: the wiring must fail fast with an
     actionable message at plan-construction time, not a stack bomb at

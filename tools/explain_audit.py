@@ -410,6 +410,9 @@ def main() -> int:
     skip_idx: set[int] = set()
     for i, a in enumerate(raw):
         if a == "--dump-dir":
+            if i + 1 >= len(raw) or raw[i + 1].startswith("--"):
+                print("--dump-dir requires a directory argument", file=sys.stderr)
+                return 2
             dump_dir = raw[i + 1]
             skip_idx.update((i, i + 1))
     args = [a for i, a in enumerate(raw)
