@@ -114,6 +114,12 @@ def run_available_now(
     # plain parquet scan of that snapshot: immutable (fresh dir per
     # call, later stream runs can't touch it), executor-loss-safe
     # (re-readable from disk), and never driver-resident.
+    #
+    # Deployment note: like ANY bare-path Spark write, the snapshot dir
+    # must be on storage every executor and the driver can reach. On
+    # local[N] / local-cluster on one box, the process tempdir is that;
+    # a real cluster points this at HDFS/S3 (one conf, same code) — the
+    # standard contract for every file sink in this repo.
     snap_dir = tempfile.mkdtemp(
         prefix=f"snap_{next(_MEM_COUNTER)}_",
         dir=_snapshot_root(),

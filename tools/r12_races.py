@@ -226,6 +226,86 @@ def run_bloom(mult: int, dump_dir: str | None) -> int:
     return 0
 
 
+def run_bloom_q3(mult: int, dump_dir: str | None) -> int:
+    """The shipped q3 shape (explicit width repartition + SHUFFLE_HASH)
+    structurally blocks InjectRuntimeFilter — the bloom filter can only
+    fire on the unhinted AQE form (the r5 test shape). Race all three:
+    shipped vs plain-AQE vs AQE+bloom-forced, and dump the bloom plan
+    so the might_contain injection below the lineitem exchange is on
+    record."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_spark.operators.topk import top_k
+    from data_engineering_capstone_spark.catalog import load_all
+    from data_engineering_capstone_spark.sources.testdata import load_table
+    from data_engineering_capstone_spark.functions.money import to_cents
+
+    spec_mod = _xover()
+    spark = get_spark("r12-bloom-q3")
+    replica = spec_mod.build_replica_dir(spark, mult)
+    catalog = load_all()
+    shipped_fn = catalog["q3_top_orders"].fn
+    saved = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+
+    def set_bloom(on: bool):
+        for k, v in BLOOM_CONFS.items():
+            if on:
+                spark.conf.set(k, v)
+            else:
+                if saved[k] is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, saved[k])
+
+    def q3_aqe():
+        cutoff = F.lit("1998-06-01").cast("timestamp")
+        c = load_table(spark, replica, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        o = load_table(spark, replica, "orders").filter(F.col("o_orderdate") < cutoff)
+        l = load_table(spark, replica, "lineitem").filter(F.col("l_shipdate") > cutoff)
+        rev = to_cents("l_extendedprice") * (100 - to_cents("l_discount"))
+        agg = (
+            c.join(o, c.c_custkey == o.o_custkey)
+            .join(l, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg((F.sum(rev).cast("double") / 10000).alias("revenue"))
+            .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        )
+        return top_k(agg, [F.col("revenue").desc(), F.col("o_orderkey")], 10)
+
+    def shipped():
+        set_bloom(False)
+        noop(shipped_fn(spark, replica))
+
+    def aqe_plain():
+        set_bloom(False)
+        noop(q3_aqe())
+
+    def aqe_bloom():
+        set_bloom(True)
+        noop(q3_aqe())
+
+    res = race(
+        {"shipped": shipped, "aqe_plain": aqe_plain, "aqe_bloom": aqe_bloom},
+        reps=4,
+    )
+    set_bloom(True)
+    df_b = q3_aqe()
+    plan_b = df_b._jdf.queryExecution().executedPlan().toString()
+    res["might_contain_in_plan"] = "might_contain" in plan_b.lower()
+    rows_b = {tuple(r) for r in df_b.collect()}
+    set_bloom(False)
+    rows_s = {tuple(r) for r in shipped_fn(spark, replica).collect()}
+    res["rows_equal"] = rows_b == rows_s
+    if dump_dir:
+        os.makedirs(dump_dir, exist_ok=True)
+        with open(os.path.join(dump_dir, "q3_top_orders_bloom_aqe.txt"), "w") as f:
+            f.write(plan_b)
+    print(json.dumps({"race": "bloom_q3_forms", "mult": mult, **res}))
+    return 0
+
+
 def _xover():
     import importlib.util
 
@@ -253,6 +333,8 @@ def main() -> int:
         return run_sortsweep(mult)
     if cmd == "bloom":
         return run_bloom(mult, dump_dir)
+    if cmd == "bloom-q3":
+        return run_bloom_q3(mult, dump_dir)
     print(f"unknown sub-command {cmd}", file=sys.stderr)
     return 2
 
