@@ -226,6 +226,79 @@ def run_bloom(mult: int, dump_dir: str | None) -> int:
     return 0
 
 
+def run_streaming64(mult: int) -> int:
+    """Row-count-regime ABA at replica scale: the new parquet-append
+    snapshot writes every emitted pair to disk, where the old memory
+    sink collected them to the driver — the one streaming shape where
+    the rework plausibly costs at scale. Races the full
+    stream_stream_join drain+aggregate both ways on the N× replica."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_capstone_spark.streaming.windows import (
+        interval_join_clicks_purchases,
+        run_available_now,
+        stream_events,
+    )
+
+    spec_mod = _xover()
+    spark = get_spark("r12-streaming64")
+    replica = spec_mod.build_replica_dir(spark, mult)
+    ctr = itertools.count()
+
+    def downstream(out):
+        return (
+            out.groupBy(F.date_trunc("hour", "purchase_ts").alias("window_start"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+        )
+
+    def old_drain():
+        joined = interval_join_clicks_purchases(
+            stream_events(spark, replica), stream_events(spark, replica)
+        )
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        old_nodata = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        )
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        name = f"r12_old64_{next(ctr)}"
+        try:
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", old_nodata
+            )
+        out = spark.table(name).localCheckpoint(eager=True)
+        noop(downstream(out))
+
+    def new_drain():
+        joined = interval_join_clicks_purchases(
+            stream_events(spark, replica), stream_events(spark, replica)
+        )
+        out = run_available_now(
+            joined, "append",
+            partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+        noop(downstream(out))
+
+    res = race({"old_memory_sink": old_drain, "new_foreachbatch": new_drain},
+               reps=2, warm=False)
+    print(json.dumps({"race": "streaming64_rowheavy", "mult": mult, **res}))
+    return 0
+
+
 def run_bloom_q3(mult: int, dump_dir: str | None) -> int:
     """The shipped q3 shape (explicit width repartition + SHUFFLE_HASH)
     structurally blocks InjectRuntimeFilter — the bloom filter can only
@@ -335,6 +408,8 @@ def main() -> int:
         return run_bloom(mult, dump_dir)
     if cmd == "bloom-q3":
         return run_bloom_q3(mult, dump_dir)
+    if cmd == "streaming64":
+        return run_streaming64(mult)
     print(f"unknown sub-command {cmd}", file=sys.stderr)
     return 2
 
