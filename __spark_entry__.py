@@ -99,6 +99,9 @@ _REWRITTEN_SINCE_CERT: tuple[str, ...] = (
     "stream_stateful_user_stats", "stream_count_min_top_users",
     "stream_minhash_dedup", "stream_stream_join", "stream_psi_drift",
     "stream_custom_source_replay",
+    # round-12: committed avro sink output now read DISTRIBUTED via the
+    # avroplain batch reader (driver reads only the _commits log):
+    "stream_custom_sink_avro",
     # round-11 final-sort sweep (display-only orderBy removed from
     # fact-grain outputs), not yet driver-certified:
     "udf_pandas_scalar", "udf_apply_in_pandas", "udf_apply_in_arrow",

@@ -488,7 +488,7 @@ def stream_custom_sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .sources.avroplain import (
         AvroPlainDataSource,
-        read_committed_stream_output,
+        committed_stream_batches,
     )
 
     events = _events(spark, sf_dir).select("event_id", "event_type", "value")
@@ -511,10 +511,29 @@ def stream_custom_sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    rows = read_committed_stream_output(out_dir)
-    landed = spark.createDataFrame(
-        rows, "event_id bigint, event_type string, value double"
-    )
+    # round-12 (guide §5): consume the sink's committed output with the
+    # avroplain BATCH reader — the driver reads only the _commits log
+    # (metadata); the old read_committed_stream_output + createDataFrame
+    # path decoded every landed row into driver Python objects, a
+    # corpus-proportional driver structure at scale. Per-batch reads
+    # unioned = exactly the commit log's visibility contract, and the
+    # entry now exercises the custom source's batch-read and
+    # stream-write halves TOGETHER.
+    batches = committed_stream_batches(out_dir)
+    schema = "event_id bigint, event_type string, value double"
+    parts = [
+        spark.read.format("avroplain")
+        .schema(schema)
+        .option("path", os.path.join(out_dir, f"batch={b}"))
+        .load()
+        for b in batches
+    ]
+    if parts:
+        landed = parts[0]
+        for p in parts[1:]:
+            landed = landed.unionByName(p)
+    else:
+        landed = spark.createDataFrame([], schema)
     return (
         landed.groupBy("event_type")
         .agg(

@@ -463,16 +463,26 @@ class AvroPlainStreamWriter(DataSourceStreamWriter):
                 _os.remove(m.file)
 
 
-def read_committed_stream_output(path: str) -> list[tuple]:
-    """Reader side of the streaming sink's exactly-once contract: only
-    batches recorded in ``_commits`` are visible."""
+def committed_stream_batches(path: str) -> list[int]:
+    """Batch ids recorded in the sink's ``_commits`` log — the
+    metadata-only half of the exactly-once contract (an uncommitted
+    ``batch=N`` dir is invisible). Distributed consumers point the
+    avroplain BATCH reader at each ``batch=<id>`` dir; the driver never
+    touches data bytes."""
     marker = _os.path.join(path, "_commits")
     if not _os.path.isfile(marker):
         return []
-    rows: list[tuple] = []
     with open(marker) as f:
-        batches = sorted({int(x) for x in f.read().split()})
-    for b in batches:
+        return sorted({int(x) for x in f.read().split()})
+
+
+def read_committed_stream_output(path: str) -> list[tuple]:
+    """Driver-side reader over the committed batches — kept for the
+    exactly-once contract TESTS (tiny fixtures); query paths read the
+    same dirs distributed via the avroplain batch reader instead
+    (see queries_streaming.stream_custom_sink_avro)."""
+    rows: list[tuple] = []
+    for b in committed_stream_batches(path):
         for fp in sorted(_glob.glob(_os.path.join(path, f"batch={b}", "part-*.avro"))):
             _, r = read_avro(fp)
             rows.extend(r)
