@@ -125,6 +125,10 @@ _REWRITTEN_SINCE_CERT: tuple[str, ...] = (
     # round-11 gated scan fan-out (guide §2.5; pqmeta.fanout_starved_scan),
     # not yet driver-certified (several carry the sort sweep too):
     "llm_text_stats", "llm_mojibake_detect",
+    # round-12: the fan-out GATE machinery itself was rewritten
+    # (row_groups_at_least short-circuit + memo cache), so these two
+    # r11-certified fan-out callers re-enter the window with it:
+    "llm_ngram_jaccard", "llm_ngram_containment",
 )
 
 

@@ -182,7 +182,12 @@ def main() -> int:
             return json.loads(line[len("CHILD_RESULT "):])
 
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
-        window_gate = 0.5 * cpus  # verdict r11 item 1: ~0.5×cpus
+        # verdict r11 item 1: ~0.5×cpus — floored at the pre-timing
+        # LOAD_GATE so a small-core box under ambient load the child gate
+        # already tolerates can't make the re-check loop unsatisfiable
+        # (it would burn the 5-child cap on every query and still record
+        # a dirty window)
+        window_gate = max(0.5 * cpus, LOAD_GATE)
         spreads: dict[str, float] = {}
         window_loads: dict[str, float] = {}
         by_name: dict[str, list[dict]] = {n: [] for n in names}

@@ -441,17 +441,24 @@ def stream_custom_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(min(int(old_parts), 8)))
+    # No-data micro-batches must be OFF for this drain (round-12 review):
+    # after processAllAvailable() returns, a no-data flush batch could
+    # re-invoke the snapshot's complete-mode OVERWRITE concurrently with
+    # q.stop() — stop() would interrupt it in the delete-before-commit
+    # window and leave a partial/empty snapshot. (run_available_now
+    # disables it for the cheaper skip-the-flush reason; here it is a
+    # correctness guard.)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     # round-12: executor-side foreachBatch snapshot, same rationale as
     # run_available_now — the old memory sink + collect() round-tripped
     # the complete-mode state through driver Python objects every drain
-    from .streaming.windows import _snapshot_root
+    from .streaming.windows import read_snapshot, snapshot_sink
 
-    snap_dir = tempfile.mkdtemp(prefix="replay_", dir=_snapshot_root())
-
-    def _snap(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(snap_dir)
-
+    snap_dir, _snap = snapshot_sink("complete")
     try:
         q = (
             agg.writeStream.foreachBatch(_snap)
@@ -463,8 +470,10 @@ def stream_custom_source_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    snap = spark.read.schema(agg.schema).parquet(snap_dir)
-    return snap.orderBy("window_start", "event_type")
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old_nodata)
+    return read_snapshot(spark, snap_dir, agg.schema).orderBy(
+        "window_start", "event_type"
+    )
 
 
 @query(

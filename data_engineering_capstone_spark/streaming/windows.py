@@ -120,15 +120,7 @@ def run_available_now(
     # local[N] / local-cluster on one box, the process tempdir is that;
     # a real cluster points this at HDFS/S3 (one conf, same code) — the
     # standard contract for every file sink in this repo.
-    snap_dir = tempfile.mkdtemp(
-        prefix=f"snap_{next(_MEM_COUNTER)}_",
-        dir=_snapshot_root(),
-    )
-    write_mode = "overwrite" if output_mode == "complete" else "append"
-
-    def _snapshot(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode(write_mode).parquet(snap_dir)
-
+    snap_dir, _snapshot = snapshot_sink(output_mode)
     try:
         q = (
             stream_df.writeStream.foreachBatch(_snapshot)
@@ -140,18 +132,60 @@ def run_available_now(
     finally:
         spark_.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark_.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old_nodata)
-    try:
-        return spark_.read.schema(stream_df.schema).parquet(snap_dir)
-    except Exception:
-        # zero batches ran / all batches empty → no part files landed
-        return spark_.createDataFrame([], stream_df.schema)
+    return read_snapshot(spark_, snap_dir, stream_df.schema)
+
+
+def snapshot_sink(output_mode: str):
+    """(snap_dir, foreachBatch fn) for an executor-side parquet snapshot
+    of a drained stream — ONE implementation of the per-batch write
+    semantics (complete overwrites the full state, append/update
+    accumulate emitted rows) shared by every drain in this module and
+    by queries_streaming's custom-source replay."""
+    snap_dir = tempfile.mkdtemp(
+        prefix=f"snap_{next(_MEM_COUNTER)}_",
+        dir=_snapshot_root(),
+    )
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def _snapshot(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(snap_dir)
+
+    return snap_dir, _snapshot
+
+
+def read_snapshot(spark, snap_dir: str, schema) -> DataFrame:
+    """The drained snapshot as a DataFrame. The explicit schema makes a
+    zero-batch / all-empty drain a plain empty scan (verified: a
+    schema'd parquet read of an empty dir returns 0 rows, no inference
+    error), so genuine read failures — corrupt footer, filesystem — are
+    left to RAISE instead of being masked as an empty result."""
+    return spark.read.schema(schema).parquet(snap_dir)
 
 
 def _snapshot_root() -> str:
     """Per-process snapshot root (concurrent harness processes don't
-    race each other); dirs live for the process, like the stage dirs."""
-    root = os.path.join(tempfile.gettempdir(), "dec_spark_stream_snap", str(os.getpid()))
+    race each other). The process's own root is removed at interpreter
+    exit (the returned DataFrames are dead by then), and stale roots
+    left by crashed/killed processes are swept opportunistically —
+    without cleanup a long parity/bench harness accumulates one result
+    copy per drain and crashed runs litter forever."""
+    base = os.path.join(tempfile.gettempdir(), "dec_spark_stream_snap")
+    root = os.path.join(base, str(os.getpid()))
+    first_use = not os.path.isdir(root)
     os.makedirs(root, exist_ok=True)
+    if first_use:
+        import atexit
+
+        atexit.register(shutil.rmtree, root, True)
+        # sweep siblings whose owning process is gone (Linux: /proc/<pid>)
+        try:
+            for name in os.listdir(base):
+                if name != str(os.getpid()) and name.isdigit() and not os.path.exists(
+                    f"/proc/{name}"
+                ):
+                    shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        except OSError:
+            pass
     return root
 
 
